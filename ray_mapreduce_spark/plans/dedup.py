@@ -1,0 +1,360 @@
+"""Deduplication queries over ``documents`` (SURVEY.md §2d).
+
+Five dedup families, each with the scale rationale that matters at
+100 TB of crawl text:
+
+- exact: hash-groupBy on the full text (or its digest). One shuffle
+  keyed by sha256(text) — at scale, shuffle the 32-byte digest, never
+  the document body.
+- minhash-LSH: shingle -> minhash signature -> band -> bucket-join.
+  Candidate generation touches only bucket-colliding pairs, O(n·bands)
+  shuffle instead of O(n²) compare. (No SQL oracle — signature
+  permutations are engine-specific; rows-only + pytest determinism.)
+- simhash: 64-bit fingerprint, hamming-distance candidates via banded
+  exact-match (4x16-bit bands -> any-band equality catches hamming<=3
+  pairs by pigeonhole when distributed across bands).
+- n-gram Jaccard: exact similarity on token shingle sets for
+  candidate pairs — the verifier stage behind the LSH candidates, and
+  SQL-expressible, so it doubles as the oracle-checked exact variant.
+- embedding cosine near-dup: see similarity.py (shares the kernels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: canonical survivor (min doc_id) per distinct text.
+# Scale: group on sha2(text) so shuffle rows carry a 64-hex digest +
+# doc_id, not document bodies; min(doc_id) is algebraic (partial agg).
+@register(
+    "dedup_exact",
+    bench=True,
+    tags=("dedup", "exact"),
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (
+      SELECT min(doc_id) AS keep_id
+      FROM documents
+      GROUP BY sha256(text)
+    ) k ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    return d.join(keep, d.doc_id == keep.keep_id).select("doc_id", "lang", "source")
+
+
+# Duplicate-group statistics: how much of the corpus is duplicated.
+@register(
+    "dedup_exact_stats",
+    tags=("dedup", "exact", "aggregate"),
+    oracle="""
+    SELECT
+      count(*)                                   AS n_docs,
+      count(DISTINCT sha256(text))               AS n_distinct,
+      count(*) - count(DISTINCT sha256(text))    AS n_dupes
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_dupes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram (word 3-shingle) Jaccard near-dup pairs, exact, SQL-expressible.
+# Blocking on lang keeps the pair space per-language; at 100 TB the
+# blocking key would be an LSH band (see dedup_minhash_pairs) with this
+# exact Jaccard as the verify stage on candidates only.
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    tags=("dedup", "ngram", "jaccard"),
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    shingled = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                        F.col("toks")[i + 2],
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect("a.shingles", "b.shingles")).alias("n_common"),
+        F.size("a.shingles").alias("n_a"),
+        F.size("b.shingles").alias("n_b"),
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding, built from first principles with deterministic
+# seeded permutations (xxhash64 with seed = permutation index) — pure
+# JVM-side column ops, no Python UDF, no MLlib dependency:
+#   token 3-shingles -> 64 minhash values -> 8 bands of 8 -> band-hash
+#   bucket join -> candidate pairs -> exact Jaccard verify.
+# Scale: the only joins are equi-joins on (band_no, band_hash); shuffle
+# volume is O(n * n_bands), never O(n^2). Oracle: none (permutation
+# choice is engine-specific); exactness is pinned by pytest against the
+# dedup_ngram_jaccard ground truth at small sf.
+N_HASHES = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _shingles_col() -> F.Column:
+    toks = F.split(F.lower("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        )
+    )
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id -> array<long> of N_HASHES minhash values (seeded xxhash64)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return (
+        d.select("doc_id", _shingles_col().alias("shingles"))
+        .filter(F.size("shingles") >= 1)
+        .select("doc_id", "shingles", sig.alias("sig"))
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    bench=True,
+    oracle=None,  # seeded-permutation specific; verified in pytest vs exact jaccard
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard on
+    the shingle sets; emits pairs with verified jaccard >= 0.6."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_no", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        candidates.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 64-bit weighted fingerprint, JVM-side (xxhash64 bit tests).
+# Near-dup candidates: exact match on any of 4 16-bit bands (pigeonhole:
+# hamming<=3 guarantees one clean band), then exact hamming verify.
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # hash-function specific; pytest pins determinism + recall
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with simhash hamming distance <= 3 (verified).
+
+    Fingerprint construction is the scale-friendly shape: explode
+    tokens once, hash each token once (xxhash64, JVM-side), then ONE
+    groupBy(doc_id) computing all 64 bit-votes as parallel algebraic
+    sums (partial-aggregated map-side). Bit positions / shift amounts
+    are plan-time Python ints, so the whole tree is codegen'd."""
+    from functools import reduce
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # bit 63 set == Long.MIN_VALUE in two's complement
+    bit_lits = [1 << i for i in range(63)] + [-(1 << 63)]
+    fp = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_lits[i])).otherwise(F.lit(0)).cast("long")
+            for i in range(64)
+        ],
+    )
+    sh = votes.select("doc_id", fp.alias("simhash"))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Survivor set via window (the dropDuplicates-with-ordering idiom):
+# first doc per (lang, exact-text-hash) ordered by doc_id.
+@register(
+    "dedup_survivors_window",
+    tags=("dedup", "window"),
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang, sha256(text) ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_survivors_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )

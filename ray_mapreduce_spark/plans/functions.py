@@ -1,0 +1,233 @@
+"""Scalar-function queries: string / date / math / JSON (SURVEY.md §2c
+rows "String functions", "Date/time functions", "Math functions",
+"Array/map/JSON functions"; reference user-space patterns U4-U11,
+reference basic_mr_month_count.py:15-27, mapreduce_unittest.py:7-8).
+
+Everything stays JVM-side (whole-stage codegen) — no Python UDFs in
+any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# The flagship: the reference's one production query re-expressed.
+# basic_mr_month_count.py groups a crawl TSV by (variant, month) and
+# counts (reference basic_mr_month_count.py:15-30); here events plays
+# that role: (event_type, month(ts)) -> count. Scale: algebraic count,
+# partial-aggregated map-side; one shuffle of O(groups).
+@register(
+    "month_count",
+    bench=True,
+    tags=("flagship", "aggregate", "date"),
+    oracle="""
+    SELECT
+      event_type,
+      strftime(ts, '%Y-%m') AS month,
+      count(*)              AS n
+    FROM events
+    GROUP BY event_type, strftime(ts, '%Y-%m')
+    """,
+)
+def month_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U11 error-branch pattern: malformed rows become sentinel groups
+# instead of failing the job (reference basic_mr_month_count.py:18-25).
+# Declarative version: CASE WHEN on parse results; json nulls divert to
+# 'no_key'; non-positive values to 'bad_value'.
+@register(
+    "error_branch_classify",
+    tags=("flagship", "error-handling", "json"),
+    oracle="""
+    SELECT
+      CASE
+        WHEN json_extract_string(props, '$.k') IS NULL THEN 'no_key'
+        WHEN value < 0 THEN 'bad_value'
+        ELSE event_type
+      END      AS bucket,
+      count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def error_branch_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    bucket = (
+        F.when(k.isNull(), F.lit("no_key"))
+        .when(F.col("value") < 0, F.lit("bad_value"))
+        .otherwise(F.col("event_type"))
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# String functions: split/token extraction/substring/concat/regexp
+# (reference U7-U10 patterns done declaratively).
+@register(
+    "string_functions",
+    tags=("string",),
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_brand)                                   AS brand_upper,
+      string_split(p_type, ' ')[1]                     AS type_first,
+      string_split(p_type, ' ')[-1]                    AS type_last,
+      substr(p_name, 1, 5)                             AS name_prefix,
+      concat(p_brand, '|', p_type)                     AS brand_type,
+      length(p_name)                                   AS name_len,
+      len(regexp_extract_all(p_name, '[aeiou]'))       AS n_vowels
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        toks.getItem(0).alias("type_first"),
+        F.element_at(toks, -1).alias("type_last"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time functions: trunc, extract, diff, format (reference U9 was a
+# 7-char string slice; real timestamp semantics here).
+@register(
+    "date_functions",
+    tags=("date",),
+    oracle="""
+    SELECT
+      year_month,
+      n_orders,
+      round(total, 2) AS total
+    FROM (
+      SELECT
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS year_month,
+        count(*)            AS n_orders,
+        sum(o_totalprice)   AS total
+      FROM orders
+      WHERE extract(year FROM o_orderdate) BETWEEN 1996 AND 1999
+        AND date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) > 400
+      GROUP BY 1
+    )
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.year("o_orderdate").between(1996, 1999)
+            & (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) > 400)
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("year_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select("year_month", "n_orders", F.round("total", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Math functions: pmod bucketing (reference U5 `data % 9`,
+# mapreduce_unittest.py:8), pow/sqrt (U4, reference mapreduce.py:36-38).
+@register(
+    "math_functions",
+    tags=("math",),
+    oracle="""
+    SELECT
+      l_orderkey % 9                                 AS bucket,
+      count(*)                                       AS n,
+      round(sum(sqrt(l_quantity)), 4)                AS sum_sqrt_qty,
+      round(sum(pow(l_discount, 2)), 6)              AS sum_disc_sq,
+      round(max(pow(l_quantity, 2)), 2)              AS max_qty_sq,
+      round(avg(abs(l_extendedprice - 1000.0)), 4)   AS avg_abs_dev
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.pmod("l_orderkey", F.lit(9)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_disc_sq"),
+            F.round(F.max(F.pow("l_quantity", F.lit(2))), 2).alias("max_qty_sq"),
+            F.round(F.avg(F.abs(F.col("l_extendedprice") - 1000.0)), 4).alias("avg_abs_dev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction on events.props (SURVEY.md §2c Array/map/JSON row).
+@register(
+    "json_extract_agg",
+    tags=("json", "aggregate"),
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      count(*)              AS n,
+      round(avg(value), 4)  AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k_bucket = (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket")
+    return e.groupBy(k_bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# from_json into a typed struct + array/map construction + explode
+# (reference has no array/map types at all; §2c ABSENT row).
+@register(
+    "array_map_explode",
+    tags=("array", "explode", "json"),
+    oracle="""
+    SELECT t.event_type, u.tag, count(*) AS n
+    FROM (
+      SELECT event_type,
+             [event_type, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END] AS tags
+      FROM events
+    ) t, unnest(t.tags) AS u(tag)
+    GROUP BY t.event_type, u.tag
+    """,
+)
+def array_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tags = F.array(
+        F.col("event_type"),
+        F.when(F.col("value") >= 50, F.lit("high")).otherwise(F.lit("low")),
+    )
+    return (
+        e.select("event_type", F.explode(tags).alias("tag"))
+        .groupBy("event_type", "tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,511 @@
+"""Core relational queries (SURVEY.md §2c matrix rows: scan, project,
+filter, joins of every flavor, hash/holistic aggregation, distinct,
+rollup/cube, set ops, sort/limit).
+
+The reference can only *express* these through user map/reduce fns
+(SURVEY.md §2c legend USER/ABSENT; enabling mechanism reference
+mapreduce.py:75-78,132-133); here each is a first-class declarative
+DataFrame plan so Catalyst gets pushdown/pruning/join-selection —
+which is what makes the same query viable at 100 TB.
+
+Scale notes per query are inline; the common ones:
+- dims (region/nation/supplier) get explicit ``broadcast()`` — at any
+  scale these stay tiny, so no shuffle on the fact side.
+- fact-fact joins (orders x lineitem) hash-shuffle on the join key,
+  which AQE re-plans / skew-splits at runtime.
+- aggregates are algebraic -> Catalyst does partial (map-side)
+  aggregation automatically; no groupByKey-style value materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: full-scan aggregate with computed measures.
+# Scale: single shuffle on a 4-value grouping key after map-side partial
+# agg -> bytes shuffled ~ O(groups x partitions), independent of row count.
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("aggregate", "scan", "tpch"),
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                   AS sum_qty,
+      round(sum(l_extendedprice), 2)                              AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4)                                   AS avg_qty,
+      round(avg(l_extendedprice), 4)                              AS avg_price,
+      round(avg(l_discount), 4)                                   AS avg_disc,
+      count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter + projection: predicate pushdown + column pruning reach the
+# parquet scan (PushedFilters in .explain); only 6 of 11 columns read.
+@register(
+    "filter_project_revenue",
+    tags=("filter", "projection", "scan"),
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+      round(l_quantity, 2)                         AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_project_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.round(F.col("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Inner equi-join fact-to-dim + aggregate. customer is small relative to
+# orders at every sf (1:10); Catalyst broadcasts it under the default
+# threshold, and we hint it explicitly since a dim stays broadcastable
+# even at 100 TB fact scale.
+@register(
+    "join_customer_orders",
+    bench=True,
+    tags=("join", "aggregate"),
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      count(*)                        AS n_orders,
+      round(sum(o.o_totalprice), 2)   AS total_price,
+      round(avg(o.o_totalprice), 4)   AS avg_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped multi-join: region -> nation -> customer -> orders ->
+# lineitem -> supplier with the "local supplier" constraint
+# (c_nationkey = s_nationkey). Scale shape: three broadcast joins
+# (region, nation, supplier are O(100) rows at any sf) + one
+# fact-fact shuffle join (orders x lineitem on orderkey); revenue agg
+# is algebraic (partial agg).
+@register(
+    "q5_local_supplier_revenue",
+    bench=True,
+    tags=("join", "multi-join", "aggregate", "tpch"),
+    oracle="""
+    SELECT
+      n.n_name,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)  # fact-fact shuffle join
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Left outer join: every customer, with order stats (0-filled).
+@register(
+    "join_left_outer_customer",
+    tags=("join", "outer-join", "aggregate"),
+    oracle="""
+    SELECT
+      c.c_custkey,
+      count(o.o_orderkey)                          AS n_orders,
+      round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Left semi join (EXISTS): customers with at least one open ('O') order.
+@register(
+    "join_semi_open_orders",
+    tags=("join", "semi-join"),
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Left anti join (NOT EXISTS): customers with no big-ticket order.
+# (Every customer has *some* order in this corpus, so the anti-join is
+# against a selective order subset to keep the result non-empty.)
+@register(
+    "join_anti_no_big_order",
+    tags=("join", "anti-join"),
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 480000.0
+    )
+    """,
+)
+def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000.0).select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Theta/range join: non-equi predicate. Kept deliberately small-side
+# (part price bands vs supplier acctbal) — at scale a range join wants
+# the banded/bucketed rewrite; here the band table is broadcastable.
+@register(
+    "join_range_price_band",
+    tags=("join", "range-join", "aggregate"),
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('low',    0.0,  500.0),
+        ('mid',  500.0, 1500.0),
+        ('high',1500.0, 1e9)
+      ) AS t(band, lo, hi)
+    )
+    SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1500.0), ("high", 1500.0, 1e9)],
+        "band: string, lo: double, hi: double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation: exact count-distinct. At 100 TB exact
+# count-distinct is a full shuffle of distinct keys; the approx variant
+# (approx_count_distinct, HLL sketch, no extra shuffle) is registered
+# separately without an oracle (sketch values differ by engine).
+@register(
+    "agg_count_distinct",
+    tags=("aggregate", "distinct"),
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketch values are engine-specific -> rows-only check
+    tags=("aggregate", "distinct", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale path for
+    cardinality — no distinct-key shuffle, fixed-size sketch merge."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT rows.
+@register(
+    "distinct_flag_status",
+    tags=("distinct",),
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: hierarchical subtotals. NULL grouping markers are coalesced to
+# 'ALL' on both sides so the hash compare is null-representation-proof.
+@register(
+    "rollup_order_status",
+    tags=("aggregate", "rollup"),
+    oracle="""
+    SELECT
+      coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+      coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      count(*)                         AS n_orders,
+      round(sum(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE: all grouping-set combinations.
+@register(
+    "cube_flag_status",
+    tags=("aggregate", "cube"),
+    oracle="""
+    SELECT
+      coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      count(*)                      AS n_rows,
+      round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations over aligned projections.
+@register(
+    "set_union_all_keys",
+    tags=("setop",),
+    oracle="""
+    SELECT k, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL
+      SELECT c_custkey AS k FROM customer
+    ) GROUP BY k
+    """,
+)
+def set_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.unionAll(c).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "set_intersect_keys",
+    tags=("setop",),
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+@register(
+    "set_except_keys",
+    tags=("setop",),
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    EXCEPT
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering customers whose account balance is non-positive."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return o.distinct().exceptAll(c)
+
+
+# --------------------------------------------------------------------------
+# Global sort + limit (top-N). Ties broken by a unique key so the result
+# set is deterministic across engines. Spark executes this as TakeOrdered
+# (per-partition top-N + merge), no full sort — the right plan at scale.
+@register(
+    "sort_limit_top100",
+    tags=("sort", "limit", "topk"),
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )

@@ -1,0 +1,241 @@
+"""Similarity search over ``embeddings`` (SURVEY.md §2d): brute-force
+cosine top-k as the exact baseline, and an LSH (random-hyperplane)
+bucketed variant as the 100 TB scale path.
+
+Scale design:
+- brute-force is the oracle/verifier: broadcast the (small) query set,
+  compute cosine against every corpus vector, per-query top-k via
+  window. Cost O(|Q|·n) — right answer for verification, wrong answer
+  at 100 TB when |Q| is large.
+- sign-LSH buckets corpus vectors by the sign pattern of r random
+  hyperplanes (deterministic seeded pseudo-hyperplanes derived from
+  xxhash64 — no stored model). Queries probe only their own bucket
+  (+ optional multi-probe). Shuffle is an equi-join on bucket id.
+- norms are precomputed once; dot products are JVM-side
+  ``aggregate(zip_with(...))`` — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(F.col(a) if isinstance(a, str) else a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def _with_vec(d: DataFrame) -> DataFrame:
+    """Cast float embedding to double once so both engines compute the
+    same double-precision dot products (left-to-right array order)."""
+    return d.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "similarity_topk_brute",
+    bench=True,
+    tags=("similarity", "topk", "cosine"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.vec, c.vec) AS cos
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{K} neighbors for query vectors vec_id < 10."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the §2d "embedding-cosine
+# near-dup" dedup variant lives here with the shared kernels).
+@register(
+    "dedup_embedding_cosine",
+    tags=("dedup", "similarity", "cosine"),
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+    FROM v a JOIN v b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs (cosine >= threshold), blocked by label —
+    at scale the block key becomes an LSH bucket (same join shape).
+    Threshold 0.35 sits at ~p99.9 of this synthetic corpus's
+    within-label cosine distribution (max ~0.51), so the result is
+    non-empty at every sf; a real near-dup pipeline would use ~0.95+."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = _dot("a.vec", "b.vec") / (_norm("a.vec") * _norm("b.vec"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH (random hyperplane) bucketed ANN: the scale path.
+# Pseudo-hyperplanes are derived deterministically: component j of
+# hyperplane p = (xxhash64(p, j) mod 2001 - 1000)/1000 -> values in
+# [-1, 1]. Bucket = bit pattern of sign(v . h_p) for p in 0..n_planes-1.
+# No oracle (bucketing is engine-specific); pytest checks recall vs the
+# brute-force result at small sf.
+N_PLANES = 8
+
+
+def _bucket_col(vec: str) -> Column:
+    """Sign pattern of N_PLANES seeded pseudo-hyperplane dot products,
+    packed into an int. Plane index is a Python int (shift amounts and
+    hash seeds are plan-time constants), so the whole bucket expression
+    is a fixed codegen'd tree."""
+    from functools import reduce
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec),
+                F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
+                lambda x, j: x * ((F.xxhash64(F.lit(p), j) % 2001 - 1000).cast("double") / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=None,  # bucket layout engine-specific; recall pinned in pytest
+    tags=("similarity", "topk", "lsh", "ann"),
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket; falls back to fewer than k results for sparse buckets."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _bucket_col("vec")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    )
+    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket")
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector stats: array aggregation kernels (norm distribution per label).
+@register(
+    "embedding_norm_stats",
+    tags=("similarity", "array", "aggregate"),
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             sqrt(list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])])) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    nrm = _norm("vec")
+    return (
+        v.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )

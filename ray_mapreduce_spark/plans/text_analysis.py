@@ -1,0 +1,220 @@
+"""Text-analysis queries over ``documents`` (SURVEY.md §2d): token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side (split/regexp/array kernels) — the 100 TB rationale: a
+per-document Python UDF at crawl scale costs more than the rest of the
+pipeline combined; these stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+# Tiny per-language marker lists for the heuristic language ID.
+# (Synthetic corpus — the point is the deterministic, scalable shape:
+# token-overlap scoring against broadcastable marker sets.)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    bench=True,
+    tags=("text", "tokens", "aggregate"),
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' '))                    AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+             length(text)                                    AS n_chars_actual
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)                   AS total_tokens,
+           round(avg(n_tokens), 4)                         AS avg_tokens,
+           round(avg(CAST(n_uniq AS DOUBLE) / n_tokens), 4) AS avg_uniq_ratio,
+           CAST(max(n_chars_actual) AS BIGINT)             AS max_chars
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uniq = F.array_distinct(F.split(F.lower("text"), " "))
+    t = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq).alias("n_uniq"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_uniq").cast("double") / F.col("n_tokens")), 4).alias(
+            "avg_uniq_ratio"
+        ),
+        F.max("n_chars_actual").cast("bigint").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: word tokens + non-space punctuation count via
+# a regex, the standard cheap proxy for LLM token budgeting.
+@register(
+    "text_token_count_regex",
+    tags=("text", "tokens"),
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens_bpeish,
+           len(string_split(text, ' '))                                 AS n_tokens_ws
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_tokens_bpeish"),
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality score: deterministic [0,1] combo of length band, lexical
+# diversity, and mean word length — the filter stage of a training-data
+# pipeline. Identical closed-form on both engines.
+@register(
+    "text_quality_score",
+    bench=True,
+    tags=("text", "quality"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+             length(text) AS n_ch
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(
+             0.4 * least(n_tok / 64.0, 1.0)
+           + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
+           + 0.2 * least((CAST(n_ch AS DOUBLE) / n_tok) / 8.0, 1.0)
+           , 4) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    n_ch = F.length("text")
+    quality = (
+        0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        + 0.4 * (n_uniq.cast("double") / n_tok)
+        + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
+    )
+    return d.select("doc_id", "lang", F.round(quality, 4).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: marker-token overlap scoring. The scalable
+# shape: tokens x broadcast marker table, argmax per doc. Pure SQL.
+@register(
+    "text_lang_id",
+    tags=("text", "lang-id"),
+    oracle="""
+    WITH markers AS (
+      SELECT * FROM (VALUES
+        ('en','the'),('en','and'),('en','of'),
+        ('de','der'),('de','und'),('de','die'),
+        ('fr','le'),('fr','et'),('fr','la'),
+        ('es','el'),('es','y'),('es','de'),
+        ('zh','de'),('zh','le'),('zh','shi')
+      ) AS m(cand_lang, marker)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, m.cand_lang, count(*) AS hits
+      FROM toks t JOIN markers m ON t.tok = m.marker
+      GROUP BY t.doc_id, m.cand_lang
+    ),
+    best AS (
+      SELECT doc_id, cand_lang, hits,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+             ) AS rn
+      FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(b.cand_lang, 'unknown') AS predicted_lang,
+           coalesce(b.hits, 0)              AS marker_hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in _LANG_MARKERS.items() for m in ms],
+        "cand_lang: string, marker: string",
+    )
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    scores = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand_lang")
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cand_lang", F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce("hits", F.lit(0)).alias("marker_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 content digest + first-8-hex prefix
+# bucket (rolling-hash stand-in that both engines share bit-for-bit).
+@register(
+    "text_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle="""
+    SELECT fp_prefix, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct
+    FROM (
+      SELECT md5(lower(text))              AS fp,
+             substr(md5(lower(text)), 1, 2) AS fp_prefix
+      FROM documents
+    )
+    GROUP BY fp_prefix
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower("text"))
+    return (
+        d.select(fp.alias("fp"), F.substring(fp, 1, 2).alias("fp_prefix"))
+        .groupBy("fp_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )

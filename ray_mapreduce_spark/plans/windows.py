@@ -1,0 +1,137 @@
+"""Window-function queries (SURVEY.md §2c "Window functions" row —
+ABSENT in the reference; supplied natively via ``pyspark.sql.Window``).
+
+Scale notes: a window partitioned by a high-cardinality key (custkey)
+shuffles once on that key and sorts within partitions — the same
+shuffle an aggregate would need, so no extra cost class. Per-group
+top-k via row_number keeps memory bounded per key (no whole-group
+materialization like the reference's reduce-side value list,
+reference mapreduce.py:132-133).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+# Per-group top-k: top 3 orders by price per customer, deterministic
+# tie-break on orderkey.
+@register(
+    "window_topk_per_customer",
+    bench=True,
+    tags=("window", "topk", "rank"),
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+# Ranking family: rank / dense_rank over a global ordering within groups.
+@register(
+    "window_rank_dense",
+    tags=("window", "rank"),
+    oracle="""
+    SELECT
+      c_mktsegment,
+      c_custkey,
+      round(c_acctbal, 2) AS acctbal,
+      rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+      dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+    FROM customer
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# Analytic family: lag/lead + running frame aggregate per customer
+# ordered by order date (deterministic tie-break on orderkey).
+@register(
+    "window_running_and_lag",
+    tags=("window", "analytic", "frame"),
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS running_total,
+      round(coalesce(lag(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ), 0.0), 2) AS prev_price,
+      round(coalesce(lead(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ), 0.0), 2) AS next_price
+    FROM orders
+    """,
+)
+def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame_w), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(order_w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(order_w), F.lit(0.0)), 2).alias("next_price"),
+    )
+
+
+# Sliding 3-row moving average over each customer's order history.
+@register(
+    "window_moving_avg",
+    tags=("window", "frame"),
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(avg(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+      ), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg3"),
+    )

@@ -1,0 +1,57 @@
+"""Parquet table sources for the driver-generated test schema.
+
+Reference parallel: the reference's only sources are in-memory lists
+and smart_open'd text files (reference mapreduce.py:139,167-187). The
+engine's native source is splittable, columnar, predicate-pushdown
+parquet via ``spark.read.parquet`` — executor-side reads, no
+driver-side byte streaming (the reference's acknowledged bottleneck,
+reference mapreduce.py:25-26).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Column pruning + filter pushdown reach the
+    scan automatically because callers compose DataFrame ops on the
+    returned frame (check ``.explain``: PushedFilters / ReadSchema).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read nanos as long (legacy conf,
+    runtime-settable) and rebuild a micros timestamp column so every
+    plan sees a plain TimestampType. ``ts div 1000`` stays in integer
+    arithmetic — nanos since epoch (~8e17) overflow a double's 53-bit
+    mantissa, so a float division here would corrupt timestamps.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,115 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query's Spark builder and its DuckDB oracle SQL on
+the same sf dir, then compares row count, column names, and values
+order-insensitively — the same contract the driver applies at sf0.01
+(see __spark_entry__.py docstring). Values are compared exactly for
+non-floats and to 1e-9 relative tolerance for floats (the real driver
+hashes, so plans must round float outputs; the tolerance here only
+localizes diagnostics, it does not paper over mismatches beyond
+rounding artifacts).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from .sources import TABLE_NAMES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def _norm_value(v: Any) -> Any:
+    if isinstance(v, Decimal):
+        return float(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+def _norm_row(row: tuple) -> tuple:
+    return tuple(_norm_value(v) for v in row)
+
+
+def _sort_key(row: tuple) -> tuple:
+    return tuple((v is None, str(type(v).__name__), str(v)) for v in row)
+
+
+def _values_equal(a: Any, b: Any) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the test tables as views, as the driver does."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def compare_query(
+    spark: SparkSession, name: str, builder, oracle: str, sf_dir: str
+) -> CompareResult:
+    spark_df = builder(spark, sf_dir)
+    spark_cols = list(spark_df.columns)
+    spark_rows = [_norm_row(tuple(r)) for r in spark_df.collect()]
+
+    con = duckdb_connection(sf_dir)
+    try:
+        cur = con.execute(oracle)
+        oracle_cols = [d[0] for d in cur.description]
+        oracle_rows = [_norm_row(tuple(r)) for r in cur.fetchall()]
+    finally:
+        con.close()
+
+    if sorted(spark_cols) != sorted(oracle_cols):
+        return CompareResult(
+            name, False, len(spark_rows), len(oracle_rows),
+            f"column mismatch: spark={spark_cols} oracle={oracle_cols}",
+        )
+    if len(spark_rows) != len(oracle_rows):
+        return CompareResult(
+            name, False, len(spark_rows), len(oracle_rows),
+            f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}",
+        )
+
+    # Align column order by name (the driver sorts columns by name).
+    order = [spark_cols.index(c) for c in sorted(spark_cols)]
+    o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    s_sorted = sorted((tuple(r[i] for i in order) for r in spark_rows), key=_sort_key)
+    o_sorted = sorted((tuple(r[i] for i in o_order) for r in oracle_rows), key=_sort_key)
+
+    for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+        for c, (sv, ov) in enumerate(zip(sr, orow)):
+            if not _values_equal(sv, ov):
+                return CompareResult(
+                    name, False, len(spark_rows), len(oracle_rows),
+                    f"value mismatch at sorted row {i} col {sorted(spark_cols)[c]!r}: "
+                    f"spark={sv!r} oracle={ov!r}",
+                )
+    return CompareResult(name, True, len(spark_rows), len(oracle_rows))

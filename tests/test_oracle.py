@@ -1,0 +1,42 @@
+"""The local correctness gate: every oracle-paired query must match
+DuckDB order-insensitively — same contract the driver applies at
+sf0.01. Runs at sf0.001 by default (fast); set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to mirror the driver.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ray_mapreduce_spark.plans import all_queries
+from ray_mapreduce_spark.testing import compare_query
+
+_SPECS = all_queries()
+_ORACLE_NAMES = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+_ROWS_ONLY_NAMES = sorted(n for n, s in _SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = _SPECS[name]
+    res = compare_query(spark, name, spec.builder, spec.oracle, sf_dir)
+    assert res.ok, f"{name}: {res.detail}"
+    assert res.spark_rows > 0, f"{name}: query returned no rows at {sf_dir}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    spec = _SPECS[name]
+    df = spec.builder(spark, sf_dir)
+    assert df.columns, f"{name}: empty schema"
+    # Must execute without error; >=0 rows (some candidate-pair queries
+    # can legitimately be empty at tiny sf).
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
