@@ -1,0 +1,164 @@
+"""Reference-compatible MapReduce API shim.
+
+Drop-in signatures for the reference's three entry points
+(reference mapreduce.py:139,167,176), implemented as the one-line
+Spark pipeline the whole reference engine reduces to
+(SURVEY.md §2a "whole-pipeline Spark equivalent"):
+
+    parallelize/read.text -> flatMap(map_fcn)
+      -> groupByKey(num_reducers) -> map(reduce_fcn) -> collect
+
+Preserved semantic invariants (SURVEY.md §4.3):
+
+1. grouping totality — every (k, v) with equal k reaches exactly one
+   reduce call (Spark hash shuffle guarantees this);
+2. holistic reduce — ``reduce_fcn(k, values)`` receives the fully
+   materialized list (``groupByKey`` + ``list``, deliberately NOT
+   ``reduceByKey``; reference mapreduce.py:132-133);
+3. value order within a key is unspecified (reference arrival order is
+   racy across mappers, mapreduce.py:120-128) — callers must treat
+   value lists as multisets, as the reference's own tests do;
+4. global output order is unspecified (reference concatenates in
+   shard-then-insertion order, mapreduce.py:161-164) — callers sort;
+5. zero/multi-emit map generators are honored (``flatMap``);
+6. user-caught malformed input doesn't kill the job (U11 pattern runs
+   inside the user generator unchanged).
+
+Key-type contract: the reference's shipped sharder requires ``str``
+keys (``key.encode``, reference mapreduce.py:68-71) while its tests
+use ints — internally inconsistent (SURVEY.md §1.2). This shim
+accepts any hashable key (Spark's portable hash partitioner) and
+documents the superset; ``strict_keys=True`` opts into the
+reference's str-only contract, raising on non-str keys like the
+shipped sharder would.
+
+Differences by design (not bugs): mapper->reducer pairing uses
+Spark's hash, not sha256 — key *placement* differs, key *grouping*
+is identical; intermediates spill to disk instead of living in actor
+memory (the reference's acknowledged scale ceiling, reference
+mapreduce.py:24-26,81-83); chunk scheduling is Spark's task
+scheduler, so ``max_chunk_size``/``distribute_work_fcn`` only
+influence partition counts.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .session import get_spark
+
+MapFcn = Callable[[Any], Iterable[tuple[Any, Any]]]
+ReduceFcn = Callable[[Any, list], Any]
+
+
+def _run(
+    rdd,
+    map_fcn: MapFcn,
+    reduce_fcn: ReduceFcn,
+    num_reducers: int,
+    strict_keys: bool,
+) -> list:
+    def mapper(record):
+        for k, v in map_fcn(record):
+            if strict_keys and not isinstance(k, str):
+                # Reference sharder behavior: non-str keys raise
+                # (key.encode on int -> AttributeError, mapreduce.py:70).
+                raise AttributeError(
+                    f"strict_keys: reference sharder requires str keys, got {type(k).__name__}"
+                )
+            yield (k, v)
+
+    return (
+        rdd.flatMap(mapper)
+        .groupByKey(numPartitions=max(int(num_reducers), 1))
+        .map(lambda kv: reduce_fcn(kv[0], list(kv[1])))
+        .collect()
+    )
+
+
+def MapReduceBulk(
+    data_list: Iterable,
+    map_fcn: MapFcn,
+    reduce_fcn: ReduceFcn,
+    num_mappers: int,
+    num_reducers: int,
+    max_chunk_size: int = 1000,
+    dataset_size: int | None = None,
+    distribute_work_fcn=None,
+    spark: SparkSession | None = None,
+    strict_keys: bool = False,
+) -> list:
+    """Reference ``MapReduceBulk`` (mapreduce.py:139-164).
+
+    ``max_chunk_size``/``dataset_size`` reproduce the reference's
+    partitioning arithmetic (chunk_size = min(max_chunk_size,
+    ceil(n/num_mappers)), mapreduce.py:148-150) as a partition-count
+    hint; ``distribute_work_fcn`` is accepted for signature parity but
+    scheduling belongs to Spark (reference round-robins chunks,
+    mapreduce.py:140-146 — same data-to-task totality, different
+    placement).
+    """
+    spark = spark or get_spark()
+    data = data_list if isinstance(data_list, (list, tuple)) else list(data_list)
+    n = dataset_size if dataset_size is not None else len(data)
+    chunk_size = min(max_chunk_size, math.ceil(n / max(num_mappers, 1))) or 1
+    num_parts = max(min(math.ceil(len(data) / chunk_size), 10_000), int(num_mappers), 1)
+    rdd = spark.sparkContext.parallelize(data, num_parts)
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)
+
+
+def MapReduceWithOneFileInput(
+    filename: str,
+    map_fcn: MapFcn,
+    reduce_fcn: ReduceFcn,
+    num_mappers: int,
+    num_reducers: int,
+    max_chunk_size: int = 1000,
+    ignore_first_line: bool = False,
+    spark: SparkSession | None = None,
+    strict_keys: bool = False,
+) -> list:
+    """Reference ``MapReduceWithOneFileInput`` (mapreduce.py:167-173).
+
+    The reference streams every byte through the driver
+    (smart_open on the driver feeding actor RPCs); here the read is
+    executor-side and splittable (``sc.textFile``). Lines arrive
+    WITHOUT the trailing newline (Spark strips it; the reference
+    keeps it — its test map fns ``int(data)`` tolerate both,
+    reference mapreduce_unittest.py:6-8).
+    """
+    spark = spark or get_spark()
+    rdd = spark.sparkContext.textFile(filename, minPartitions=max(int(num_mappers), 1))
+    if ignore_first_line:
+        # Drop the first line of the file (reference: next(fd),
+        # mapreduce.py:169-170). zipWithIndex is a narrow pass; index 0
+        # is the file's first line since textFile preserves line order.
+        rdd = rdd.zipWithIndex().filter(lambda ri: ri[1] > 0).map(lambda ri: ri[0])
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)
+
+
+def MapReduceWithMultipleFiles(
+    index_filename: str,
+    map_fcn: MapFcn,
+    reduce_fcn: ReduceFcn,
+    num_mappers: int,
+    num_reducers: int,
+    spark: SparkSession | None = None,
+    strict_keys: bool = False,
+) -> list:
+    """Reference ``MapReduceWithMultipleFiles`` (mapreduce.py:176-187):
+    an index file of one path per line; mappers read their own files.
+    Spark reads the listed paths executor-side (data-local); only the
+    tiny index transits the driver — same as the reference, minus the
+    filename round-robin (Spark schedules splits with locality)."""
+    spark = spark or get_spark()
+    with open(index_filename) as fh:
+        paths = [line.strip() for line in fh if line.strip()]
+    rdd = spark.sparkContext.textFile(
+        ",".join(paths), minPartitions=max(int(num_mappers), 1)
+    )
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)

@@ -115,44 +115,47 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    shingled = (
-        d.select("doc_id", "lang", toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.col("toks")[i],
-                        F.col("toks")[i + 1],
-                        F.col("toks")[i + 2],
-                    ),
-                )
-            ).alias("shingles"),
-        )
+    """Inverted-index plan (NOT the naive O(n²) cross join): explode
+    shingles, drop singleton shingles (df=1 can't contribute to any
+    pair — exactness preserved since denominators use pre-filter
+    sizes), self-join on the shingle, count common shingles per pair.
+    Shuffle volume is O(shingle occurrences with df>=2), and only
+    pairs sharing >=1 shingle ever materialize — pairs with zero
+    overlap (jaccard 0 < threshold) are never enumerated. This is the
+    plan that survives 100x the corpus; the cross-join version was
+    ~100x slower at sf0.1."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        d.select("doc_id", "lang", _shingles_col().alias("shingles"))
+        .filter(F.size("shingles") >= 1)
+        .withColumn("n", F.size("shingles"))
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.size(F.array_intersect("a.shingles", "b.shingles")).alias("n_common"),
-        F.size("a.shingles").alias("n_a"),
-        F.size("b.shingles").alias("n_b"),
+    ex = sh.select("doc_id", "lang", "n", F.explode("shingles").alias("s"))
+    # df >= 2 pre-filter: singleton shingles cannot appear in any pair.
+    df_filter = ex.groupBy("s", "lang").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    ex = ex.join(df_filter.select("s", "lang"), ["s", "lang"])
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        pairs.withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -173,28 +176,44 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
+from ..functions.scale import spread as _spread
+
+
 def _shingles_col() -> F.Column:
+    """Distinct word 3-shingles. Guarded for <3-token docs: Spark's
+    ``sequence(0, n)`` DESCENDS when n < 0 (it would emit [0, -1] for
+    a 2-token doc), so short docs get an explicit empty array."""
     toks = F.split(F.lower("text"), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    return F.when(F.size(toks) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+            )
         )
     )
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id -> array<long> of N_HASHES minhash values (seeded xxhash64)."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda seed: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, seed))
-        ),
+    """doc_id -> minhash columns m0..m{N_HASHES-1} (seeded xxhash64).
+
+    Shape matters: explode shingles once, then ONE groupBy(doc_id)
+    with N_HASHES algebraic min() aggregates over codegen'd
+    ``xxhash64(seed, shingle)`` expressions. The tempting
+    ``transform(seq, seed -> array_min(transform(shingles, hash)))``
+    nested-HOF version is interpreted per element (higher-order
+    functions skip whole-stage codegen) and measured ~30x slower.
+    min() partial-aggregates map-side, so the shuffle is one row of
+    64 longs per (doc, partition).
+
+    Each shingle STRING is hashed exactly once (xxhash64); the 64
+    family members re-hash the resulting long (seeded), which is ~the
+    cost of integer mixing — 64x less string traversal."""
+    ex = d.select("doc_id", F.explode(_shingles_col()).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("sh")
     )
-    return (
-        d.select("doc_id", _shingles_col().alias("shingles"))
-        .filter(F.size("shingles") >= 1)
-        .select("doc_id", "shingles", sig.alias("sig"))
+    return ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "sh")).alias(f"m{i}") for i in range(N_HASHES)]
     )
 
 
@@ -207,24 +226,24 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs from LSH banding, verified with exact Jaccard on
     the shingle sets; emits pairs with verified jaccard >= 0.6."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(d)
 
+    # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
+    # never shuffle shingle arrays — at 100 TB the payload rejoin below
+    # touches just the candidate pairs, not the whole corpus x bands.
+    # Band hash = xxhash64 over its 8 minhash longs directly (codegen'd,
+    # no string round-trip).
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                            lambda v: v.cast("string"),
-                        ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[f"m{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
                     )
-                ),
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("band_no", "band_hash"),
     )
@@ -237,18 +256,22 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Verify stage: rejoin shingle sets for the candidates only.
+    sh = d.select("doc_id", _shingles_col().alias("shingles")).filter(F.size("shingles") >= 1)
+    pairs = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+        ).join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+        )
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        candidates.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -273,7 +296,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plan-time Python ints, so the whole tree is codegen'd."""
     from functools import reduce
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     h = F.xxhash64("tok")

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scale import spread as _spread
 from ..sources import load_table
 from .registry import register
 
@@ -44,8 +45,10 @@ def _norm(a: Column | str) -> Column:
 
 def _with_vec(d: DataFrame) -> DataFrame:
     """Cast float embedding to double once so both engines compute the
-    same double-precision dot products (left-to-right array order)."""
-    return d.select(
+    same double-precision dot products (left-to-right array order).
+    Spread across cores: the dot-product HOFs are interpreted
+    per-element, so a single input split would serialize them."""
+    return _spread(d).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),

@@ -1,0 +1,15 @@
+from .windows import (
+    events_stream,
+    session_counts,
+    sliding_counts,
+    stateful_running_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "stateful_running_counts",
+]

@@ -1,0 +1,141 @@
+"""Structured Streaming slice (SURVEY.md §2c "Streaming" row — ABSENT
+in the reference semantically, though its shuffle is physically
+pull-incremental and a TODO wishes for streaming, reference
+mapreduce.py:24,97-131).
+
+Batch-first design: every transformation here takes a DataFrame and
+works identically on a batch frame or a streaming frame (Spark's
+unified API) — tests assert streaming results equal the batch result
+of the same expression. Watermarks bound state at scale: a windowed
+agg over 100 TB/day of events holds only in-horizon windows per key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema (streaming sources require one). ts arrives as
+# parquet TIMESTAMP(NANOS) -> read as long (legacy conf) and rebuilt
+# as a micros timestamp, same as the batch path in sources/tables.py.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream (one-file directory glob). The driver
+    data is static, so tests run with trigger(availableNow=True) —
+    the stream processes the backlog and stops."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count per event_type with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window count: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. State per live session only (watermark-evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = StructType([StructField("total", LongType())])
+RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("total", LongType()),
+    ]
+)
+
+
+def stateful_running_counts(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-event_type totals across micro-batches (the reference's
+    holistic-reduce analog under continuous arrival). State is one
+    long per key — bounded regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        prev = state.get[0] if state.exists else 0
+        batch_n = sum(len(pdf) for pdf in pdfs)
+        total = prev + batch_n
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [event_type], "total": [total]})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -5,7 +5,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Spark python workers unpickle module-level test functions (shim
+# map/reduce fns) by reference — they need repo + tests on their path.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH", "")]
+)
 
 from ray_mapreduce_spark.session import get_spark
 

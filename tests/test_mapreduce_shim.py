@@ -1,0 +1,213 @@
+"""Ports of the reference's four golden tests (FIXTURES.md Group A;
+reference mapreduce_unittest.py) through the compatibility shim, plus
+the month-count TSV workload (Group B) and the §4.3 invariants the
+reference's own tests under-cover (COUNT/SUM goldens that catch
+dropped rows, zero/multi-emit, strict-key mode, malformed input).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ray_mapreduce_spark.mapreduce import (
+    MapReduceBulk,
+    MapReduceWithMultipleFiles,
+    MapReduceWithOneFileInput,
+)
+
+# Shared golden fixture (reference mapreduce_unittest.py:6-27; keys
+# cast to str per the shipped sharder contract, FIXTURES.md Group A).
+EXPECTED_MAX = sorted(
+    [
+        ("0", 998001), ("1", 982081), ("2", 984064), ("3", 986049),
+        ("4", 988036), ("5", 990025), ("6", 992016), ("7", 994009),
+        ("8", 996004),
+    ]
+)
+
+
+def map_fcn(data):
+    yield (str(int(data) % 9), int(data) ** 2)
+
+
+def reduce_max(k, values):
+    return (k, max(values))
+
+
+def reduce_count_sum(k, values):
+    return (k, len(values), sum(values))
+
+
+@pytest.fixture(scope="module")
+def int_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mrdata")
+    with_header = d / "file_with_header"
+    without_header = d / "file_without_header"
+    with_header.write_text("header\n" + "".join(f"{i}\n" for i in range(1000)))
+    without_header.write_text("".join(f"{i}\n" for i in range(1000)))
+    return str(with_header), str(without_header)
+
+
+# --- the four reference goldens -------------------------------------------
+
+def test_bulk_map_reduce(spark):
+    """reference mapreduce_unittest.py:52-56 (3 mappers / 4 reducers,
+    max_chunk_size=10 forces many chunks)."""
+    out = MapReduceBulk(
+        range(1000), map_fcn, reduce_max, 3, 4, max_chunk_size=10, spark=spark
+    )
+    assert sorted(out) == EXPECTED_MAX
+
+
+def test_direct_equivalent(spark):
+    """reference testMapReduceDirect (1 mapper / 10 reducers) —
+    the raw-actor wiring test collapses to the same pipeline here."""
+    out = MapReduceBulk(range(1000), map_fcn, reduce_max, 1, 10, spark=spark)
+    assert sorted(out) == EXPECTED_MAX
+
+
+def test_file_with_header(spark, int_files):
+    """reference mapreduce_unittest.py:58-63."""
+    with_header, _ = int_files
+    out = MapReduceWithOneFileInput(
+        with_header, map_fcn, reduce_max, 3, 4, ignore_first_line=True, spark=spark
+    )
+    assert sorted(out) == EXPECTED_MAX
+
+
+def test_file_without_header(spark, int_files):
+    """reference mapreduce_unittest.py:65-70 — the reference passes
+    ignore_first_line=True on the headerless file too, silently
+    dropping row 0; MAX hides it. We pin BOTH the reference's quirky
+    call (same golden) and the correct call with a COUNT/SUM golden
+    that would catch the dropped row (FIXTURES.md Group A2 note)."""
+    _, without_header = int_files
+    quirky = MapReduceWithOneFileInput(
+        without_header, map_fcn, reduce_max, 3, 4, ignore_first_line=True, spark=spark
+    )
+    assert sorted(quirky) == EXPECTED_MAX  # max insensitive to losing 0
+
+    correct = MapReduceWithOneFileInput(
+        without_header, map_fcn, reduce_count_sum, 3, 4, spark=spark
+    )
+    by_key = {k: (n, s) for k, n, s in correct}
+    assert sum(n for n, _ in by_key.values()) == 1000  # row 0 present
+    assert by_key["0"][0] == 112  # 0,9,...,999 -> 112 members of class 0
+
+
+# --- multi-file manifest ---------------------------------------------------
+
+def test_multiple_files(spark, int_files, tmp_path):
+    with_header, without_header = int_files
+    # Use only the headerless file twice: every value counted twice.
+    index = tmp_path / "index"
+    index.write_text(f"{without_header}\n{without_header}\n")
+    out = MapReduceWithMultipleFiles(
+        str(index), map_fcn, reduce_count_sum, 2, 3, spark=spark
+    )
+    by_key = {k: (n, s) for k, n, s in out}
+    assert sum(n for n, _ in by_key.values()) == 2000
+
+
+# --- month-count workload (FIXTURES.md Group B) ----------------------------
+
+def month_count_map(line):
+    """Reference map fn shape (basic_mr_month_count.py:14-27): TSV,
+    variant = word 1 of col 13, month = chars [0:7] of col 3; bad rows
+    divert to sentinel keys."""
+    cols = line.split("\t")
+    try:
+        variant = cols[13].split(" ")[1]
+    except IndexError:
+        yield ("no_variant", 1)
+        return
+    try:
+        month = cols[3][:7]
+    except IndexError:
+        yield ("date_error", 1)
+        return
+    yield (variant + "\t" + month, 1)
+
+
+def month_count_reduce(k, values):
+    return "%s, %d" % (k, sum(values))
+
+
+def test_month_count_tsv(spark, tmp_path):
+    pad = ["x"] * 9  # cols 4..12
+    rows = [
+        "\t".join(["a", "b", "c", "2021-03-15"] + pad + ["name v1 extra"]),
+        "\t".join(["a", "b", "c", "2021-03-02"] + pad + ["name v1"]),
+        "\t".join(["a", "b", "c", "2021-04-01"] + pad + ["name v2"]),
+        "\t".join(["a", "b", "c"]),                       # <14 cols -> no_variant
+        "\t".join(["a", "b", "c", "2021-05-01"] + pad + ["loneword"]),  # <2 words -> no_variant
+    ]
+    f = tmp_path / "crawl.tsv"
+    f.write_text("".join(r + "\n" for r in rows))
+    out = MapReduceWithOneFileInput(
+        str(f), month_count_map, month_count_reduce, 2, 2, spark=spark
+    )
+    assert sorted(out) == sorted(
+        ["v1\t2021-03, 2", "v2\t2021-04, 1", "no_variant, 2"]
+    )
+
+
+# --- §4.3 invariants -------------------------------------------------------
+
+def test_zero_and_multi_emit(spark):
+    """Generator semantics: 0 or many pairs per record
+    (reference mapreduce.py:16,36-38; docstring example)."""
+
+    def gen(x):
+        if x % 2:
+            return  # zero-emit
+        yield (str(x), x * x)
+        yield (str(x), float(x) ** 0.5)  # multi-emit
+
+    out = MapReduceBulk(range(10), gen, lambda k, vs: (k, sorted(vs)), 2, 2, spark=spark)
+    assert len(out) == 5
+    assert dict(out)["4"] == sorted([16, 2.0])
+
+
+def test_holistic_reduce_sees_full_list(spark):
+    """MEDIAN-class reduce works: the reduce fn gets the whole value
+    list (reference mapreduce.py:132-133), not an algebraic fold."""
+
+    def med(k, vs):
+        vs = sorted(vs)
+        return (k, vs[len(vs) // 2])
+
+    out = MapReduceBulk(
+        range(101), lambda x: iter([("all", x)]), med, 4, 3, spark=spark
+    )
+    assert out == [("all", 50)]
+
+
+def test_strict_keys_rejects_non_str(spark):
+    """Reference shipped-sharder contract: int keys raise
+    (key.encode -> AttributeError, reference mapreduce.py:68-71)."""
+    with pytest.raises(Exception, match="str keys"):
+        MapReduceBulk(
+            range(10),
+            lambda x: iter([(x % 2, x)]),
+            lambda k, vs: (k, max(vs)),
+            2,
+            2,
+            spark=spark,
+            strict_keys=True,
+        )
+
+
+def test_non_str_keys_allowed_by_default(spark):
+    """Superset contract (SURVEY.md §1.2 resolution): any hashable key."""
+    out = MapReduceBulk(
+        range(10),
+        lambda x: iter([((x % 2, "t"), x)]),
+        lambda k, vs: (k, sum(vs)),
+        2,
+        2,
+        spark=spark,
+    )
+    assert sorted(out) == [((0, "t"), 20), ((1, "t"), 25)]

@@ -1,0 +1,106 @@
+"""Streaming slice tests: run each streaming query over the static
+events table with trigger(availableNow=True) and compare against the
+identical batch expression (unified-API property), plus a
+late-data/watermark behavior check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ray_mapreduce_spark.sources import load_table
+from ray_mapreduce_spark.streaming import (
+    events_stream,
+    session_counts,
+    sliding_counts,
+    stateful_running_counts,
+    tumbling_counts,
+)
+
+
+def _run_stream(spark, sdf, name: str, output_mode: str = "complete"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    return rows
+
+
+def _sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream_rows = _run_stream(
+        spark, tumbling_counts(events_stream(spark, sf_dir)), "t_tumble"
+    )
+    batch_rows = tumbling_counts(load_table(spark, sf_dir, "events")).collect()
+    assert len(stream_rows) > 0
+    assert _sorted(stream_rows) == _sorted(batch_rows)
+
+
+def test_sliding_equals_batch(spark, sf_dir):
+    stream_rows = _run_stream(
+        spark, sliding_counts(events_stream(spark, sf_dir)), "t_slide"
+    )
+    batch_rows = sliding_counts(load_table(spark, sf_dir, "events")).collect()
+    assert len(stream_rows) > len(batch_rows) / 3  # sanity: both non-trivial
+    assert _sorted(stream_rows) == _sorted(batch_rows)
+    # Each event lands in 2 windows (width 1h, slide 30m): total count
+    # doubles the tumbling total.
+    total = sum(r["n"] for r in stream_rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
+
+
+def test_session_counts_runs(spark, sf_dir):
+    stream_rows = _run_stream(
+        spark, session_counts(events_stream(spark, sf_dir)), "t_session"
+    )
+    batch_rows = session_counts(load_table(spark, sf_dir, "events")).collect()
+    assert len(stream_rows) > 0
+    assert _sorted(stream_rows) == _sorted(batch_rows)
+    # Session totality: every event is in exactly one session.
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in stream_rows) == n_events
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    rows = _run_stream(
+        spark,
+        stateful_running_counts(events_stream(spark, sf_dir)),
+        "t_state",
+        output_mode="update",
+    )
+    # Final state per event_type must equal the batch counts.
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # memory sink in update mode appends per-batch updates; the last
+    # row per key is the final state.
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = r["total"]
+    assert final == batch
+
+
+def test_watermark_bounds_state(spark, sf_dir):
+    """Watermark column present and plan accepts late-data bound —
+    the state-eviction contract (eviction itself needs multi-batch
+    arrival; availableNow on static data processes one batch)."""
+    sdf = tumbling_counts(events_stream(spark, sf_dir), watermark="30 minutes")
+    assert sdf.isStreaming
+    rows = _run_stream(spark, sdf, "t_wm")
+    assert len(rows) > 0
