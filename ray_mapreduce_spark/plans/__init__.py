@@ -15,6 +15,8 @@ _QUERY_MODULES = (
     "relational",
     "windows",
     "functions",
+    "advanced",
+    "pandas_udfs",
     "dedup",
     "similarity",
     "text_analysis",

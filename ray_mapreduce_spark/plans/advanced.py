@@ -1,0 +1,215 @@
+"""Advanced relational queries: as-of join, pivot, statistical and
+holistic aggregates, fuzzy string matching, grouping sets via the SQL
+entry path (SURVEY.md §2c rows "Joins — theta/range/as-of",
+"Grouping sets", "Aggregation — holistic"; all ABSENT in the
+reference, expressible there only as hand-written reduce fns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# AS-OF join: for every purchase event, the latest click of the same
+# user at-or-before the purchase. Implemented the scalable way: union
+# both sides tagged, ONE shuffle by user + in-partition sort, running
+# last_value(click_ts) — no per-row range probe, no skew-prone
+# inequality join. Timestamps exported as unix micros (engine-neutral).
+@register(
+    "asof_join_last_click",
+    bench=True,
+    tags=("join", "asof-join", "window"),
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS kind, event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS kind, NULL AS event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT user_id, ts, kind, event_id,
+             last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lc
+      FROM u
+    )
+    SELECT event_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           epoch_us(lc) AS last_click_us
+    FROM m WHERE kind = 1
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    u = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")  # click sorts before same-ts purchase
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        u.withColumn("lc", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("lc").alias("last_click_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: wide per-month event-type counts. Spark pivot with an explicit
+# value list (no extra distinct-scan pass; required shape at scale).
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_event_counts",
+    tags=("pivot", "aggregate"),
+    oracle=f"""
+    SELECT
+      strftime(ts, '%Y-%m') AS month,
+      {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent (month, type) combos; FILTER-count
+    # yields 0 — normalize to 0 on the Spark side.
+    return pivoted.select(
+        "month", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates (stddev/var/corr/covar).
+@register(
+    "stats_aggregates",
+    tags=("aggregate", "stats"),
+    oracle="""
+    SELECT
+      event_type,
+      round(stddev_samp(value), 4)  AS sd_value,
+      round(var_samp(value), 4)     AS var_value,
+      round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+      round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk,
+      round(min(value), 4)          AS min_value,
+      round(max(value), 4)          AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), k), 4).alias("corr_vk"),
+        F.round(F.covar_samp(F.col("value"), k), 4).alias("covar_vk"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Holistic aggregate: exact median (the MEDIAN-class computation the
+# reference's whole-value-list reduce exists for, mapreduce.py:132-133).
+@register(
+    "median_by_group",
+    tags=("aggregate", "holistic"),
+    oracle="""
+    SELECT event_type,
+           round(median(CAST(value AS DOUBLE)), 4) AS med_value,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.9), 4) AS p90_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("med_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string matching: levenshtein pairs over the (small) distinct
+# p_type vocabulary — the match stage runs on the deduplicated domain,
+# never the raw table (at 100 TB you block first, match second).
+@register(
+    "levenshtein_type_pairs",
+    tags=("string", "fuzzy"),
+    oracle="""
+    WITH t AS (SELECT DISTINCT p_type FROM part)
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           levenshtein(a.p_type, b.p_type) AS dist
+    FROM t a JOIN t b ON a.p_type < b.p_type
+    WHERE levenshtein(a.p_type, b.p_type) <= 10
+    """,
+)
+def levenshtein_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "part").select("p_type").distinct()
+    a = t.select(F.col("p_type").alias("type_a"))
+    b = t.select(F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .withColumn("dist", F.levenshtein("type_a", "type_b"))
+        .filter(F.col("dist") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS through the SQL entry path (also exercises view
+# registration + spark.sql parity with the DataFrame API).
+@register(
+    "grouping_sets_sql",
+    tags=("aggregate", "grouping-sets", "sql"),
+    oracle="""
+    SELECT
+      coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      count(*)                      AS n,
+      round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(l_returnflag, 'ALL') AS returnflag,
+          coalesce(l_linestatus, 'ALL') AS linestatus,
+          count(*)                      AS n,
+          round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -51,6 +51,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -48,7 +48,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
-        .load(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")  # dir holds all tables
+        .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
