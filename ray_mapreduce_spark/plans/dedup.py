@@ -125,12 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan that survives 100x the corpus; the cross-join version was
     ~100x slower at sf0.1."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    sh = (
-        d.select("doc_id", "lang", _shingles_col().alias("shingles"))
-        .filter(F.size("shingles") >= 1)
-        .withColumn("n", F.size("shingles"))
-    )
-    ex = sh.select("doc_id", "lang", "n", F.explode("shingles").alias("s"))
+    ex = _with_doc_size(_shingle_hashes(d))
     # df >= 2 pre-filter: singleton shingles cannot appear in any pair.
     df_filter = ex.groupBy("s", "lang").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
     ex = ex.join(df_filter.select("s", "lang"), ["s", "lang"])
@@ -179,41 +174,53 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 from ..functions.scale import spread as _spread
 
 
-def _shingles_col() -> F.Column:
-    """Distinct word 3-shingles. Guarded for <3-token docs: Spark's
-    ``sequence(0, n)`` DESCENDS when n < 0 (it would emit [0, -1] for
-    a 2-token doc), so short docs get an explicit empty array."""
-    toks = F.split(F.lower("text"), " ")
-    return F.when(F.size(toks) < 3, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-            )
-        )
+def _shingle_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, s): one row per DISTINCT hashed word-3-shingle.
+
+    Construction is fully codegen'd (no higher-order functions, which
+    Spark interprets per element — measured several x slower): tokenize
+    -> posexplode -> hash each token once -> window lead x2 (one
+    shuffle by doc_id) -> combine 3 consecutive token hashes with
+    xxhash64 -> distinct. Shingles travel as 8-byte longs from here on
+    — at 100 TB that's the difference between shuffling text and
+    shuffling fixed-width keys. Collision probability over a doc's
+    shingle set is ~|S|²/2⁶⁴ ~ 1e-15 (none observed vs the string
+    oracle at any test sf)."""
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = tok.select("doc_id", "lang", "pos", F.xxhash64("t").alias("h0"))
+    return (
+        h.withColumn("h1", F.lead("h0", 1).over(w))
+        .withColumn("h2", F.lead("h0", 2).over(w))
+        .filter(F.col("h2").isNotNull())  # <3-token docs emit nothing
+        .select("doc_id", "lang", F.xxhash64("h0", "h1", "h2").alias("s"))
+        .distinct()
+    )
+
+
+def _with_doc_size(sh: DataFrame) -> DataFrame:
+    """Attach n = |distinct shingles of the doc| via an unordered
+    window count (one shuffle by doc_id; no driver-side or broadcast
+    dependency, so it scales to any doc count)."""
+    return sh.withColumn("n", F.count("s").over(Window.partitionBy("doc_id")))
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id -> minhash columns m0..m{N_HASHES-1} (seeded xxhash64).
 
-    Shape matters: explode shingles once, then ONE groupBy(doc_id)
-    with N_HASHES algebraic min() aggregates over codegen'd
-    ``xxhash64(seed, shingle)`` expressions. The tempting
-    ``transform(seq, seed -> array_min(transform(shingles, hash)))``
-    nested-HOF version is interpreted per element (higher-order
-    functions skip whole-stage codegen) and measured ~30x slower.
-    min() partial-aggregates map-side, so the shuffle is one row of
-    64 longs per (doc, partition).
-
-    Each shingle STRING is hashed exactly once (xxhash64); the 64
-    family members re-hash the resulting long (seeded), which is ~the
-    cost of integer mixing — 64x less string traversal."""
-    ex = d.select("doc_id", F.explode(_shingles_col()).alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("sh")
-    )
-    return ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), "sh")).alias(f"m{i}") for i in range(N_HASHES)]
+    Shape matters: one row per distinct hashed shingle
+    (``_shingle_hashes``), then ONE groupBy(doc_id) with N_HASHES
+    algebraic min() aggregates over codegen'd ``xxhash64(seed,
+    shingle_hash)`` expressions (long re-hash ~ integer mixing). The
+    tempting ``transform(seq, seed -> array_min(transform(shingles,
+    hash)))`` nested-HOF version is interpreted per element
+    (higher-order functions skip whole-stage codegen) and measured
+    ~30x slower. min() partial-aggregates map-side, so the shuffle is
+    one row of 64 longs per (doc, partition)."""
+    return _shingle_hashes(d).groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "s")).alias(f"m{i}") for i in range(N_HASHES)]
     )
 
 
@@ -259,8 +266,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify stage: rejoin shingle sets for the candidates only.
-    sh = d.select("doc_id", _shingles_col().alias("shingles")).filter(F.size("shingles") >= 1)
+    # Verify stage: rejoin shingle-hash sets for the candidates only
+    # (long arrays, not text — candidate count is tiny post-banding).
+    sh = _shingle_hashes(d).groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     pairs = (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"

@@ -212,6 +212,78 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the other classic scale path. K seed
+# vectors act as centroids (deterministic stride over vec_id — a real
+# deployment would k-means these); every vector is assigned to its
+# nearest centroid's cell (one broadcast join: corpus x K dots);
+# queries probe their own cell plus the runner-up (nprobe=2). The
+# candidate join is an equi-join on cell id — shuffle O(n), never
+# O(n^2); cell sizes are the knob that trades recall for cost.
+N_CELLS = 8
+N_PROBE = 2
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # cell assignment is engine-specific; cosine agreement pinned in pytest
+    tags=("similarity", "topk", "ivf", "ann"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    n_vec = F.count(F.lit(1))
+    # centroids: every (count/N_CELLS)-th vector by vec_id — computed
+    # without a driver round-trip via ntile over a global ordering of
+    # the (tiny) id projection, then first id per tile.
+    ids = v.select("vec_id")
+    tile_w = Window.orderBy("vec_id")
+    seed_ids = (
+        ids.withColumn("tile", F.ntile(N_CELLS).over(tile_w))
+        .groupBy("tile")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", (F.col("tile") - 1).alias("cell"))
+    )
+    centroids = v.join(F.broadcast(seed_ids), "vec_id").select(
+        "cell", F.col("vec").alias("cvec")
+    )
+
+    def ranked_cells(side: DataFrame, vec_col: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            *side.columns,
+            "cell",
+            (_dot(vec_col, "cvec") / (_norm(vec_col) * _norm("cvec"))).alias("ccos"),
+        )
+        w = Window.partitionBy(*[c for c in side.columns if c != vec_col]).orderBy(
+            F.col("ccos").desc(), "cell"
+        )
+        return scored.withColumn("crk", F.row_number().over(w)).filter(F.col("crk") <= keep)
+
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec_n"))
+    corpus_cells = ranked_cells(corpus, "cvec_n", 1).select("neighbor_id", "cvec_n", "cell")
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    query_cells = ranked_cells(queries, "qvec", N_PROBE).select("query_id", "qvec", "cell")
+
+    scored = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qvec", "cvec_n") / (_norm("qvec") * _norm("cvec_n"))).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
 # Vector stats: array aggregation kernels (norm distribution per label).
 @register(
     "embedding_norm_stats",

@@ -192,6 +192,47 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-level n-gram statistics: top-20 bigrams. The codegen-friendly
+# bigram construction (posexplode + window lead, no interpreted HOF)
+# is the same pipeline the dedup shingles use.
+@register(
+    "text_top_bigrams",
+    tags=("text", "ngram", "topk"),
+    oracle="""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    b AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("t2", F.lead("t", 1).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(" ", "t", "t2").alias("bigram"))
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting: md5 content digest + first-8-hex prefix
 # bucket (rolling-hash stand-in that both engines share bit-for-bit).
 @register(

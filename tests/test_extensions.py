@@ -94,6 +94,23 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
             assert abs(c - brute_cos[pair]) < 1e-6
 
 
+def test_ivf_topk_cosine_agreement(spark, sf_dir):
+    """IVF ANN: returned cosines must be true cosines (agree with the
+    brute-force result wherever the pair overlaps), and every query
+    must get results."""
+    brute_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in _rows(spark, sf_dir, "similarity_topk_brute")
+    }
+    ivf = _rows(spark, sf_dir, "similarity_topk_ivf")
+    assert ivf, "IVF returned nothing"
+    assert len({r["query_id"] for r in ivf}) == len({q for q, _ in brute_cos})
+    for r in ivf:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in brute_cos:
+            assert abs(r["cosine"] - brute_cos[pair]) < 1e-6
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     a = sorted(map(tuple, _rows(spark, sf_dir, "multimodal_decode_features")))
     b = sorted(map(tuple, _rows(spark, sf_dir, "multimodal_decode_features")))
