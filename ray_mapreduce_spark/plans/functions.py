@@ -205,6 +205,80 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# min_by/max_by (argmin/argmax) aggregates.
+@register(
+    "agg_min_max_by",
+    tags=("aggregate",),
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, value) AS max_value_event,
+           arg_min(event_id, value) AS min_value_event,
+           round(max(value), 4)     AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", "value").alias("max_value_event"),
+        F.min_by("event_id", "value").alias("min_value_event"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map-type construction + lookup + conditional aggregation.
+@register(
+    "map_functions",
+    tags=("map", "aggregate"),
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value >= 50)             AS n_high,
+           count(*) FILTER (WHERE value < 50)              AS n_low,
+           round(sum(CASE WHEN value >= 50 THEN value END), 2) AS high_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a per-row map {bucket -> value}, then aggregates by
+    lookup — exercises create_map/element_at plus count_if."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.when(F.col("value") >= 50, F.lit("high")).otherwise(F.lit("low")),
+        F.col("value"),
+    )
+    tagged = e.select("event_type", m.alias("vm"))
+    return tagged.groupBy("event_type").agg(
+        F.count_if(F.element_at("vm", "high").isNotNull()).alias("n_high"),
+        F.count_if(F.element_at("vm", "low").isNotNull()).alias("n_low"),
+        F.round(F.sum(F.element_at("vm", "high")), 2).alias("high_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# regexp_replace normalization chain (text cleaning primitive).
+@register(
+    "regexp_normalize",
+    tags=("string", "regex"),
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '[aeiou]', '_', 'g')  AS devoweled,
+           regexp_replace(trim(p_type), ' +', ' ', 'g')        AS type_norm
+    FROM part
+    """,
+)
+def regexp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.lower("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.regexp_replace(F.trim("p_type"), " +", " ").alias("type_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # from_json into a typed struct + array/map construction + explode
 # (reference has no array/map types at all; §2c ABSENT row).
 @register(

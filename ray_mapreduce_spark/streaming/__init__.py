@@ -3,6 +3,7 @@ from .windows import (
     session_counts,
     sliding_counts,
     stateful_running_counts,
+    stream_dedup,
     tumbling_counts,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stateful_running_counts",
+    "stream_dedup",
 ]

@@ -107,6 +107,14 @@ def session_counts(
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id: state holds one key per seen
+    id inside the watermark horizon, then evicts — the streaming
+    counterpart of plans/dedup.py dedup_exact, and the standard
+    at-least-once -> exactly-once repair stage in an event pipeline."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 STATE_SCHEMA = StructType([StructField("total", LongType())])
 RUNNING_OUT_SCHEMA = StructType(
     [

@@ -111,6 +111,19 @@ def test_multiple_files(spark, int_files, tmp_path):
     assert sum(n for n, _ in by_key.values()) == 2000
 
 
+def test_gzip_file_input(spark, tmp_path):
+    """Compressed-file parity: the reference reads .gz transparently
+    via smart_open (reference mapreduce.py:8, requirements.txt:2);
+    Spark's textFile does the same via Hadoop codecs."""
+    import gzip
+
+    gz = tmp_path / "ints.txt.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("".join(f"{i}\n" for i in range(1000)))
+    out = MapReduceWithOneFileInput(str(gz), map_fcn, reduce_max, 2, 3, spark=spark)
+    assert sorted(out) == EXPECTED_MAX
+
+
 # --- month-count workload (FIXTURES.md Group B) ----------------------------
 
 def month_count_map(line):

@@ -16,6 +16,7 @@ from ray_mapreduce_spark.streaming import (
     session_counts,
     sliding_counts,
     stateful_running_counts,
+    stream_dedup,
     tumbling_counts,
 )
 
@@ -94,6 +95,17 @@ def test_stateful_running_counts(spark, sf_dir):
     for r in rows:
         final[r["event_type"]] = r["total"]
     assert final == batch
+
+
+def test_stream_dedup_exact(spark, sf_dir):
+    """Duplicate the stream (self-union), dedup on event_id -> exactly
+    the distinct id count survives."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.union(events_stream(spark, sf_dir))
+    rows = _run_stream(spark, stream_dedup(doubled), "t_dedup", output_mode="append")
+    n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert len(rows) == n_distinct
+    assert len({r["event_id"] for r in rows}) == n_distinct
 
 
 def test_watermark_bounds_state(spark, sf_dir):
