@@ -185,6 +185,61 @@ def levenshtein_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlated/scalar-subquery shape: orders above their segment's
+# average. The decorrelated plan (window avg over one shuffle) is what
+# both optimizers should produce — expressed as the subquery in SQL,
+# the window rewrite in the DataFrame path; identical results.
+@register(
+    "above_segment_avg_orders",
+    tags=("subquery", "window", "join"),
+    oracle="""
+    WITH seg AS (
+      SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice,
+             avg(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment) AS seg_avg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT o_orderkey, c_mktsegment,
+           round(o_totalprice, 2) AS price,
+           round(seg_avg, 4)      AS seg_avg
+    FROM seg
+    WHERE o_totalprice > seg_avg * 1.5
+    """,
+)
+def above_segment_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).withColumn(
+        "seg_avg", F.avg("o_totalprice").over(Window.partitionBy("c_mktsegment"))
+    )
+    return (
+        seg.filter(F.col("o_totalprice") > F.col("seg_avg") * 1.5)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates: approx percentiles (KLL/GK-style, fixed-size
+# state, no per-key value materialization — the 100 TB path for
+# quantiles; exact counterpart is median_by_group).
+@register(
+    "approx_percentiles",
+    oracle=None,  # sketch internals are engine-specific -> rows-only
+    tags=("aggregate", "approx", "sketch"),
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("p50_90_99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # GROUPING SETS through the SQL entry path (also exercises view
 # registration + spark.sql parity with the DataFrame API).
 @register(

@@ -364,6 +364,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full near-dup pipeline: LSH pairs -> connected components -> one
+# survivor per cluster. Iterative (label propagation), so no SQL
+# oracle — the invariants are pinned in tests/test_clustering.py.
+@register(
+    "dedup_clusters",
+    oracle=None,
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster, is_survivor) over minhash near-dup pairs."""
+    from ..operators.clustering import dedup_cluster_survivors
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return dedup_cluster_survivors(d, pairs)
+
+
+# --------------------------------------------------------------------------
 # Survivor set via window (the dropDuplicates-with-ordering idiom):
 # first doc per (lang, exact-text-hash) ordered by doc_id.
 @register(

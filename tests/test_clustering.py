@@ -1,0 +1,78 @@
+"""Connected-components / cluster-dedup invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ray_mapreduce_spark.operators.clustering import (
+    connected_components,
+    dedup_cluster_survivors,
+)
+from ray_mapreduce_spark.plans import all_queries
+from ray_mapreduce_spark.sources import load_table
+
+
+def test_cc_on_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a: long, doc_b: long"
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 12-node path needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a: long, doc_b: long"
+    )
+    comps = connected_components(pairs, max_iters=20).collect()
+    assert {r["comp"] for r in comps} == {0}
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    out = all_queries()["dedup_clusters"].builder(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs  # totality: every doc classified
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        survivors = [m for m in members if m["is_survivor"]]
+        assert len(survivors) == 1  # exactly one survivor per cluster
+        assert survivors[0]["doc_id"] == min(m["doc_id"] for m in members)
+        assert cluster == min(m["doc_id"] for m in members)
+
+
+def test_cluster_members_are_connected_near_dups(spark, sf_dir):
+    """Every non-singleton cluster's members must be pairwise reachable
+    through the verified pair list (sanity via pair-set closure)."""
+    pairs = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in all_queries()["dedup_minhash_pairs"].builder(spark, sf_dir).collect()
+    }
+    out = all_queries()["dedup_clusters"].builder(spark, sf_dir).collect()
+    clusters: dict = {}
+    for r in out:
+        clusters.setdefault(r["cluster"], set()).add(r["doc_id"])
+    adj: dict = {}
+    for p in pairs:
+        a, b = tuple(p)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for members in clusters.values():
+        if len(members) == 1:
+            continue
+        # BFS from any member must reach all members
+        start = next(iter(members))
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):  # noqa: B905
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        assert members <= seen, f"cluster {members} not connected via pairs"
