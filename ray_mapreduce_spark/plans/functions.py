@@ -205,6 +205,33 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interval arithmetic: shift timestamps by calendar units (month-end
+# clamping semantics agree between engines) and bucket by the shifted
+# month.
+@register(
+    "interval_shift",
+    tags=("date", "interval"),
+    oracle="""
+    SELECT
+      strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_day,
+      strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d')   AS week_before,
+      count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias("next_month_day"),
+            F.date_format(F.date_sub("o_orderdate", 7), "yyyy-MM-dd").alias("week_before"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
 # min_by/max_by (argmin/argmax) aggregates.
 @register(
     "agg_min_max_by",
