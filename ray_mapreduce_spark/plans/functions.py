@@ -285,6 +285,35 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# try_cast under ANSI mode: malformed values become NULL instead of
+# failing the 100 TB job (the declarative face of the reference's U11
+# catch-and-divert pattern; ANSI is ON in Spark 4, so plain CAST would
+# throw).
+@register(
+    "try_cast_parsing",
+    tags=("cast", "error-handling"),
+    oracle="""
+    SELECT
+      p_partkey,
+      TRY_CAST(string_split(p_type, ' ')[1] AS INTEGER) AS first_word_as_int,
+      TRY_CAST(p_size AS VARCHAR)                        AS size_str,
+      count(*) OVER ()                                   AS n_total
+    FROM part
+    """,
+)
+def try_cast_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_type", " ").getItem(0).try_cast("int").alias("first_word_as_int"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+
+
+# --------------------------------------------------------------------------
 # regexp_replace normalization chain (text cleaning primitive).
 @register(
     "regexp_normalize",

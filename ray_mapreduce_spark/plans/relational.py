@@ -573,6 +573,93 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q10 shape: revenue lost to returned items per customer,
+# top 20 — join fact to two dims, selective flag filter, top-k.
+@register(
+    "q10_returned_item_revenue",
+    tags=("join", "aggregate", "topk", "tpch"),
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape (large orders): HAVING over a fact aggregate, then
+# join back to enrich — the aggregate-then-join order keeps the
+# having-filtered set small before any wide join.
+@register(
+    "q18_large_orders",
+    tags=("join", "aggregate", "having", "tpch"),
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT b.l_orderkey,
+           round(b.total_qty, 2) AS total_qty,
+           c.c_custkey,
+           round(o.o_totalprice, 2) AS price
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            F.round("total_qty", 2).alias("total_qty"),
+            "c_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Global sort + limit (top-N). Ties broken by a unique key so the result
 # set is deterministic across engines. Spark executes this as TakeOrdered
 # (per-partition top-N + merge), no full sort — the right plan at scale.

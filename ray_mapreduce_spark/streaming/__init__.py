@@ -4,6 +4,7 @@ from .windows import (
     sliding_counts,
     stateful_running_counts,
     stream_dedup,
+    stream_stream_purchase_click_join,
     tumbling_counts,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "session_counts",
     "stateful_running_counts",
     "stream_dedup",
+    "stream_stream_purchase_click_join",
 ]

@@ -107,6 +107,40 @@ def session_counts(
     )
 
 
+def stream_stream_purchase_click_join(
+    events: DataFrame, events2: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to clicks of the
+    same user within the preceding ``horizon``. Both sides are
+    watermarked so Spark can evict join state — unbounded-state
+    stream-stream joins don't survive production. Works identically on
+    batch frames (tests pin equality)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "click_id", "p_user")
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id: state holds one key per seen
     id inside the watermark horizon, then evicts — the streaming

@@ -17,6 +17,7 @@ from ray_mapreduce_spark.streaming import (
     sliding_counts,
     stateful_running_counts,
     stream_dedup,
+    stream_stream_purchase_click_join,
     tumbling_counts,
 )
 
@@ -106,6 +107,40 @@ def test_stream_dedup_exact(spark, sf_dir):
     n_distinct = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert len(rows) == n_distinct
     assert len({r["event_id"] for r in rows}) == n_distinct
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    s = stream_stream_purchase_click_join(
+        events_stream(spark, sf_dir), events_stream(spark, sf_dir)
+    )
+    stream_rows = _run_stream(spark, s, "t_ssj", output_mode="append")
+    b = load_table(spark, sf_dir, "events")
+    batch_rows = stream_stream_purchase_click_join(b, b).collect()
+    assert len(stream_rows) > 0
+    assert _sorted(stream_rows) == _sorted(batch_rows)
+
+
+def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
+    """File sink + checkpoint: the production write path (exactly-once
+    via checkpointed offsets)."""
+    out = str(tmp_path / "tumble_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        tumbling_counts(events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    back = spark.read.parquet(out)
+    # append mode with watermark emits only finalized windows; static
+    # data finalizes everything except the tail horizon
+    assert back.count() > 0
+    assert set(back.columns) == {"win_start", "win_end", "event_type", "n"}
 
 
 def test_watermark_bounds_state(spark, sf_dir):
