@@ -49,6 +49,62 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Reference-workload throughput trio (reported separately, not in
+    # the headline total): the reference unittest job (map x -> (x%9,
+    # x^2), reduce max; reference mapreduce_unittest.py:6-11) over 2M
+    # records, three ways:
+    #   - python:  single-process pure-Python evaluation (a generous
+    #     stand-in for the reference's single-node throughput — Ray
+    #     actor/RPC/poll overhead removed; Ray isn't installed here)
+    #   - shim:    our compatibility path (same opaque-UDF semantics)
+    #   - native:  the DataFrame expression of the same job — the
+    #     engine answer a migrated user should write
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ray_mapreduce_spark.mapreduce import MapReduceBulk
+
+    n_rec = 2_000_000
+
+    def mr_map(x):
+        yield (str(x % 9), x * x)
+
+    def mr_reduce(k, vs):
+        return (k, max(vs))
+
+    compat: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    groups: dict = defaultdict(list)
+    for x in range(n_rec):
+        for k, v in mr_map(x):
+            groups[k].append(v)
+    py_out = [mr_reduce(k, vs) for k, vs in groups.items()]
+    compat["python_single_process"] = round(time.perf_counter() - t0, 3)
+    assert len(py_out) == 9
+
+    t0 = time.perf_counter()
+    out = MapReduceBulk(
+        range(n_rec), mr_map, mr_reduce, 32, 32, max_chunk_size=100_000, spark=spark
+    )
+    compat["shim_mapreduce"] = round(time.perf_counter() - t0, 3)
+    assert len(out) == 9
+
+    # warm + timed native run
+    native = lambda: (  # noqa: E731
+        spark.range(n_rec)
+        .groupBy(F.pmod("id", F.lit(9)).cast("string").alias("k"))
+        .agg(F.max(F.col("id") * F.col("id")).alias("m"))
+        .collect()
+    )
+    native()
+    t0 = time.perf_counter()
+    nat_out = native()
+    compat["dataframe_native"] = round(time.perf_counter() - t0, 3)
+    assert len(nat_out) == 9
+    print(f"# reference 2M-record job: {compat}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
     print(
@@ -59,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reference_job_2m_records": compat,
             }
         )
     )

@@ -80,3 +80,71 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, resize_error string"
+)
+
+
+def resize_images(blobs: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """STUB resize: a real implementation decodes, resamples, and
+    re-encodes (PIL.Image.resize). The fake derives a deterministic
+    'resized' payload (sha256 of payload + target dims) so the
+    Spark-side contract — binary in, binary out, typed dims, bounded
+    Arrow batches — is fully exercised."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, err = [], []
+            for payload in pdf["payload"]:
+                try:
+                    if payload is None or len(payload) == 0:
+                        raise ValueError("empty payload")
+                    digest = hashlib.sha256(
+                        bytes(payload) + f"{target_w}x{target_h}".encode()
+                    ).digest()
+                    # fake resized blob: digest tiled to a plausible size
+                    out_payload.append(digest * 4)
+                    err.append(None)
+                except Exception as exc:
+                    out_payload.append(b"")
+                    err.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                    "resize_error": err,
+                }
+            )
+
+    return blobs.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_payload binary, ts_ms bigint"
+
+
+def sample_frames(blobs: DataFrame, n_frames: int = 4, fps: float = 1.0) -> DataFrame:
+    """STUB video frame sampling: one input blob -> n_frames output
+    rows (the fan-out shape; a real impl seeks the container at
+    ts = k/fps and decodes a frame). Deterministic fake frames are
+    sha256(payload, k)."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_payload": [], "ts_ms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue  # zero-emit on empty input (U11 drop)
+                for k in range(n_frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(k)
+                    rows["frame_payload"].append(
+                        hashlib.sha256(bytes(payload) + bytes([k])).digest()
+                    )
+                    rows["ts_ms"].append(int(k * 1000 / fps))
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

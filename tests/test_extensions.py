@@ -124,6 +124,30 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     )
 
 
+def test_multimodal_resize_and_frames(spark):
+    from ray_mapreduce_spark.operators.multimodal import resize_images, sample_frames
+
+    blobs = spark.createDataFrame(
+        [(1, b"video-bytes-1", "video/fake"), (2, b"", "video/fake"), (3, b"img", "image/fake")],
+        "doc_id: long, payload: binary, mime: string",
+    )
+    resized = {r["doc_id"]: r for r in resize_images(blobs, 32, 32).collect()}
+    assert resized[1]["width"] == 32 and resized[1]["resize_error"] is None
+    assert len(resized[1]["payload"]) > 0
+    assert resized[2]["resize_error"] is not None  # empty payload diverted
+
+    frames = sample_frames(blobs, n_frames=3, fps=2.0).collect()
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1, 3]  # doc 2 zero-emitted
+    assert [r["frame_no"] for r in sorted(by_doc[1], key=lambda r: r["frame_no"])] == [0, 1, 2]
+    assert by_doc[1][0]["ts_ms"] == 0 and sorted(r["ts_ms"] for r in by_doc[1])[-1] == 1000
+    # determinism
+    again = sample_frames(blobs, n_frames=3, fps=2.0).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
 def test_multimodal_decode_error_branch(spark):
     """Empty payload diverts to decode_error instead of failing (U11)."""
     from ray_mapreduce_spark.operators.multimodal import decode_features
