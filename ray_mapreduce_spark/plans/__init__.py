@@ -16,6 +16,7 @@ _QUERY_MODULES = (
     "windows",
     "functions",
     "advanced",
+    "semantics",
     "pandas_udfs",
     "dedup",
     "similarity",
