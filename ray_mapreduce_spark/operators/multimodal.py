@@ -52,9 +52,23 @@ def decode_features(blobs: DataFrame) -> DataFrame:
 
     Arrow-batched ``mapInPandas``: one Python worker call per batch,
     columnar transfer both ways. Failures land in ``decode_error``.
+
+    The worker closure is fully self-contained (the decode logic is
+    re-declared nested so cloudpickle ships it by value), so executors
+    never need this package importable — robust to harnesses that
+    launch Spark from a different cwd/PYTHONPATH.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # worker-side stdlib import
+
+        def fake_decode(payload: bytes) -> tuple[int, int, float]:
+            # keep in sync with module-level _fake_decode (pinned by tests)
+            if not payload:
+                raise ValueError("empty payload")
+            h = _hl.sha256(payload).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192, round(h[2] / 255.0, 6)
+
         for pdf in batches:
             out = {
                 "doc_id": pdf["doc_id"],
@@ -67,7 +81,7 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 try:
-                    w, hgt, luma = _fake_decode(bytes(payload) if payload is not None else b"")
+                    w, hgt, luma = fake_decode(bytes(payload) if payload is not None else b"")
                     out["width"].append(w)
                     out["height"].append(hgt)
                     out["mean_luma"].append(luma)

@@ -159,3 +159,8 @@ def test_multimodal_decode_error_branch(spark):
     rows = {r["doc_id"]: r for r in decode_features(blobs).collect()}
     assert rows[1]["decode_error"] is None and rows[1]["width"] > 0
     assert rows[2]["decode_error"] is not None and rows[2]["width"] == 0
+    # the nested worker copy must agree with the module-level spec fn
+    from ray_mapreduce_spark.operators.multimodal import _fake_decode
+
+    w, h, luma = _fake_decode(b"ok-bytes")
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["mean_luma"]) == (w, h, luma)
