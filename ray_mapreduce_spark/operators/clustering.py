@@ -31,6 +31,10 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # materialize ONCE: every iteration joins against edges, and
+        # without this the whole upstream pair-generation lineage
+        # (e.g. the full minhash LSH pipeline) re-executes per round
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "comp", F.col("node")

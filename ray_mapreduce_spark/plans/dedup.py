@@ -382,6 +382,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The full training-data prep pipeline as ONE composed plan — the
+# end-to-end shape this engine exists for at 100 TB:
+#   quality-filter -> exact dedup -> near-dup clustering ->
+#   quality-ranked survivor per cluster -> clean-corpus stats.
+# Iterative clustering inside => rows-only check; each stage is
+# individually oracle-verified by its own query.
+@register(
+    "pipeline_clean_corpus",
+    bench=True,
+    oracle=None,
+    tags=("dedup", "pipeline", "text", "clustering"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import connected_components
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+
+    # 1. quality filter (same formula as text_quality_score)
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    n_ch = F.length("text")
+    quality = (
+        0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        + 0.4 * (n_uniq.cast("double") / n_tok)
+        + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
+    )
+    scored = d.withColumn("quality", F.round(quality, 4)).filter(F.col("quality") >= 0.5)
+
+    # 2. exact dedup (keep min doc_id per sha256)
+    w_exact = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    exact = scored.withColumn("_rn", F.row_number().over(w_exact)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+    # 3. near-dup pairs (minhash LSH) restricted to the surviving set
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    ids = exact.select("doc_id")
+    pairs = (
+        pairs.join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+
+    # 4. cluster and keep the best-quality doc per cluster
+    comps = connected_components(pairs)
+    clustered = exact.join(comps, exact.doc_id == comps.node, "left").select(
+        "doc_id", "lang", "quality", F.coalesce("comp", F.col("doc_id")).alias("cluster")
+    )
+    w_best = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    survivors = clustered.withColumn("_rk", F.row_number().over(w_best)).filter(
+        F.col("_rk") == 1
+    )
+
+    # 5. clean-corpus stats per language
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Survivor set via window (the dropDuplicates-with-ordering idiom):
 # first doc per (lang, exact-text-hash) ordered by doc_id.
 @register(

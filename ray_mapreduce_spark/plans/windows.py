@@ -108,6 +108,30 @@ def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distribution family: percent_rank / cume_dist / ntile.
+@register(
+    "window_distribution",
+    tags=("window", "distribution"),
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd,
+           ntile(4)             OVER w      AS quartile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 # Sliding 3-row moving average over each customer's order history.
 @register(
     "window_moving_avg",
