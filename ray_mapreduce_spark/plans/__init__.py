@@ -22,6 +22,7 @@ _QUERY_MODULES = (
     "similarity",
     "text_analysis",
     "multimodal",
+    "streaming_batch",
 )
 
 _loaded = False

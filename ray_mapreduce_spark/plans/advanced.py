@@ -208,7 +208,9 @@ def levenshtein_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def above_segment_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).withColumn(
+    # customer is fact-proportional (1:10 with orders) — no broadcast
+    # hint; AQE broadcasts at small sf, shuffle-joins at 100 TB.
+    seg = o.join(c, o.o_custkey == c.c_custkey).withColumn(
         "seg_avg", F.avg("o_totalprice").over(Window.partitionBy("c_mktsegment"))
     )
     return (
@@ -232,9 +234,15 @@ def above_segment_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "approx", "sketch"),
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three scalar output columns (p50/p90/p99), not one array<double>:
+    # flat columns keep the result hashable by any downstream row
+    # comparator and stay portable across sinks. Spark evaluates the
+    # three percentile_approx aggs over one shared shuffle.
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("p50_90_99"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10_000)), 4).alias("p50"),
+        F.round(F.percentile_approx("value", F.lit(0.9), F.lit(10_000)), 4).alias("p90"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(10_000)), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

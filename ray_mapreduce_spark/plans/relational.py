@@ -112,10 +112,11 @@ def filter_project_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Inner equi-join fact-to-dim + aggregate. customer is small relative to
-# orders at every sf (1:10); Catalyst broadcasts it under the default
-# threshold, and we hint it explicitly since a dim stays broadcastable
-# even at 100 TB fact scale.
+# Inner equi-join fact-to-dim + aggregate. customer is fact-proportional
+# (1:10 with orders) — at 100 TB it's billions of rows, so NO explicit
+# broadcast hint: let AQE's size stats pick broadcast at small sf and
+# degrade to a shuffle join at scale. Explicit hints are reserved for
+# true O(100)-row dims (region/nation/supplier).
 @register(
     "join_customer_orders",
     bench=True,
@@ -135,7 +136,7 @@ def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -186,7 +187,8 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)  # fact-fact shuffle join
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is fact-proportional: no broadcast hint, AQE decides
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
@@ -522,7 +524,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # filtered customer keys: AQE broadcasts when stats allow
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -601,7 +604,8 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with the fact side: leave the join strategy to AQE
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
@@ -649,7 +653,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "l_orderkey",
             F.round("total_qty", 2).alias("total_qty"),
