@@ -23,38 +23,53 @@ from pyspark.sql.window import Window
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 10
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 50
 ) -> DataFrame:
     """(src, dst) undirected pair list -> (node, component) with
-    component = min node id reachable. Deterministic."""
+    component = min node id reachable. Deterministic.
+
+    Iterates to fixpoint (the convergence check is computed every
+    round anyway); ``max_iters`` only bounds pathological chains, and
+    hitting it without convergence RAISES rather than silently
+    returning split components — label propagation needs rounds =
+    graph diameter, so 50 covers any realistic near-dup chain."""
+    # Materialize the pair list BEFORE the self-union: ``pairs`` is
+    # referenced twice below (forward + reversed edge), and without a
+    # checkpoint both union branches race to execute the full upstream
+    # pair-generation lineage (e.g. the whole minhash LSH pipeline)
+    # concurrently — persist() upstream doesn't help, both sides miss
+    # the not-yet-materialized cache. Measured ~2x the LSH cost.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        # materialize ONCE: every iteration joins against edges, and
-        # without this the whole upstream pair-generation lineage
-        # (e.g. the full minhash LSH pipeline) re-executes per round
+        # materialize too: every iteration joins against edges
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
+    changed = -1
     for _ in range(max_iters):
-        # neighbor labels: for each node, min label over {self} U neighbors
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("ncomp"))
-            .withColumnRenamed("u", "node")
+        # min label over {self} U neighbors, as one union + one agg
+        # (2 shuffles/round; the join+groupBy+left-join formulation
+        # costs 3): neighbor contributions unioned with current labels,
+        # then min per node.
+        contrib = edges.join(labels, edges.v == labels.node).select(
+            F.col("u").alias("node"), "comp"
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            )
+        new_labels = contrib.union(labels).groupBy("node").agg(
+            F.min("comp").alias("comp")
         )
-        # converged when no label changed
+        # Checkpoint FIRST, then run the convergence check against the
+        # materialized result: checking before checkpointing would
+        # execute the round's join twice (once for the count, once for
+        # the eager checkpoint) — measured ~2x the loop cost. The
+        # checkpoint also truncates the growing lineage each round;
+        # without it, plan size doubles per iteration.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -62,11 +77,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # localCheckpoint truncates the growing lineage each round —
-        # without it, plan size doubles per iteration
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the component graph has a longer chain than expected — raise max_iters"
+        )
     return labels
 
 

@@ -21,12 +21,25 @@ Five dedup families, each with the scale rationale that matters at
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import register
+
+# Frequency cap for dedup blocking keys (shingles / LSH band buckets):
+# a key shared by k docs yields O(k²) candidate rows, and at crawl
+# scale boilerplate shingles ("all rights reserved ...") make the
+# self-join quadratic. Keys with document frequency above the cap are
+# dropped from candidate generation — documents whose ONLY overlap is
+# ultra-common boilerplate aren't near-duplicates, so recall on true
+# near-dups (which share many sub-cap shingles) is preserved while the
+# pair count stays bounded (see tests/test_extensions.py adversarial
+# corpus). At the oracle sf the corpus is far below the cap, so the
+# exact-Jaccard oracle is unaffected.
+DEFAULT_DF_CAP = 1000
 
 
 # --------------------------------------------------------------------------
@@ -114,7 +127,9 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = DEFAULT_DF_CAP
+) -> DataFrame:
     """Inverted-index plan (NOT the naive O(n²) cross join): explode
     shingles, drop singleton shingles (df=1 can't contribute to any
     pair — exactness preserved since denominators use pre-filter
@@ -123,11 +138,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing >=1 shingle ever materialize — pairs with zero
     overlap (jaccard 0 < threshold) are never enumerated. This is the
     plan that survives 100x the corpus; the cross-join version was
-    ~100x slower at sf0.1."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    ex = _with_doc_size(_shingle_hashes(d))
+    ~100x slower at sf0.1.
+
+    ``df_cap`` additionally drops shingles shared by more than that
+    many docs (see DEFAULT_DF_CAP): the self-join on a df=k shingle
+    emits O(k²) rows, so one boilerplate sentence across a crawl-scale
+    corpus would otherwise be quadratic. Capped shingles are excluded
+    from pair EVIDENCE only (denominators keep the full shingle
+    count), so similarity never inflates; pairs whose overlap is
+    entirely boilerplate drop out by design."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=df_cap)
+
+
+def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
+    """Core inverted-index exact-Jaccard plan over any (doc_id, lang,
+    text) frame — see ``dedup_ngram_jaccard`` for the rationale.
+    Spreads its input (the shingle stage is narrow; see minhash_pairs)."""
+    ex = _with_doc_size(_shingle_hashes(_spread(d)))
     # df >= 2 pre-filter: singleton shingles cannot appear in any pair.
-    df_filter = ex.groupBy("s", "lang").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    df_filter = (
+        ex.groupBy("s", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    )
     ex = ex.join(df_filter.select("s", "lang"), ["s", "lang"])
     a = ex.alias("a")
     b = ex.alias("b")
@@ -160,13 +193,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding, built from first principles with deterministic
 # seeded permutations (xxhash64 with seed = permutation index) — pure
 # JVM-side column ops, no Python UDF, no MLlib dependency:
-#   token 3-shingles -> 64 minhash values -> 8 bands of 8 -> band-hash
+#   token 3-shingles -> 32 minhash values -> 8 bands of 4 -> band-hash
 #   bucket join -> candidate pairs -> exact Jaccard verify.
 # Scale: the only joins are equi-joins on (band_no, band_hash); shuffle
 # volume is O(n * n_bands), never O(n^2). Oracle: none (permutation
 # choice is engine-specific); exactness is pinned by pytest against the
 # dedup_ngram_jaccard ground truth at small sf.
-N_HASHES = 64
+#
+# Band geometry: b=8 bands of r=4 rows. Detection probability
+# 1-(1-s^r)^b at the 0.6 output threshold: P(0.6)=0.67, P(0.8)=0.985,
+# P(0.97)~1 — BETTER recall than the former 8x8 geometry (P(0.8)=0.77)
+# at half the signature width, because every candidate is exactly
+# verified afterwards: extra candidates cost a bounded verify join,
+# false negatives are unrecoverable. Weak-pair candidate noise stays
+# tiny (P(0.1)=0.0008). Halving the hash count also halves the
+# 32-aggregate plan width — signature agg is the plan's biggest
+# codegen/optimizer unit.
+N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
@@ -207,34 +250,45 @@ def _with_doc_size(sh: DataFrame) -> DataFrame:
     return sh.withColumn("n", F.count("s").over(Window.partitionBy("doc_id")))
 
 
-def minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id -> minhash columns m0..m{N_HASHES-1} (seeded xxhash64).
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) shingle table -> minhash columns m0..m{N_HASHES-1}.
 
-    Shape matters: one row per distinct hashed shingle
-    (``_shingle_hashes``), then ONE groupBy(doc_id) with N_HASHES
-    algebraic min() aggregates over codegen'd ``xxhash64(seed,
-    shingle_hash)`` expressions (long re-hash ~ integer mixing). The
-    tempting ``transform(seq, seed -> array_min(transform(shingles,
-    hash)))`` nested-HOF version is interpreted per element
-    (higher-order functions skip whole-stage codegen) and measured
-    ~30x slower. min() partial-aggregates map-side, so the shuffle is
-    one row of 64 longs per (doc, partition)."""
-    return _shingle_hashes(d).groupBy("doc_id").agg(
+    Shape matters: one row per distinct hashed shingle, then ONE
+    groupBy(doc_id) with N_HASHES algebraic min() aggregates over
+    codegen'd ``xxhash64(seed, shingle_hash)`` expressions (long
+    re-hash ~ integer mixing). The tempting ``transform(seq, seed ->
+    array_min(transform(shingles, hash)))`` nested-HOF version is
+    interpreted per element (higher-order functions skip whole-stage
+    codegen) and measured ~30x slower. min() partial-aggregates
+    map-side, so the shuffle is one row of 64 longs per
+    (doc, partition)."""
+    return sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), "s")).alias(f"m{i}") for i in range(N_HASHES)]
     )
 
 
-@register(
-    "dedup_minhash_pairs",
-    bench=True,
-    oracle=None,  # seeded-permutation specific; verified in pytest vs exact jaccard
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs from LSH banding, verified with exact Jaccard on
-    the shingle sets; emits pairs with verified jaccard >= 0.6."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(d)
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id -> minhash signature for a documents frame."""
+    return _signatures_from_shingles(_shingle_hashes(d))
+
+
+def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFrame:
+    """LSH candidate pairs + exact-Jaccard verify for ``docs`` (any
+    frame with doc_id/lang/text) — emits pairs with jaccard >= 0.6.
+
+    The shingle table feeds BOTH the signature stage and the verify
+    stage, so it is persisted (computed once; the round-1 version
+    rebuilt the whole tokenize->window->distinct lineage twice and it
+    dominated the query's cost). At cluster scale the persist would be
+    MEMORY_AND_DISK on executors exactly as here — shingles are 8-byte
+    longs, ~doc_len rows per doc.
+
+    Spreads its input first: the tokenize/explode stage is narrow, so
+    it inherits the input partitioning — an upstream AQE-coalesced or
+    single-split frame would serialize the per-token hashing onto one
+    or two cores (CLAUDE.md gotcha #6)."""
+    sh = _shingle_hashes(_spread(docs)).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh)
 
     # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
     # never shuffle shingle arrays — at 100 TB the payload rejoin below
@@ -254,6 +308,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_no", "band_hash"),
     )
+    # Bucket-size guard: a bucket with k docs emits k² candidate rows;
+    # cap kills degenerate boilerplate buckets (see DEFAULT_DF_CAP).
+    # Window count instead of agg+join: ONE shuffle on the bucket key,
+    # and the self-join below reuses that partitioning.
+    wb = Window.partitionBy("band_no", "band_hash")
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .drop("bsz")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -265,15 +329,28 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        # two consumers below (id semi-join + payload rejoin): persist
+        # the tiny pair list rather than re-running the band self-join
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Verify stage: rejoin shingle-hash sets for the candidates only
     # (long arrays, not text — candidate count is tiny post-banding).
-    sh = _shingle_hashes(d).groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    # Semi-join the persisted shingle table down to candidate docs
+    # BEFORE collect_set: building sets for the whole corpus when only
+    # ~|candidates| docs need one is wasted shuffle at any scale.
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    shs = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
     pairs = (
         candidates.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+            shs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
         ).join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
+            shs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b"
         )
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -285,6 +362,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_pairs",
+    bench=True,
+    oracle=None,  # seeded-permutation specific; verified in pytest vs exact jaccard
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard on
+    the shingle sets; emits pairs with verified jaccard >= 0.6."""
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # SimHash: 64-bit weighted fingerprint, JVM-side (xxhash64 bit tests).
 # Near-dup candidates: exact match on any of 4 16-bit bands (pigeonhole:
@@ -294,7 +383,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # hash-function specific; pytest pins determinism + recall
     tags=("dedup", "simhash"),
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = DEFAULT_DF_CAP
+) -> DataFrame:
     """Pairs with simhash hamming distance <= 3 (verified).
 
     Fingerprint construction is the scale-friendly shape: explode
@@ -337,6 +428,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_no", "band_val"),
+    )
+    # Same bucket-size guard as the LSH path: a 16-bit band value
+    # shared by k docs emits k² candidate rows.
+    wb = Window.partitionBy("band_no", "band_val")
+    banded = (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
+        .drop("bsz")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -415,14 +514,18 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = scored.withColumn("_rn", F.row_number().over(w_exact)).filter(
         F.col("_rn") == 1
     ).drop("_rn")
+    # The survivor set feeds TWO consumers (the LSH stage below and the
+    # final cluster join) — localCheckpoint materializes it once and
+    # keeps the quality+window lineage from re-executing per consumer.
+    exact = exact.localCheckpoint(eager=False)
 
-    # 3. near-dup pairs (minhash LSH) restricted to the surviving set
-    pairs = dedup_minhash_pairs(spark, sf_dir)
-    ids = exact.select("doc_id")
-    pairs = (
-        pairs.join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-    )
+    # 3. near-dup pairs (minhash LSH) computed ON the surviving set —
+    # not on the full corpus then filtered: the LSH stages never touch
+    # docs already dropped by stages 1-2 (at 100 TB the quality filter
+    # alone removes a large corpus fraction), and pair semantics are
+    # "near-dup among survivors" (no clusters silently split by
+    # dropped bridge docs).
+    pairs = minhash_pairs(exact.select("doc_id", "lang", "text"))
 
     # 4. cluster and keep the best-quality doc per cluster
     comps = connected_components(pairs)

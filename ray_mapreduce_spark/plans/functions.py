@@ -302,15 +302,16 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def try_cast_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # The global total is an aggregate broadcast-cross-joined back onto
+    # every row — NOT a count(*) OVER () empty-partition window, which
+    # funnels the whole table through one task at scale.
     p = load_table(spark, sf_dir, "part")
+    total = p.agg(F.count(F.lit(1)).alias("n_total"))
     return p.select(
         "p_partkey",
         F.split("p_type", " ").getItem(0).try_cast("int").alias("first_word_as_int"),
         F.col("p_size").cast("string").alias("size_str"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
-    )
+    ).crossJoin(F.broadcast(total))
 
 
 # --------------------------------------------------------------------------

@@ -122,13 +122,56 @@ def window_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """percent_rank / cume_dist / ntile over a GLOBAL ordering, the
+    scale-safe way: a ``Window.orderBy(...)`` with no partition clause
+    funnels every row through one task, so this plan computes the
+    global rank in two passes instead —
+
+    1. ``repartitionByRange`` on the sort key (range partition i holds
+       strictly smaller keys than i+1), rank locally per partition;
+    2. per-partition row counts -> running offsets (a window over ONE
+       ROW PER PARTITION — a few hundred rows at any scale, the only
+       intentionally-tiny global window here); global rank = local
+       rank + partition offset.
+
+    percent_rank/cume_dist/ntile then derive from the global rank and
+    the broadcast total. The sort key (c_acctbal, c_custkey) is unique,
+    so rank == row_number and cume_dist == rank/n exactly."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    parts = c.sparkSession.sparkContext.defaultParallelism
+    ranged = c.repartitionByRange(parts, "c_acctbal", "c_custkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(Window.partitionBy()).alias("_total"),
+    )
+
+    ranked = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rn", F.col("_lrn") + F.col("_off")
+    )
+    n = F.col("_total")
+    rn = F.col("_rn")
+    pr = F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+    cd = rn.cast("double") / n
+    # SQL ntile(4): first (n % 4) buckets get floor(n/4)+1 rows.
+    sz = (n / 4).cast("long")
+    r = n % 4
+    big = r * (sz + 1)
+    quartile = F.when(
+        rn <= big, F.floor((rn - 1) / (sz + 1)) + 1
+    ).otherwise(r + F.floor((rn - big - 1) / sz) + 1)
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.round(pr, 6).alias("pr"),
+        F.round(cd, 6).alias("cd"),
+        quartile.cast("int").alias("quartile"),
     )
 
 

@@ -52,6 +52,63 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert found >= 0.9, f"minhash recall on jaccard>=0.8 pairs: {found:.2f}"
 
 
+def _adversarial_corpus(spark, n_boiler: int):
+    """n_boiler docs that are pairwise near-dups ONLY through one
+    shared boilerplate sentence (jaccard ~0.86 via 38 common
+    boilerplate shingles), plus 10 true near-dup pairs built from
+    rare (df=2) shingles with jaccard ~0.97."""
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    rows = [
+        (i, "en", f"{boiler} unique{i}x unique{i}y unique{i}z")
+        for i in range(n_boiler)
+    ]
+    for p in range(10):
+        text = " ".join(f"rare{p}w{j}" for j in range(30))
+        rows.append((10_000 + 2 * p, "en", text))
+        rows.append((10_001 + 2 * p, "en", text + " tailtok"))
+    return spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+
+
+TRUE_PAIRS = {(10_000 + 2 * p, 10_001 + 2 * p) for p in range(10)}
+
+
+def test_df_cap_bounds_boilerplate_skew(spark):
+    """1k docs sharing one boilerplate sentence: uncapped, every
+    boilerplate shingle has df=1000 and the inverted-index self-join
+    is quadratic (~19M intermediate rows, ~500k output pairs). With
+    the df cap the boilerplate shingles drop out of candidate
+    generation entirely, output is exactly the true near-dup pairs,
+    and the join stays O(true pairs)."""
+    from ray_mapreduce_spark.plans.dedup import minhash_pairs, ngram_jaccard_pairs
+
+    docs = _adversarial_corpus(spark, n_boiler=1000)
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, df_cap=100).collect()}
+    assert capped == TRUE_PAIRS  # full recall on rare-shingle pairs, zero boilerplate pairs
+
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_pairs(docs, bucket_cap=100).collect()}
+    assert TRUE_PAIRS <= lsh  # LSH recall on jaccard~0.97 pairs
+    assert all(a >= 10_000 for a, _ in lsh)  # no boilerplate-bucket pairs
+
+
+def test_df_cap_is_noop_below_cap(spark):
+    """Sanity: on a corpus where every shingle df is under the cap,
+    capped and uncapped runs return identical pairs except the
+    boilerplate-evidence ones — i.e. the cap's ONLY effect is
+    removing pairs whose overlap is capped shingles."""
+    from ray_mapreduce_spark.plans.dedup import ngram_jaccard_pairs
+
+    docs = _adversarial_corpus(spark, n_boiler=120)
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, df_cap=10**9).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, df_cap=100).collect()}
+    assert capped <= uncapped
+    assert TRUE_PAIRS <= capped
+    # everything the cap removed is a boilerplate-only pair
+    assert all(a < 10_000 and b < 10_000 for a, b in uncapped - capped)
+    # and uncapped really did find the quadratic boilerplate pair set
+    assert len(uncapped - capped) == 120 * 119 // 2
+
+
 def test_simhash_pairs_are_near_dups(spark, sf_dir):
     """Simhash hamming<=3 pairs should be textually close: spot-check
     that flagged pairs share a majority of tokens far above the global
