@@ -55,12 +55,16 @@ MapFcn = Callable[[Any], Iterable[tuple[Any, Any]]]
 ReduceFcn = Callable[[Any, list], Any]
 
 
+CombinerFcn = Callable[[Any, Any], Any]
+
+
 def _run(
     rdd,
     map_fcn: MapFcn,
     reduce_fcn: ReduceFcn,
     num_reducers: int,
     strict_keys: bool,
+    combiner: CombinerFcn | None = None,
 ) -> list:
     def mapper(record):
         for k, v in map_fcn(record):
@@ -72,9 +76,27 @@ def _run(
                 )
             yield (k, v)
 
+    mapped = rdd.flatMap(mapper)
+    parts = max(int(num_reducers), 1)
+    if combiner is not None:
+        # Opt-in algebraic mode: the caller declares the reduction
+        # associative+commutative by supplying the binary value-merge;
+        # Spark then partial-aggregates MAP-SIDE (reduceByKey), so the
+        # shuffle carries one value per (key, partition) instead of
+        # every emitted pair — the difference between shuffling O(n)
+        # and O(keys x partitions) at 100 TB. The reduce contract is
+        # preserved by applying reduce_fcn to the singleton merged
+        # list; the caller guarantees
+        #   reduce_fcn(k, [fold(combiner, vs)]) == reduce_fcn(k, vs)
+        # (true for max/min/sum/count-style reductions). Default path
+        # below stays fully holistic.
+        return (
+            mapped.reduceByKey(combiner, numPartitions=parts)
+            .map(lambda kv: reduce_fcn(kv[0], [kv[1]]))
+            .collect()
+        )
     return (
-        rdd.flatMap(mapper)
-        .groupByKey(numPartitions=max(int(num_reducers), 1))
+        mapped.groupByKey(numPartitions=parts)
         .map(lambda kv: reduce_fcn(kv[0], list(kv[1])))
         .collect()
     )
@@ -91,6 +113,7 @@ def MapReduceBulk(
     distribute_work_fcn=None,
     spark: SparkSession | None = None,
     strict_keys: bool = False,
+    combiner: CombinerFcn | None = None,
 ) -> list:
     """Reference ``MapReduceBulk`` (mapreduce.py:139-164).
 
@@ -100,7 +123,8 @@ def MapReduceBulk(
     hint; ``distribute_work_fcn`` is accepted for signature parity but
     scheduling belongs to Spark (reference round-robins chunks,
     mapreduce.py:140-146 — same data-to-task totality, different
-    placement).
+    placement). ``combiner`` opts into map-side partial aggregation
+    (see ``_run``); omit it for reference-exact holistic reduces.
     """
     spark = spark or get_spark()
     data = data_list if isinstance(data_list, (list, tuple)) else list(data_list)
@@ -108,7 +132,7 @@ def MapReduceBulk(
     chunk_size = min(max_chunk_size, math.ceil(n / max(num_mappers, 1))) or 1
     num_parts = max(min(math.ceil(len(data) / chunk_size), 10_000), int(num_mappers), 1)
     rdd = spark.sparkContext.parallelize(data, num_parts)
-    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys, combiner)
 
 
 def MapReduceWithOneFileInput(
@@ -121,24 +145,32 @@ def MapReduceWithOneFileInput(
     ignore_first_line: bool = False,
     spark: SparkSession | None = None,
     strict_keys: bool = False,
+    combiner: CombinerFcn | None = None,
 ) -> list:
     """Reference ``MapReduceWithOneFileInput`` (mapreduce.py:167-173).
 
     The reference streams every byte through the driver
     (smart_open on the driver feeding actor RPCs); here the read is
-    executor-side and splittable (``sc.textFile``). Lines arrive
-    WITHOUT the trailing newline (Spark strips it; the reference
-    keeps it — its test map fns ``int(data)`` tolerate both,
-    reference mapreduce_unittest.py:6-8).
+    executor-side and splittable. Lines arrive WITHOUT the trailing
+    newline (Spark strips it; the reference keeps it — its test map
+    fns ``int(data)`` tolerate both, reference
+    mapreduce_unittest.py:6-8). Header skip shares
+    ``sources.text.read_text_lines`` — exact per file even when the
+    file spans multiple input splits.
     """
     spark = spark or get_spark()
-    rdd = spark.sparkContext.textFile(filename, minPartitions=max(int(num_mappers), 1))
+    min_parts = max(int(num_mappers), 1)
     if ignore_first_line:
-        # Drop the first line of the file (reference: next(fd),
-        # mapreduce.py:169-170). zipWithIndex is a narrow pass; index 0
-        # is the file's first line since textFile preserves line order.
-        rdd = rdd.zipWithIndex().filter(lambda ri: ri[1] > 0).map(lambda ri: ri[0])
-    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)
+        from .sources.text import read_text_lines
+
+        rdd = read_text_lines(spark, filename, ignore_first_line=True).rdd.map(
+            lambda row: row[0]
+        )
+        if rdd.getNumPartitions() < min_parts:
+            rdd = rdd.repartition(min_parts)  # output order is unspecified (invariant 4)
+    else:
+        rdd = spark.sparkContext.textFile(filename, minPartitions=min_parts)
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys, combiner)
 
 
 def MapReduceWithMultipleFiles(
@@ -149,16 +181,22 @@ def MapReduceWithMultipleFiles(
     num_reducers: int,
     spark: SparkSession | None = None,
     strict_keys: bool = False,
+    combiner: CombinerFcn | None = None,
 ) -> list:
     """Reference ``MapReduceWithMultipleFiles`` (mapreduce.py:176-187):
     an index file of one path per line; mappers read their own files.
     Spark reads the listed paths executor-side (data-local); only the
     tiny index transits the driver — same as the reference, minus the
-    filename round-robin (Spark schedules splits with locality)."""
+    filename round-robin (Spark schedules splits with locality).
+    Paths are passed as a LIST to ``spark.read.text`` (never joined
+    with a delimiter), so paths containing commas or glob
+    metacharacters read correctly, matching the reference's
+    arbitrary-path handling."""
     spark = spark or get_spark()
     with open(index_filename) as fh:
         paths = [line.strip() for line in fh if line.strip()]
-    rdd = spark.sparkContext.textFile(
-        ",".join(paths), minPartitions=max(int(num_mappers), 1)
-    )
-    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys)
+    min_parts = max(int(num_mappers), 1)
+    rdd = spark.read.text(paths).rdd.map(lambda row: row[0])
+    if rdd.getNumPartitions() < min_parts:
+        rdd = rdd.repartition(min_parts)  # output order is unspecified (invariant 4)
+    return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys, combiner)

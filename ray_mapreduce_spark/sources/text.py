@@ -20,38 +20,43 @@ def read_text_lines(
     """Read text file(s) as one `value: string` column, one row per line.
 
     ``ignore_first_line`` mirrors the reference's header skip
-    (reference mapreduce.py:169-170) — but per *file*, done the Spark
-    way: csv's header option handles the common case; for raw text we
-    drop line 1 of each file via a per-file row index (monotonically
-    increasing ids are per-partition, so we key on the file name +
-    first-line detection instead: the header is the row whose offset
-    is 0 within its file, obtained from the `_metadata` free functions
-    when available, else a window over file_name ordering is avoided
-    at scale by using csv mode). For the test-scale text path we use
-    ``input_file_name`` + a min-aggregated first-line join, which
-    shuffles only one row per file.
+    (reference mapreduce.py:169-170) per FILE, exactly and fully
+    distributed — correct even when a file spans multiple input
+    splits:
+
+    - ``_metadata.file_block_start`` identifies the split at byte
+      offset 0 of each file; Hadoop text splitting guarantees the
+      first complete line of that split IS the file's first line (any
+      other split skips forward to the first newline past its offset).
+    - ``monotonically_increasing_id`` is strictly increasing within a
+      partition and a split never spans partitions, so ``min(id)``
+      over a file's offset-0 rows is exactly its header row.
+    - The header ids (one row per file) broadcast to an anti-join; no
+      per-row driver state, no collect of data rows.
     """
     df = spark.read.text(path)
     if not ignore_first_line:
         return df
-    # Tag rows with their file; drop the first physical line per file.
-    # spark.read.text preserves intra-file order within a partition
-    # split, but a file may span splits; the first line is always in
-    # the split with offset 0. We use the csv reader trick instead:
-    # read as csv with no header semantics but lineSep default, and
-    # filter on a per-file zipWithIndex. At test scale files are
-    # single-split so zipWithIndex-per-file is exact.
-    tagged = df.withColumn("_file", F.input_file_name())
-    rdd = tagged.rdd.zipWithIndex()
-    first_ids = (
-        rdd.map(lambda ri: (ri[0]["_file"], ri[1]))
-        .reduceByKey(min)
-        .map(lambda kv: kv[1])
-        .collect()
+    tagged = df.select(
+        "value",
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.file_block_start").alias("_bs"),
+        F.monotonically_increasing_id().alias("_id"),
     )
-    first_set = set(first_ids)
-    kept = rdd.filter(lambda ri: ri[1] not in first_set).map(lambda ri: (ri[0]["value"],))
-    return spark.createDataFrame(kept, "value: string")
+    headers = (
+        tagged.filter(F.col("_bs") == 0)
+        .groupBy("_fp")
+        .agg(F.min("_id").alias("_hid"))
+        .select(F.col("_fp").alias("_hfp"), "_hid")
+    )
+    return (
+        tagged.join(
+            F.broadcast(headers),
+            (F.col("_fp") == F.col("_hfp")) & (F.col("_id") == F.col("_hid")),
+            "left_anti",
+        )
+        .select("value")
+    )
 
 
 def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:

@@ -224,3 +224,80 @@ def test_non_str_keys_allowed_by_default(spark):
         spark=spark,
     )
     assert sorted(out) == [((0, "t"), 20), ((1, "t"), 25)]
+
+
+# --- opt-in algebraic combiner mode ---------------------------------------
+
+def combiner_max(a, b):
+    return a if a >= b else b
+
+
+def test_combiner_matches_holistic_golden(spark):
+    """combiner= routes through reduceByKey (map-side partial agg);
+    results must equal the holistic path on the reference golden."""
+    out = MapReduceBulk(
+        range(1000), map_fcn, reduce_max, 3, 4, max_chunk_size=10,
+        spark=spark, combiner=combiner_max,
+    )
+    assert sorted(out) == EXPECTED_MAX
+
+
+def test_combiner_file_input_matches(spark, int_files):
+    _, without_header = int_files
+    holistic = MapReduceWithOneFileInput(
+        without_header, map_fcn, reduce_max, 3, 4, spark=spark
+    )
+    algebraic = MapReduceWithOneFileInput(
+        without_header, map_fcn, reduce_max, 3, 4, spark=spark, combiner=combiner_max
+    )
+    assert sorted(algebraic) == sorted(holistic)
+
+
+def test_combiner_sum(spark):
+    """Associative sum through the combiner path, checked exactly."""
+    out = MapReduceBulk(
+        range(1000),
+        lambda x: iter([(str(x % 7), x)]),
+        lambda k, vs: (k, sum(vs)),
+        4, 4, spark=spark,
+        combiner=lambda a, b: a + b,
+    )
+    assert sorted(out) == sorted(
+        (str(k), sum(x for x in range(1000) if x % 7 == k)) for k in range(7)
+    )
+
+
+# --- header skip: multi-split exactness + comma paths ----------------------
+
+def test_header_skip_multi_split_file(spark, tmp_path):
+    """A file spanning many input splits must still lose EXACTLY its
+    first line: forces tiny splits via files.maxPartitionBytes and
+    pins a COUNT/SUM golden that catches any dropped or duplicated
+    row."""
+    big = tmp_path / "big.txt"
+    big.write_text("header\n" + "".join(f"{i}\n" for i in range(200_000)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))  # ~20 splits
+    try:
+        from ray_mapreduce_spark.sources.text import read_text_lines
+
+        df = read_text_lines(spark, str(big), ignore_first_line=True)
+        assert df.rdd.getNumPartitions() > 1  # really multi-split
+        vals = [int(r[0]) for r in df.collect()]
+        assert len(vals) == 200_000
+        assert sum(vals) == sum(range(200_000))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_manifest_path_with_comma(spark, tmp_path):
+    """Paths containing commas must not be split (the reference opens
+    each listed path verbatim)."""
+    f = tmp_path / "weird,name.txt"
+    f.write_text("".join(f"{i}\n" for i in range(100)))
+    index = tmp_path / "index"
+    index.write_text(f"{f}\n")
+    out = MapReduceWithMultipleFiles(
+        str(index), map_fcn, reduce_count_sum, 2, 3, spark=spark
+    )
+    assert sum(n for _, n, _ in out) == 100

@@ -32,19 +32,18 @@ def test_udtf_lateral_join_sql(spark, sf_dir):
     from ray_mapreduce_spark.sources import load_table
 
     spark.udtf.register("tokenize", Tokenize)
-    load_table(spark, sf_dir, "documents").limit(10).createOrReplaceTempView("docs10")
+    # One deterministic subset for BOTH sides: limit() without an
+    # ordering is not stable across evaluations, so derive the view
+    # and the expected count from the same orderBy(doc_id) slice.
+    docs10 = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(10)
+    docs10.createOrReplaceTempView("docs10")
     out = spark.sql(
         "SELECT d.doc_id, t.pos, t.token FROM docs10 d, LATERAL tokenize(d.text) t"
     )
     rows = out.collect()
     assert len(rows) > 10  # fan-out happened
-    # totality: token count matches a plain split
+    # totality: token count matches a plain split over the same slice
     expected = (
-        load_table(spark, sf_dir, "documents")
-        .limit(10)
-        .selectExpr("size(split(text, ' ')) AS n")
-        .groupBy()
-        .sum("n")
-        .collect()[0][0]
+        docs10.selectExpr("size(split(text, ' ')) AS n").groupBy().sum("n").collect()[0][0]
     )
     assert len(rows) == expected
