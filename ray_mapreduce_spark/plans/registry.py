@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_counts",
+    "stream_interval_join",
     # -- round-1 failures / unchecked --
     "approx_percentiles",
     "agg_approx_count_distinct",

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
+from ..streaming.windows import (
+    session_counts,
+    sliding_counts,
+    stream_stream_purchase_click_join,
+    tumbling_counts,
+)
 from .registry import register
 
 
@@ -124,3 +129,30 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite. State per live session only when run as a stream."""
     out = session_counts(_events(spark, sf_dir))
     return _micros(out, "user_id", "n_events")
+
+
+@register(
+    "stream_interval_join",
+    tags=("streaming", "stream-stream-join", "interval-join"),
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id  AS p_user
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/windows.py::stream_stream_purchase_click_join applied
+    in batch: every purchase joined to same-user clicks in the
+    preceding hour. The equi-key (user_id) carries the shuffle; the
+    time bound is a post-join filter on co-partitioned rows. In
+    streaming mode both watermarks bound the join state to the
+    2-hour horizon."""
+    e = _events(spark, sf_dir)
+    return stream_stream_purchase_click_join(e, e)
