@@ -23,6 +23,7 @@ _QUERY_MODULES = (
     "text_analysis",
     "multimodal",
     "streaming_batch",
+    "sampling",
 )
 
 _loaded = False

@@ -94,6 +94,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_counts",
     "stream_session_counts",
     "stream_interval_join",
+    "sample_hash_deterministic",
+    "sample_stratified_capped",
+    "pack_sequences_greedy",
     # -- round-1 failures / unchecked --
     "approx_percentiles",
     "agg_approx_count_distinct",

@@ -1,0 +1,174 @@
+"""Training-data sampling & sequence-packing operators (SURVEY.md §2d
+extension family — the selection stage of an LLM data pipeline, run
+between cleaning/dedup and tokenization).
+
+Three operators, each deliberately DETERMINISTIC (reproducible corpus
+builds are table stakes; `df.sample()`'s per-partition RNG changes
+with partitioning, so none of these use it):
+
+- hash-sampling: keep a fixed fraction via an arithmetic hash of the
+  key — stable under repartitioning, expressible identically in any
+  engine, and trivially stratifiable by salting the hash input.
+- stratified cap: at most N docs per class (language), best-quality
+  first — the class-balancing step that stops a crawl's majority
+  language from swamping the mixture.
+- greedy sequence packing: assign consecutive docs to fixed-capacity
+  token bins (context windows). Inherently sequential per class, so
+  it is NOT window-expressible; implemented as an applyInPandas
+  (grouped Arrow batches, one pass per class partition) and
+  oracle-checked against a DuckDB RECURSIVE CTE computing the same
+  fold.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+# Knuth multiplicative hash over the doc key: pure 64-bit arithmetic,
+# bit-identical in Spark and DuckDB (no engine hash functions), ANSI-
+# safe for doc_id < 2^31 (documented; salt+fold first at larger ids).
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+@register(
+    "sample_hash_deterministic",
+    tags=("sampling", "deterministic"),
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD} % 10 = 0
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: hash(doc_id) selects the row
+    independently of partitioning/ordering — rerunning on a
+    repartitioned (or incrementally grown) corpus keeps every
+    previously-selected doc. A narrow filter: reaches the scan, no
+    shuffle, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 10 == 0
+    return d.filter(keep).select("doc_id", "lang")
+
+
+@register(
+    "sample_stratified_capped",
+    tags=("sampling", "stratified", "window"),
+    oracle="""
+    SELECT doc_id, lang, quality
+    FROM (
+      SELECT doc_id, lang,
+             round(0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 + 0.4 * (len(list_distinct(string_split(lower(text), ' ')))
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + 0.2 * least((CAST(length(text) AS DOUBLE)
+                                / len(string_split(text, ' '))) / 8.0, 1.0),
+                   4) AS quality,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+                 + 0.4 * (len(list_distinct(string_split(lower(text), ' ')))
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                 + 0.2 * least((CAST(length(text) AS DOUBLE)
+                                / len(string_split(text, ' '))) / 8.0, 1.0),
+                   4) DESC, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 100
+    """,
+)
+def sample_stratified_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: at most 100 docs per language,
+    best quality first (same quality formula as text_quality_score).
+    One shuffle on the class key; per-class top-k via window — the
+    k rows per class survive regardless of class skew, so a 95%-
+    English crawl yields a balanced mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    n_ch = F.length("text")
+    quality = F.round(
+        0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        + 0.4 * (n_uniq.cast("double") / n_tok)
+        + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0)),
+        4,
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        d.withColumn("quality", quality)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "lang", "quality")
+    )
+
+
+PACK_CAPACITY = 2048
+
+_PACK_SCHEMA = "doc_id long, lang string, n_tok int, bin int"
+
+
+def _pack_one_class(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy sequential fill: docs in doc_id order; a doc that would
+    overflow the current bin opens the next one (an over-capacity doc
+    occupies a bin alone). One O(n) pass per class partition."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, fill, b = [], 0, 0
+    first = True
+    for n in pdf["n_tok"]:
+        if not first and fill + n > PACK_CAPACITY:
+            b += 1
+            fill = 0
+        first = False
+        fill += n
+        bins.append(b)
+    pdf["bin"] = pd.array(bins, dtype="int32")
+    return pdf[["doc_id", "lang", "n_tok", "bin"]]
+
+
+@register(
+    "pack_sequences_greedy",
+    tags=("sampling", "packing", "pandas-udf"),
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok, rn, 0 AS bin, n_tok AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.lang, t.n_tok, t.rn,
+             CASE WHEN p.fill + t.n_tok <= {PACK_CAPACITY}
+                  THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + t.n_tok <= {PACK_CAPACITY}
+                  THEN p.fill + t.n_tok ELSE t.n_tok END
+      FROM packed p
+      JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tok, bin FROM packed
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: per language, docs (in doc_id order)
+    fill {PACK_CAPACITY}-token bins greedily. The fold is inherently
+    sequential per class — not window-expressible — so it runs as ONE
+    applyInPandas pass per class (grouped Arrow batches; shuffle on
+    the class key only). The DuckDB oracle replays the identical fold
+    as a recursive CTE. At 100 TB the class key would be
+    (lang, shard_of(doc_id)) so each Arrow group stays bounded;
+    packing quality is unaffected because bins never span shards."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("int").alias("n_tok"),
+    )
+    return d.groupBy("lang").applyInPandas(_pack_one_class, _PACK_SCHEMA)
