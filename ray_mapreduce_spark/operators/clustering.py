@@ -55,29 +55,27 @@ def connected_components(
     for _ in range(max_iters):
         # min label over {self} U neighbors, as one union + one agg
         # (2 shuffles/round; the join+groupBy+left-join formulation
-        # costs 3): neighbor contributions unioned with current labels,
-        # then min per node.
+        # costs 3). The self rows are tagged so the SAME aggregation
+        # also carries each node's previous label out — the
+        # convergence check is then a plain filter over the round's
+        # checkpoint, no extra join job.
         contrib = edges.join(labels, edges.v == labels.node).select(
-            F.col("u").alias("node"), "comp"
+            F.col("u").alias("node"), "comp", F.lit(0).alias("_self")
         )
-        new_labels = contrib.union(labels).groupBy("node").agg(
-            F.min("comp").alias("comp")
+        tagged = contrib.union(labels.select("node", "comp", F.lit(1).alias("_self")))
+        new_labels = tagged.groupBy("node").agg(
+            F.min("comp").alias("comp"),
+            F.min(F.when(F.col("_self") == 1, F.col("comp"))).alias("_prev"),
         )
-        # Checkpoint FIRST, then run the convergence check against the
-        # materialized result: checking before checkpointing would
+        # Checkpoint FIRST, then check convergence against the
+        # materialized result: checking an un-checkpointed frame would
         # execute the round's join twice (once for the count, once for
         # the eager checkpoint) — measured ~2x the loop cost. The
         # checkpoint also truncates the growing lineage each round;
         # without it, plan size doubles per iteration.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     if changed != 0:
