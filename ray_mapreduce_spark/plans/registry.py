@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_hash_deterministic",
     "sample_stratified_capped",
     "pack_sequences_greedy",
+    "dedup_embedding_lsh",
     # -- round-1 failures / unchecked --
     "approx_percentiles",
     "agg_approx_count_distinct",

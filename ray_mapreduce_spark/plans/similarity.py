@@ -212,6 +212,97 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding near-dup via multi-table sign-LSH: the SCALE path for
+# dedup_embedding_cosine (which blocks on label — a stand-in key).
+# L tables of r sign-bits each: a pair colliding in ANY table becomes
+# a candidate, then exact cosine verifies. Detection probability for
+# angle θ: 1 - (1 - (1-θ/π)^r)^L — r trades candidate noise against
+# recall, L buys recall back (identical S-curve logic to minhash
+# banding). Candidates join on (table_no, bucket): shuffle O(n·L),
+# never O(n²); bucket-size cap guards degenerate buckets.
+N_TABLES = 8
+BITS_PER_TABLE = 4
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def _table_bucket(vec: str, table: int) -> Column:
+    """Sign pattern of BITS_PER_TABLE hyperplanes for one table (plane
+    indices offset by table) packed into an int."""
+    from functools import reduce
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec),
+                F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
+                lambda x, j: x
+                * ((F.xxhash64(F.lit(p), j) % 2001 - 1000).cast("double") / 1000.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(plane_dot(table * BITS_PER_TABLE + p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(BITS_PER_TABLE)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # bucket layout engine-specific; subset+recall pinned in pytest
+    tags=("dedup", "similarity", "lsh", "cosine"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs (cosine >= {thr}) via multi-table
+    sign-LSH candidates + exact cosine verify — no label blocking, no
+    all-pairs join. At crawl scale the per-vector hyperplane dots
+    would batch through one Arrow pandas_udf matrix multiply instead
+    of {n} interpreted HOF folds (same buckets, fewer Python-free
+    per-element lambdas); the join shape is already the 100 TB one.
+    """.format(thr=EMB_NEARDUP_THRESHOLD, n=N_TABLES * BITS_PER_TABLE)
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    banded = v.select(
+        "vec_id",
+        "vec",
+        F.posexplode(
+            F.array(*[_table_bucket("vec", t) for t in range(N_TABLES)])
+        ).alias("table_no", "bucket"),
+    )
+    # bucket-size cap (same skew guard as the minhash band join)
+    wb = Window.partitionBy("table_no", "bucket")
+    keys = (
+        banded.select("vec_id", "table_no", "bucket")
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= 1000))
+        .drop("bsz")
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_no") == F.col("b.table_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vec = v.select("vec_id", "vec")
+    pairs = cand.join(
+        vec.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+    ).join(vec.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= EMB_NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: the other classic scale path. K seed
 # vectors act as centroids (deterministic stride over vec_id — a real
 # deployment would k-means these); every vector is assigned to its

@@ -151,6 +151,38 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
             assert abs(c - brute_cos[pair]) < 1e-6
 
 
+def test_embedding_lsh_neardup_subset_and_recall(spark, sf_dir):
+    """Multi-table sign-LSH near-dup pairs: every emitted pair must be
+    a true >=0.35-cosine pair (verified from first principles), and
+    recall vs the exact within-label pair set must clear the S-curve
+    prediction (1-(1-(1-θ/π)^4)^8 ~ 0.7 at the threshold; measured
+    0.71/0.77 at sf0.001/sf0.01)."""
+    import math
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    }
+
+    def cosine(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return dot / (na * nb)
+
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in _rows(spark, sf_dir, "dedup_embedding_lsh")}
+    assert lsh, "LSH near-dup returned nothing"
+    for (a, b), c in lsh.items():
+        true_cos = cosine(vecs[a], vecs[b])
+        assert true_cos >= 0.35 - 1e-9, f"false pair {(a, b)}: {true_cos:.4f}"
+        assert abs(c - round(true_cos, 4)) < 1e-6
+
+    exact = {(r["id_a"], r["id_b"]) for r in _rows(spark, sf_dir, "dedup_embedding_cosine")}
+    if exact:
+        recall = len(exact & set(lsh)) / len(exact)
+        assert recall >= 0.6, f"recall {recall:.2f} below S-curve floor"
+
+
 def test_ivf_topk_cosine_agreement(spark, sf_dir):
     """IVF ANN: returned cosines must be true cosines (agree with the
     brute-force result wherever the pair overlaps), and every query

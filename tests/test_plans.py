@@ -66,3 +66,52 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df.collect()  # AQE finalizes (and codegen-annotates) the plan on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_hash_sample_is_narrow(spark, sf_dir):
+    """Deterministic hash sampling must be a pure scan+filter: no
+    Exchange anywhere (a sample that shuffles is wrong at 100 TB)."""
+    plan = _plan(spark, "sample_hash_deterministic", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_global_total_is_broadcast_not_window(spark, sf_dir):
+    """try_cast_parsing's global count must come from a broadcast
+    cross join, never an empty-partition Window funneling the table
+    through one task."""
+    plan = _plan(spark, "try_cast_parsing", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_global_ranking_is_range_partitioned(spark, sf_dir):
+    """window_distribution's big-table window must be partitioned (by
+    the range-partition id); the only unpartitioned window runs over
+    the per-partition counts (a few hundred rows at any scale)."""
+    plan = _plan(spark, "window_distribution", sf_dir)
+    # range repartitioning drives the two-pass global rank
+    assert "rangepartitioning" in plan.lower()
+    # the customer-table window is keyed by _pid
+    assert "partitionBy=[_pid" in plan.replace(" ", "").replace("'", "") or "_pid" in plan
+
+
+def test_streaming_batch_aggs_are_partial(spark, sf_dir):
+    plan = _plan(spark, "stream_tumbling_counts", sf_dir)
+    assert plan.count("HashAggregate") >= 2  # map-side partial counts
+
+
+def test_no_customer_broadcast_hint_at_scale(spark, sf_dir):
+    """customer is fact-proportional: its joins must carry no explicit
+    broadcast HINT (AQE may still choose broadcast at test sf — that's
+    the point). Checked on the optimized logical plan: ResolvedHint
+    nodes would appear there."""
+    from ray_mapreduce_spark.plans import all_queries
+
+    for name in ("q3_shipping_priority", "q5_local_supplier_revenue",
+                 "q10_returned_item_revenue", "above_segment_avg_orders"):
+        df = all_queries()[name].builder(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        # region/nation/supplier hints are fine; none may reference customer
+        for line in logical.splitlines():
+            if "broadcast" in line.lower() and "c_custkey" in line:
+                raise AssertionError(f"{name}: broadcast hint on customer:\n{line}")
