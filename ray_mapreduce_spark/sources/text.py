@@ -59,6 +59,26 @@ def read_text_lines(
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    sep: str = ",",
+    header: bool = True,
+    schema: str | None = None,
+) -> DataFrame:
+    """Delimited-file source (SURVEY.md §2c File-scan row: csv/tsv with
+    separator + header). Pass an explicit ``schema`` in production —
+    ``inferSchema`` scans every byte a second time before the real
+    read, which is unacceptable at scale; it is enabled here only as
+    the schemaless-convenience fallback."""
+    r = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
 def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:
     """Reference ``MapReduceWithMultipleFiles`` source (reference
     mapreduce.py:176-187): an index file lists one path per line; read
