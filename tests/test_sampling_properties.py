@@ -1,0 +1,88 @@
+"""Property tests for the sampling/packing operators: the greedy
+packing fold and the deterministic sampler are checked against their
+pure-Python specs on arbitrary corpora (hypothesis), not just the
+parquet fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ray_mapreduce_spark.plans.sampling import (
+    _KNUTH,
+    _MOD,
+    PACK_CAPACITY,
+    _pack_one_class,
+)
+
+# session-scoped spark fixture comes from conftest
+
+
+def py_pack(n_toks: list[int]) -> list[int]:
+    """The greedy fill spec: sequential docs, overflow opens next bin."""
+    bins, fill, b, first = [], 0, 0, True
+    for n in n_toks:
+        if not first and fill + n > PACK_CAPACITY:
+            b += 1
+            fill = 0
+        first = False
+        fill += n
+        bins.append(b)
+    return bins
+
+
+@given(st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_pack_fold_matches_spec(n_toks):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(n_toks)),
+            "lang": ["xx"] * len(n_toks),
+            "n_tok": pd.array(n_toks, dtype="int32"),
+        }
+    )
+    out = _pack_one_class(pdf)
+    assert list(out["bin"]) == py_pack(n_toks)
+    # invariants: bins are contiguous non-decreasing from 0; no bin
+    # exceeds capacity unless it holds exactly one over-sized doc
+    sizes: dict[int, list[int]] = {}
+    for n, b in zip(out["n_tok"], out["bin"]):
+        sizes.setdefault(int(b), []).append(int(n))
+    assert sorted(sizes) == list(range(len(sizes)))
+    for members in sizes.values():
+        assert sum(members) <= PACK_CAPACITY or len(members) == 1
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_hash_sample_stable_under_permutation(ids):
+    """The sampler's keep-set depends only on the key, never on order
+    or grouping — the property that makes corpus builds reproducible."""
+    keep = {i for i in ids if (i * _KNUTH) % _MOD % 10 == 0}
+    assert keep == {i for i in sorted(ids) if (i * _KNUTH) % _MOD % 10 == 0}
+    assert keep <= ids
+
+
+def test_pack_spark_matches_spec_per_lang(spark):
+    """End-to-end applyInPandas run on a multi-language frame agrees
+    with the per-class pure-Python fold."""
+    rows = []
+    toks = {"en": [100, 2048, 1, 2000, 50, 49], "de": [3000, 10, 2039, 1]}
+    for lang, ns in toks.items():
+        for i, n in enumerate(ns):
+            rows.append((i, lang, "w " * 0 or "x", n))  # text unused
+    docs = spark.createDataFrame(
+        [(i, lang, n) for (i, lang, _t, n) in rows],
+        "doc_id long, lang string, n_tok int",
+    )
+    out = docs.groupBy("lang").applyInPandas(
+        _pack_one_class, "doc_id long, lang string, n_tok int, bin int"
+    )
+    got = {
+        lang: [b for _, b in sorted((r["doc_id"], r["bin"]) for r in out.collect() if r["lang"] == lang)]
+        for lang in toks
+    }
+    assert got == {lang: py_pack(ns) for lang, ns in toks.items()}
