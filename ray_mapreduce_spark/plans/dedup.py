@@ -262,8 +262,11 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     codegen) and measured ~30x slower. min() partial-aggregates
     map-side, so the shuffle is one row of 64 longs per
     (doc, partition)."""
+    # Expression-string construction: one py4j call per column instead
+    # of four (lit/xxhash64/min/alias) — plan BUILD time for wide agg
+    # lists is pure driver overhead and was ~0.5s of this query.
     return sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), "s")).alias(f"m{i}") for i in range(N_HASHES)]
+        *[F.expr(f"min(xxhash64({i}, s)) AS m{i}") for i in range(N_HASHES)]
     )
 
 
@@ -295,18 +298,14 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     # touches just the candidate pairs, not the whole corpus x bands.
     # Band hash = xxhash64 over its 8 minhash longs directly (codegen'd,
     # no string round-trip).
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[f"m{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_no", "band_hash"),
+    band_exprs = ", ".join(
+        "xxhash64({})".format(
+            ", ".join(f"m{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+        )
+        for b in range(N_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"posexplode(array({band_exprs})) AS (band_no, band_hash)"
     )
     # Bucket-size guard: a bucket with k docs emits k² candidate rows;
     # cap kills degenerate boilerplate buckets (see DEFAULT_DF_CAP).
@@ -393,41 +392,30 @@ def dedup_simhash_pairs(
     groupBy(doc_id) computing all 64 bit-votes as parallel algebraic
     sums (partial-aggregated map-side). Bit positions / shift amounts
     are plan-time Python ints, so the whole tree is codegen'd."""
-    from functools import reduce
-
     d = _spread(load_table(spark, sf_dir, "documents"))
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
-    h = F.xxhash64("tok")
+    # Wide expression lists built as SQL strings (one py4j call each):
+    # 64 algebraic bit-vote sums, then the 64-way bitwise-OR fingerprint.
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(xxhash64(tok), {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b{i}"
+            )
             for i in range(64)
         ]
     )
-    # bit 63 set == Long.MIN_VALUE in two's complement
-    bit_lits = [1 << i for i in range(63)] + [-(1 << 63)]
-    fp = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.when(F.col(f"b{i}") > 0, F.lit(bit_lits[i])).otherwise(F.lit(0)).cast("long")
-            for i in range(64)
-        ],
+    # Bit values via shiftleft(1L, i): shiftleft is overflow-free, so
+    # bit 63 (== Long.MIN_VALUE in two's complement) needs no literal
+    # that ANSI parsing would reject.
+    fp_expr = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(64)
     )
-    sh = votes.select("doc_id", fp.alias("simhash"))
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band_no", "band_val"),
+    sh = votes.selectExpr("doc_id", f"({fp_expr}) AS simhash")
+    band_vals = ", ".join(f"shiftright(simhash, {b * 16}) & 65535" for b in range(4))
+    banded = sh.selectExpr(
+        "doc_id", "simhash", f"posexplode(array({band_vals})) AS (band_no, band_val)"
     )
     # Same bucket-size guard as the LSH path: a 16-bit band value
     # shared by k docs emits k² candidate rows.

@@ -154,28 +154,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
+def _plane_dot_sql(vec: str, p: int) -> str:
+    """SQL text of the dot product of ``vec`` with seeded
+    pseudo-hyperplane ``p`` (component j = (xxhash64(p, j) mod 2001 -
+    1000)/1000 in [-1, 1]). String-built: the nested HOF lambdas cost
+    many py4j round-trips per plane when built as Column objects."""
+    return (
+        f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
+        f"(x, j) -> x * (CAST(xxhash64({p}, j) % 2001 - 1000 AS DOUBLE) / 1000.0)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    """Sign pattern of N_PLANES hyperplane dots packed into an int —
+    one SQL expression string."""
+    bits = " | ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
 def _bucket_col(vec: str) -> Column:
-    """Sign pattern of N_PLANES seeded pseudo-hyperplane dot products,
-    packed into an int. Plane index is a Python int (shift amounts and
-    hash seeds are plan-time constants), so the whole bucket expression
-    is a fixed codegen'd tree."""
-    from functools import reduce
-
-    def plane_dot(p: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
-                lambda x, j: x * ((F.xxhash64(F.lit(p), j) % 2001 - 1000).cast("double") / 1000.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bits = [
-        F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)
-    ]
-    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+    return F.expr(_bucket_sql(vec))
 
 
 @register(
@@ -225,28 +227,17 @@ BITS_PER_TABLE = 4
 EMB_NEARDUP_THRESHOLD = 0.35
 
 
-def _table_bucket(vec: str, table: int) -> Column:
+def _table_bucket_sql(vec: str, table: int) -> str:
     """Sign pattern of BITS_PER_TABLE hyperplanes for one table (plane
-    indices offset by table) packed into an int."""
-    from functools import reduce
-
-    def plane_dot(p: int) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec),
-                F.sequence(F.lit(0), F.size(F.col(vec)) - 1),
-                lambda x, j: x
-                * ((F.xxhash64(F.lit(p), j) % 2001 - 1000).cast("double") / 1000.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    indices offset by table) packed into an int — SQL string (see
+    ``_plane_dot_sql`` for why)."""
+    bits = " | ".join(
+        "(CASE WHEN {} > 0 THEN {} ELSE 0 END)".format(
+            _plane_dot_sql(vec, table * BITS_PER_TABLE + p), 1 << p
         )
-
-    bits = [
-        F.when(plane_dot(table * BITS_PER_TABLE + p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         for p in range(BITS_PER_TABLE)
-    ]
-    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+    )
+    return f"({bits})"
 
 
 @register(
@@ -263,12 +254,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element lambdas); the join shape is already the 100 TB one.
     """.format(thr=EMB_NEARDUP_THRESHOLD, n=N_TABLES * BITS_PER_TABLE)
     v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    banded = v.select(
-        "vec_id",
-        "vec",
-        F.posexplode(
-            F.array(*[_table_bucket("vec", t) for t in range(N_TABLES)])
-        ).alias("table_no", "bucket"),
+    tables = ", ".join(_table_bucket_sql("vec", t) for t in range(N_TABLES))
+    banded = v.selectExpr(
+        "vec_id", "vec", f"posexplode(array({tables})) AS (table_no, bucket)"
     )
     # bucket-size cap (same skew guard as the minhash band join)
     wb = Window.partitionBy("table_no", "bucket")
