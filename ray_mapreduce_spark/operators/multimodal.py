@@ -144,7 +144,8 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4, fps: float = 1.0) -> Data
     """STUB video frame sampling: one input blob -> n_frames output
     rows (the fan-out shape; a real impl seeks the container at
     ts = k/fps and decodes a frame). Deterministic fake frames are
-    sha256(payload, k)."""
+    sha256(payload || str(k)) — a printable frame key keeps the
+    derivation reproducible by any engine's VARCHAR sha256."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,7 +157,7 @@ def sample_frames(blobs: DataFrame, n_frames: int = 4, fps: float = 1.0) -> Data
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(k)
                     rows["frame_payload"].append(
-                        hashlib.sha256(bytes(payload) + bytes([k])).digest()
+                        hashlib.sha256(bytes(payload) + str(k).encode()).digest()
                     )
                     rows["ts_ms"].append(int(k * 1000 / fps))
             yield pd.DataFrame(rows)

@@ -88,3 +88,71 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/fake").alias("mime"),
     )
     return decode_features(blobs)
+
+
+# Resize pipeline as a first-class query: binary in -> binary out via
+# Arrow batches; verification compares the resized payload's leading
+# digest (the stub 'resized' blob is sha256(payload || '{W}x{H}')
+# tiled x4 — deterministic, so DuckDB can recompute it from text).
+@register(
+    "multimodal_resize_meta",
+    tags=("multimodal", "binary", "pandas-udf"),
+    oracle="""
+    SELECT doc_id,
+           64 AS width,
+           64 AS height,
+           CAST(128 AS BIGINT) AS n_bytes_out,
+           sha256(text || '64x64') AS digest
+    FROM documents
+    """,
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+    out = resize_images(blobs, 64, 64)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("bigint").alias("n_bytes_out"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 32)"))).alias("digest"),
+    )
+
+
+# Frame sampling as a first-class query: 1 blob -> 4 frame rows
+# (fan-out via mapInPandas); frame digests recomputed in DuckDB over
+# a lateral range() — pins the fan-out count, timestamps and payload
+# derivation end-to-end.
+@register(
+    "multimodal_frame_sample",
+    tags=("multimodal", "binary", "pandas-udf", "fanout"),
+    oracle="""
+    SELECT d.doc_id,
+           CAST(t.k AS INTEGER) AS frame_no,
+           CAST(t.k * 1000 AS BIGINT) AS ts_ms,
+           sha256(d.text || CAST(t.k AS VARCHAR)) AS frame_digest
+    FROM documents d, range(4) t(k)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+    )
+    out = sample_frames(blobs, n_frames=4, fps=1.0)
+    return out.select(
+        "doc_id",
+        "frame_no",
+        "ts_ms",
+        F.lower(F.hex("frame_payload")).alias("frame_digest"),
+    )

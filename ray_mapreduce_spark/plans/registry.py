@@ -98,6 +98,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_stratified_capped",
     "pack_sequences_greedy",
     "dedup_embedding_lsh",
+    "multimodal_resize_meta",
+    "multimodal_frame_sample",
     # -- round-1 failures / unchecked --
     "approx_percentiles",
     "agg_approx_count_distinct",

@@ -1,0 +1,39 @@
+"""Partition-count robustness: results must be IDENTICAL under any
+shuffle-partition setting — the invariant that catches accidental
+dependence on physical layout (per-partition ids, first()-style
+nondeterminism, partition-local state leaking into results).
+
+Exercises the queries whose implementations touch partition-sensitive
+machinery: monotonically_increasing_id (header skip),
+spark_partition_id (2-pass global ranking), applyInPandas group fan-in
+(packing), LSH self-joins, and the iterative clustering loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ray_mapreduce_spark.plans import all_queries
+
+CASES = [
+    "window_distribution",      # spark_partition_id + range partitioning
+    "pack_sequences_greedy",    # applyInPandas per-class fold
+    "dedup_minhash_pairs",      # LSH self-join + persist/checkpoint
+    "dedup_clusters",           # iterative label propagation
+    "sample_hash_deterministic",
+    "stream_session_counts",
+]
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_result_invariant_under_shuffle_partitions(spark, sf_dir, name):
+    spec = all_queries()[name]
+    baseline = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+            assert got == baseline, f"{name} changed under shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
