@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_top_bigrams",
     "text_fingerprint",
+    "text_quality_ratios",
     "multimodal_binary_meta",
     "multimodal_size_profile",
     "multimodal_decode_features",

@@ -259,3 +259,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full quality profile with punctuation + stopword ratios (the two
+# classic crawl-quality signals the composite text_quality_score
+# omits). Stopword membership via a broadcast-sized literal array —
+# at scale this stays a plan constant, never a join.
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this",
+)
+
+
+@register(
+    "text_quality_ratios",
+    tags=("text", "quality"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(lower(text), ' ') AS toks,
+             length(text) AS n_ch,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           round(CAST(n_punct AS DOUBLE) / n_ch, 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks,
+                 x -> list_contains({list(_STOPWORDS)}, x))) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation density + stopword fraction per doc. Both are
+    codegen'd expressions: punct via regexp_replace+length (no
+    per-char explode), stopwords via a token explode + broadcast-free
+    literal-array membership, re-aggregated on the doc_id partition
+    the explode already has."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ch = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"""[^.,;:!?'"()-]""", ""))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (punct.cast("double") / n_ch).alias("praw"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return (
+        toks.groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.first("praw"), 4).alias("punct_ratio"),
+            F.round(
+                F.avg(F.array_contains(stop_arr, F.col("tok")).cast("double")), 4
+            ).alias("stopword_ratio"),
+        )
+    )

@@ -76,3 +76,20 @@ def test_cluster_members_are_connected_near_dups(spark, sf_dir):
                         nxt.append(v)
             frontier = nxt
         assert members <= seen, f"cluster {members} not connected via pairs"
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    """A chain longer than max_iters rounds must RAISE, never silently
+    return split components (ADVICE r1)."""
+    import pytest as _pytest
+
+    from ray_mapreduce_spark.operators.clustering import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and with enough rounds the same chain is one component
+    comps = connected_components(chain, max_iters=50).collect()
+    assert {r["comp"] for r in comps} == {0}
