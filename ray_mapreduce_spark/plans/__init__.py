@@ -24,6 +24,7 @@ _QUERY_MODULES = (
     "multimodal",
     "streaming_batch",
     "sampling",
+    "timeseries",
 )
 
 _loaded = False

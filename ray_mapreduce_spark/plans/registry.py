@@ -101,6 +101,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "multimodal_resize_meta",
     "multimodal_frame_sample",
+    "timeseries_rollup_hierarchy",
+    "timeseries_ohlc",
+    "timeseries_gapfill",
     # -- round-1 failures / unchecked --
     "approx_percentiles",
     "agg_approx_count_distinct",

@@ -1,0 +1,152 @@
+"""Time-series / hypertable-style operators over ``events`` (the
+"hypertable rollup" family a timescale-style engine exposes): a
+multi-granularity rollup computed in one pass, per-bucket OHLC via
+argmin/argmax aggregates, and spine gap-fill for missing buckets.
+
+All three are pure DataFrame plans with DuckDB oracles; timestamps
+export as unix micros (pairing rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# Multi-granularity rollup: day totals AND (day, hour) details from
+# ONE scan via GROUPING SETS — the continuous-aggregate shape; at
+# scale the coarse level shares the fine level's partial aggregation
+# instead of re-scanning the fact table per granularity.
+@register(
+    "timeseries_rollup_hierarchy",
+    tags=("timeseries", "rollup", "grouping-sets"),
+    oracle="""
+    SELECT
+      epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))  AS day_us,
+      coalesce(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))), -1) AS hour_us,
+      count(*)             AS n,
+      round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', CAST(ts AS TIMESTAMP))),
+      (date_trunc('day', CAST(ts AS TIMESTAMP)), date_trunc('hour', CAST(ts AS TIMESTAMP)))
+    )
+    """,
+)
+def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    e.createOrReplaceTempView("events_ts_rollup")
+    return spark.sql(
+        """
+        SELECT unix_micros(day)                 AS day_us,
+               coalesce(unix_micros(hour), -1)  AS hour_us,
+               count(*)                         AS n,
+               round(sum(value), 2)             AS total_value
+        FROM events_ts_rollup
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        """
+    )
+
+
+# Per-bucket OHLC (open/high/low/close): open/close via min_by/max_by
+# on the timestamp (argmin/argmax aggregates — one pass, no window,
+# no self-join; ties broken by event_id for determinism).
+@register(
+    "timeseries_ohlc",
+    tags=("timeseries", "aggregate", "argmax"),
+    oracle="""
+    SELECT event_type,
+           epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+           round(min_by(value, format('{:020d}{:012d}', epoch_us(CAST(ts AS TIMESTAMP)), event_id)), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max_by(value, format('{:020d}{:012d}', epoch_us(CAST(ts AS TIMESTAMP)), event_id)), 2) AS close
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    # argmin/argmax key: fixed-width zero-padded (micros, event_id)
+    # string — lexicographic order == numeric order, and a scalar key
+    # is portable across engines (struct keys aren't).
+    key = F.format_string("%020d%012d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type", F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us")
+        )
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+        )
+    )
+
+
+# Spine gap-fill: generate the complete hourly spine per event_type
+# (from the type's min to max hour), left-join observed counts, fill
+# zeros. The spine is sequence+explode over per-type bounds — one
+# tiny agg + a generator, never a driver loop; the join is an
+# equi-join on (event_type, hour).
+@register(
+    "timeseries_gapfill",
+    tags=("timeseries", "gapfill", "generator"),
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+      FROM events GROUP BY event_type
+    ),
+    spine AS (
+      SELECT b.event_type, s.h AS hour
+      FROM bounds b, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS s(h)
+    ),
+    observed AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             count(*) AS n_obs
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type,
+           epoch_us(s.hour)          AS hour_us,
+           coalesce(o.n_obs, 0)      AS n
+    FROM spine s
+    LEFT JOIN observed o
+      ON o.event_type = s.event_type AND o.hour = s.hour
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", "ts")
+    bounds = e.groupBy("event_type").agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    observed = e.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    return (
+        spine.join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("hour").alias("hour_us"),
+            F.coalesce("n_obs", F.lit(0)).alias("n"),
+        )
+    )
