@@ -116,6 +116,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "join_customer_orders",
     "q18_large_orders",
+    "join_full_outer_nation_counts",
     # -- representative round-1 greens filling the window --
     "q1_pricing_summary",
     "q6_forecast_revenue",

@@ -684,3 +684,46 @@ def sort_limit_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
     )
+
+
+# --------------------------------------------------------------------------
+# Full outer join: per-nation customer vs supplier counts — either
+# side may be absent for a nation (suppliers are sparse at small sf),
+# exercising both null-extension directions. Two partial aggs shrink
+# the inputs BEFORE the join (agg-then-join, never join-then-agg for
+# outer counts).
+@register(
+    "join_full_outer_nation_counts",
+    tags=("join", "full-outer-join", "aggregate"),
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk)    AS nationkey,
+           coalesce(c.n_cust, 0)   AS n_customers,
+           coalesce(s.n_supp, 0)   AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk_c == s.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+    )
