@@ -93,3 +93,45 @@ def test_cc_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain is one component
     comps = connected_components(chain, max_iters=50).collect()
     assert {r["comp"] for r in comps} == {0}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """connected_components vs a pure-Python union-find on seeded
+    random graphs: same partition of nodes into components (component
+    LABELS are min-node by construction — compare those too)."""
+    import random
+
+    from ray_mapreduce_spark.operators.clustering import connected_components
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected: node -> min node id in its component (nodes with
+        # at least one edge only — cc operates on the edge list)
+        touched = {x for e in edges for x in e}
+        comp_min: dict[int, int] = {}
+        for x in touched:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed {seed}: component mismatch"
