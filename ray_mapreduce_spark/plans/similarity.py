@@ -186,24 +186,34 @@ def _bucket_col(vec: str) -> Column:
     tags=("similarity", "topk", "lsh", "ann"),
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket; falls back to fewer than k results for sparse buckets."""
-    v = _with_vec(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _bucket_col("vec")
+    """Approximate top-k via MULTI-TABLE sign-LSH: candidates are the
+    union of the query's buckets across N_TABLES independent 4-bit
+    tables (same geometry as dedup_embedding_lsh) — a single wide
+    table is a weak filter (one unlucky hyperplane loses a true
+    neighbor forever), multiple narrow tables buy recall at O(n·L)
+    shuffle. Candidates dedupe before scoring so each pair's cosine
+    computes once."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    tables = ", ".join(_table_bucket_sql("vec", t) for t in range(N_TABLES))
+    banded = v.selectExpr(
+        "vec_id", "vec", f"posexplode(array({tables})) AS (table_no, bucket)"
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    q = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "table_no", "bucket"
     )
-    c = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "bucket")
-    scored = (
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"), "table_no", "bucket"
+    )
+    cand = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["table_no", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))).alias("cos"),
-        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot("qvec", "cvec") / (_norm("qvec") * _norm("cvec"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (

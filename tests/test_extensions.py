@@ -128,10 +128,11 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
 
 
 def test_lsh_topk_recall_vs_brute(spark, sf_dir):
-    """Sign-LSH ANN: same-bucket neighbors it does return must agree
-    with brute-force cosine ordering; overall recall@5 is reported and
-    bounded below loosely (8 hyperplanes on near-uniform vectors is a
-    weak filter by construction)."""
+    """Multi-table sign-LSH ANN: returned cosines must agree with
+    brute force, every query must get candidates, and recall@5 must
+    clear the multi-table floor (measured 0.72/0.52 at sf0.001/sf0.01
+    on these near-uniform vectors; the single-table variant sat under
+    0.2 — that gap is why the plan probes L=8 independent tables)."""
     brute = {}
     for r in _rows(spark, sf_dir, "similarity_topk_brute"):
         brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -141,6 +142,10 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         cos_by_pair[(r["query_id"], r["neighbor_id"])] = r["cosine"]
     assert approx, "LSH returned nothing"
+    assert set(approx) == set(brute)  # every query produced candidates
+    hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.4, f"recall@5 {hits/total:.2f} below multi-table floor"
     # sanity: LSH cosines are true cosines (match brute where overlapping)
     brute_cos = {
         (r["query_id"], r["neighbor_id"]): r["cosine"]
