@@ -116,3 +116,25 @@ def test_binary_file_source_to_features(spark, tmp_path):
     # deterministic across runs
     again = binary_files_to_features(spark, str(tmp_path), glob="*.bin").collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_pipeline_to_partitioned_sink_roundtrip(spark, sf_dir, tmp_path):
+    """End-to-end: the clean-corpus pipeline result written as
+    lang-partitioned parquet and read back intact, with partition
+    pruning active on the partition column."""
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.sources.sinks import write_parquet
+
+    out = all_queries()["pipeline_clean_corpus"].builder(spark, sf_dir)
+    expected = sorted(map(tuple, out.collect()))
+    path = str(tmp_path / "clean_corpus")
+    write_parquet(out, path, partition_by=["lang"])
+
+    back = spark.read.parquet(path).select("lang", "n_docs", "avg_quality")
+    got = sorted((r["lang"], r["n_docs"], r["avg_quality"]) for r in back.collect())
+    assert got == [(l, n, q) for (l, n, q) in expected]
+
+    # partition pruning: a lang filter must hit PartitionFilters
+    one = back.filter(back.lang == expected[0][0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
