@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_top_bigrams",
     "text_fingerprint",
     "text_quality_ratios",
+    "text_repetition_stats",
     "multimodal_binary_meta",
     "multimodal_size_profile",
     "multimodal_decode_features",

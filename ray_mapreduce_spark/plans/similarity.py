@@ -180,6 +180,16 @@ def _bucket_col(vec: str) -> Column:
     return F.expr(_bucket_sql(vec))
 
 
+def _banded_vectors(v: DataFrame) -> DataFrame:
+    """(vec_id, vec) -> one row per (vec_id, table_no, bucket) across
+    the N_TABLES sign-LSH tables — the shared candidate-generation
+    frame for the ANN top-k and near-dup plans."""
+    tables = ", ".join(_table_bucket_sql("vec", t) for t in range(N_TABLES))
+    return v.selectExpr(
+        "vec_id", "vec", f"posexplode(array({tables})) AS (table_no, bucket)"
+    )
+
+
 @register(
     "similarity_topk_lsh",
     oracle=None,  # bucket layout engine-specific; recall pinned in pytest
@@ -193,11 +203,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor forever), multiple narrow tables buy recall at O(n·L)
     shuffle. Candidates dedupe before scoring so each pair's cosine
     computes once."""
-    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    tables = ", ".join(_table_bucket_sql("vec", t) for t in range(N_TABLES))
-    banded = v.selectExpr(
-        "vec_id", "vec", f"posexplode(array({tables})) AS (table_no, bucket)"
-    )
+    banded = _banded_vectors(_with_vec(load_table(spark, sf_dir, "embeddings")))
     q = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "table_no", "bucket"
     )
@@ -264,10 +270,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-element lambdas); the join shape is already the 100 TB one.
     """.format(thr=EMB_NEARDUP_THRESHOLD, n=N_TABLES * BITS_PER_TABLE)
     v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    tables = ", ".join(_table_bucket_sql("vec", t) for t in range(N_TABLES))
-    banded = v.selectExpr(
-        "vec_id", "vec", f"posexplode(array({tables})) AS (table_no, bucket)"
-    )
+    banded = _banded_vectors(v)
     # bucket-size cap (same skew guard as the minhash band join)
     wb = Window.partitionBy("table_no", "bucket")
     keys = (

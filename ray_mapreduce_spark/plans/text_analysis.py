@@ -316,3 +316,54 @@ def text_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stopword_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style filter): fraction of word
+# 3-grams that are repeats of an earlier 3-gram in the SAME doc. High
+# values flag boilerplate/spam/generation loops. Computed on the
+# non-distinct shingle explode: count vs countDistinct per doc — both
+# algebraic, one shuffle on doc_id.
+@register(
+    "text_repetition_stats",
+    tags=("text", "quality", "repetition"),
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             [string_split(lower(text), ' ')[i] || ' ' ||
+              string_split(lower(text), ' ')[i+1] || ' ' ||
+              string_split(lower(text), ' ')[i+2]
+              FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ] AS grams
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    )
+    SELECT doc_id, lang,
+           CAST(len(grams) AS BIGINT)                AS n_3grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+             AS dup_fraction
+    FROM g
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        tok.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", "lang", F.concat_ws(" ", "t", "t1", "t2").alias("g"))
+    )
+    return grams.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_3grams"),
+        F.countDistinct("g").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("g").cast("double") / F.count(F.lit(1)), 4
+        ).alias("dup_fraction"),
+    )
