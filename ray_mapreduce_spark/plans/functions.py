@@ -362,3 +362,77 @@ def array_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "tag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram: bucket = floor(value/width) — pure arithmetic
+# bucketing, one shuffle on the bucket id (the profile query behind
+# any numeric-distribution dashboard).
+@register(
+    "histogram_event_values",
+    tags=("aggregate", "histogram"),
+    oracle="""
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+           count(*)                          AS n,
+           round(min(value), 2)              AS lo,
+           round(max(value), 2)              AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions as API surface: transform / filter /
+# aggregate / zip_with declared inline. NOTE the engine's own hot
+# paths avoid HOFs (interpreted per element — CLAUDE.md gotcha #2);
+# this query exists because users write them for small/medium arrays,
+# and the declarative forms must match ANSI list semantics.
+@register(
+    "array_hof_functions",
+    tags=("array", "higher-order"),
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+    )
+    SELECT p_partkey,
+           array_to_string([CAST(length(w) AS VARCHAR) FOR w IN words], ',')
+                                                              AS word_lens,
+           len(list_filter(words, w -> length(w) > 5))        AS n_long,
+           list_sum([length(w) FOR w IN words])               AS total_len,
+           list_sum([length(x[1] || x[2]) FOR x IN list_zip(words, list_reverse(words))])
+                                                              AS palindrome_len
+    FROM t
+    """,
+)
+def array_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    # word_lens exports as a comma-joined STRING: array-typed output
+    # columns are driver-hash hostile (round-1 approx_percentiles
+    # lesson) and engine-specific in collation — flat scalars only.
+    return p.select(
+        "p_partkey",
+        F.concat_ws(
+            ",", F.transform(words, lambda w: F.length(w).cast("string"))
+        ).alias("word_lens"),
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        ).alias("total_len"),
+        F.aggregate(
+            F.zip_with(words, F.reverse(words), lambda a, b: F.length(F.concat(a, b))),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("palindrome_len"),
+    )

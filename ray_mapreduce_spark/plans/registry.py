@@ -118,6 +118,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_customer_orders",
     "q18_large_orders",
     "join_full_outer_nation_counts",
+    "histogram_event_values",
+    "array_hof_functions",
     # -- representative round-1 greens filling the window --
     "q1_pricing_summary",
     "q6_forecast_revenue",

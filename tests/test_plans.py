@@ -115,3 +115,19 @@ def test_no_customer_broadcast_hint_at_scale(spark, sf_dir):
         for line in logical.splitlines():
             if "broadcast" in line.lower() and "c_custkey" in line:
                 raise AssertionError(f"{name}: broadcast hint on customer:\n{line}")
+
+
+def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
+    """Driver-hash safety invariant (round-1 approx_percentiles
+    lesson): no registered query may emit array/map/struct/binary
+    columns — flat scalar outputs only (arrays export as joined
+    strings, binaries as hex digests)."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    offenders = []
+    for name, spec in all_queries().items():
+        df = spec.builder(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"non-scalar output columns: {offenders}"
