@@ -33,19 +33,25 @@ def connected_components(
     hitting it without convergence RAISES rather than silently
     returning split components — label propagation needs rounds =
     graph diameter, so 50 covers any realistic near-dup chain."""
-    # Materialize the pair list BEFORE the self-union: ``pairs`` is
-    # referenced twice below (forward + reversed edge), and without a
-    # checkpoint both union branches race to execute the full upstream
+    # Both edge directions via ONE explode over the pair row — never a
+    # self-union: a union references the ``pairs`` subtree twice, and
+    # the two branches race to execute the full upstream
     # pair-generation lineage (e.g. the whole minhash LSH pipeline)
-    # concurrently — persist() upstream doesn't help, both sides miss
-    # the not-yet-materialized cache. Measured ~2x the LSH cost.
-    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+    # concurrently; persist() upstream doesn't help (both sides miss
+    # the not-yet-materialized cache — measured ~2x the LSH cost).
+    # explode duplicates ROWS, not the plan, so one checkpoint job
+    # materializes everything exactly once.
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
     )
     edges = (
-        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(both_dirs.alias("e"))
+        .select("e.u", "e.v")
         .distinct()
-        # materialize too: every iteration joins against edges
+        # materialize: every iteration joins against edges
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(

@@ -484,10 +484,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import connected_components
 
-    # Project to the needed columns BEFORE the spread shuffle: every
-    # later stage (quality, sha2 window, checkpoint, LSH) then moves
-    # doc_id/lang/text only, never unused payload columns.
-    d = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    # Project to the needed columns up front: every later stage
+    # (quality, sha2 window, checkpoint, LSH) then moves
+    # doc_id/lang/text only, never unused payload columns. No spread
+    # here — the pre-window stages are cheap narrow expressions, the
+    # sha2 window's own shuffle distributes, and minhash_pairs spreads
+    # its input itself; an extra full-text repartition bought nothing.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
 
     # 1. quality filter (same formula as text_quality_score)
     n_tok = F.size(F.split("text", " "))
