@@ -143,3 +143,33 @@ def nested_case_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_extendedprice"), 2).alias("total"),
     )
+
+
+# Correlated EXISTS through the SQL entry path: Catalyst decorrelates
+# to a left-semi join (same physical plan the DataFrame semi-join
+# query declares directly — pinned by both going green).
+@register(
+    "exists_correlated_sql",
+    tags=("subquery", "exists", "sql"),
+    oracle="""
+    SELECT s_suppkey, s_nationkey
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000
+    )
+    """,
+)
+def exists_correlated_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_ex")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_nationkey
+        FROM supplier_ex s
+        WHERE EXISTS (
+          SELECT 1 FROM customer_ex c
+          WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000
+        )
+        """
+    )

@@ -202,3 +202,69 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg3"),
     )
+
+
+# RANGE frame (value-based window): per-customer running revenue over
+# a sliding 30-day window keyed on the ORDER DATE VALUE, not row
+# position — rows/range distinction is §2c "frames" coverage. Numeric
+# range key (epoch days) keeps frame semantics identical across
+# engines.
+@register(
+    "window_range_frame",
+    tags=("window", "frame", "range"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS rev_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+# Value window functions: first/last/nth order per customer (frame
+# pinned to the whole partition so last/nth are well-defined).
+@register(
+    "window_value_functions",
+    tags=("window", "analytic"),
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey)  OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
