@@ -157,18 +157,39 @@ def _pack_one_class(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT doc_id, lang, n_tok, bin FROM packed
     """,
 )
-def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences_greedy(
+    spark: SparkSession, sf_dir: str, shards: int = 1
+) -> DataFrame:
     """Context-window packing: per language, docs (in doc_id order)
     fill {PACK_CAPACITY}-token bins greedily. The fold is inherently
     sequential per class — not window-expressible — so it runs as ONE
     applyInPandas pass per class (grouped Arrow batches; shuffle on
-    the class key only). The DuckDB oracle replays the identical fold
-    as a recursive CTE. At 100 TB the class key would be
-    (lang, shard_of(doc_id)) so each Arrow group stays bounded;
-    packing quality is unaffected because bins never span shards."""
+    the class key only).
+
+    ``shards`` is the 100 TB knob: with shards=N the class key becomes
+    (lang, doc_id range shard), so parallelism is langs x N and each
+    Arrow group stays bounded; bins never span shards (each shard
+    packs its own contiguous doc_id range independently), so packing
+    is deterministic for a given shard count and bin quality degrades
+    only by < 1 partially-filled bin per shard. The oracle replays the
+    shards=1 fold as a DuckDB recursive CTE."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("int").alias("n_tok"),
     )
-    return d.groupBy("lang").applyInPandas(_pack_one_class, _PACK_SCHEMA)
+    if shards <= 1:
+        return d.groupBy("lang").applyInPandas(_pack_one_class, _PACK_SCHEMA)
+    # Mod-sharding on doc_id: each shard greedily packs its own
+    # doc_id-ordered subsequence independently — deterministic for a
+    # given shard count, capacity invariant per bin unchanged, bins
+    # never span shards. Bin ids are globally disambiguated by
+    # interleaving with the shard id.
+    sharded = d.withColumn("_shard", F.pmod(F.col("doc_id"), F.lit(shards)))
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _pack_one_class(pdf.drop(columns=["_shard"]))
+        out["bin"] = out["bin"] * shards + int(pdf["_shard"].iloc[0])
+        return out
+
+    return sharded.groupBy("lang", "_shard").applyInPandas(pack_shard, _PACK_SCHEMA)

