@@ -367,3 +367,63 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("g").cast("double") / F.count(F.lit(1)), 4
         ).alias("dup_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per doc. Classic shape with
+# the scale-safe corpus-size handling: N comes from an aggregate
+# broadcast-cross-joined onto the (token, df) table — never an
+# empty-partition window. Ranking happens on the ROUNDED score (4dp)
+# with a token tie-break so cross-engine double arithmetic can't flip
+# neighboring ranks.
+@register(
+    "text_tfidf_top_terms",
+    tags=("text", "tfidf", "window"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, score, rk
+    FROM (
+      SELECT doc_id, tok, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score", "rk")
+    )
