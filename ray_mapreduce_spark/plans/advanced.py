@@ -276,3 +276,67 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt): wide metric columns -> long (key, metric, value)
+# rows — the inverse of pivot_event_counts, exercised on per-nation
+# customer/supplier counts. Spark's unpivot is a narrow generator (no
+# shuffle beyond the input aggs); oracle via the portable UNION-ALL
+# rewrite.
+@register(
+    "unpivot_nation_counts",
+    tags=("unpivot", "reshape"),
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n FROM supplier GROUP BY 1
+    ),
+    wide AS (
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             coalesce(c.n, 0) AS n_customers,
+             coalesce(s.n, 0) AS n_suppliers
+      FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    )
+    SELECT nationkey, 'n_customers' AS metric, n_customers AS n FROM wide
+    UNION ALL
+    SELECT nationkey, 'n_suppliers' AS metric, n_suppliers AS n FROM wide
+    """,
+)
+def unpivot_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import join_full_outer_nation_counts
+
+    wide = join_full_outer_nation_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["nationkey"],
+        values=["n_customers", "n_suppliers"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+# --------------------------------------------------------------------------
+# explode_outer: null-preserving fan-out — rows whose array is empty
+# survive as a single NULL row (plain explode drops them). The array
+# here (tokens longer than 9 chars in p_name) is empty for many parts,
+# so both branches are exercised.
+@register(
+    "explode_outer_long_words",
+    tags=("array", "explode", "null-semantics"),
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_filter(string_split(p_name, ' '), w -> length(w) > 9) AS lw
+      FROM part
+    )
+    SELECT p_partkey, unnest(lw) AS long_word FROM t WHERE len(lw) > 0
+    UNION ALL
+    SELECT p_partkey, NULL AS long_word FROM t WHERE len(lw) = 0
+    """,
+)
+def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    lw = F.filter(F.split("p_name", " "), lambda w: F.length(w) > 9)
+    return p.select("p_partkey", F.explode_outer(lw).alias("long_word"))
