@@ -22,6 +22,9 @@ CASES = [
     "dedup_clusters",           # iterative label propagation
     "sample_hash_deterministic",
     "stream_session_counts",
+    "timeseries_ohlc",          # min_by/max_by composite-key argmin
+    "text_tfidf_top_terms",     # broadcast total + ranked window
+    "explode_outer_long_words", # null-preserving generator
 ]
 
 
