@@ -58,74 +58,38 @@ def register(
 # checks a bounded prefix of the query dict (observed: first 50), so
 # the prefix must rotate across rounds to cover the full registry:
 # round 1 verified the relational/window/function block (48/50 green);
-# this round fronts the §2d extension operators (dedup, similarity,
-# text, multimodal, pandas-UDF), the newly fixed queries, and the
-# round-1 plan-quality fixes that need re-verification. Names not
-# listed fall after, in registration order.
+# round 2 verified the §2d extension operators (40 green, 10 rows-only,
+# 0 failures). Round 3 closes the rotation: first the 10 oracle-paired
+# queries that have never had a driver row, then the plans changed this
+# round (need green re-verification), then any queries newly added this
+# round, then the r1-green relational/window/function block displaced
+# by round 2 (gives each a second green row). Names not listed fall
+# after, in registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- §2d extension operators (never driver-checked in round 1) --
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "pipeline_clean_corpus",
-    "dedup_survivors_window",
-    "similarity_topk_brute",
-    "dedup_embedding_cosine",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "embedding_norm_stats",
-    "text_token_stats",
-    "text_token_count_regex",
-    "text_quality_score",
-    "text_lang_id",
-    "text_top_bigrams",
-    "text_fingerprint",
-    "text_quality_ratios",
-    "text_repetition_stats",
-    "multimodal_binary_meta",
-    "multimodal_size_profile",
-    "multimodal_decode_features",
-    "udaf_applyinpandas_median",
-    "udf_mapinpandas_tokens",
-    "udf_scalar_log_value",
-    # -- new this round --
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "stream_interval_join",
-    "sample_hash_deterministic",
-    "sample_stratified_capped",
-    "pack_sequences_greedy",
-    "dedup_embedding_lsh",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "timeseries_rollup_hierarchy",
-    "timeseries_ohlc",
-    "timeseries_gapfill",
-    # -- round-1 failures / unchecked --
-    "approx_percentiles",
-    "agg_approx_count_distinct",
-    # -- plans changed this round: need green re-verification --
-    "q3_shipping_priority",
-    "q5_local_supplier_revenue",
-    "q10_returned_item_revenue",
-    "above_segment_avg_orders",
-    "try_cast_parsing",
-    "window_distribution",
-    "join_customer_orders",
-    "q18_large_orders",
+    # -- oracle-paired, never driver-checked (r1/r2 window displaced) --
     "join_full_outer_nation_counts",
     "histogram_event_values",
     "array_hof_functions",
-    # -- representative round-1 greens filling the window --
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "asof_join_last_click",
-    "join_left_outer_customer",
-    "join_semi_open_orders",
+    "window_range_frame",
+    "window_value_functions",
+    "unpivot_nation_counts",
+    "explode_outer_long_words",
+    "nested_case_matrix",
+    "exists_correlated_sql",
+    "text_tfidf_top_terms",
+    # -- plans changed in round 3: need green re-verification --
+    "similarity_topk_brute",
+    "dedup_embedding_cosine",
+    "embedding_norm_stats",
+    "window_distribution",
+    "stream_interval_join",
+    # -- queries newly added in round 3 --
+    "dedup_incremental_merge",
+    "join_salted_skew",
+    "text_zipf_head",
+    "embedding_centroid_by_bucket",
+    "funnel_view_click_purchase",
+    # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",
     "rollup_order_status",
@@ -135,6 +99,32 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "median_by_group",
     "listagg_priorities",
     "pivot_event_counts",
+    "filter_project_revenue",
+    "agg_count_distinct",
+    "distinct_flag_status",
+    "set_union_all_keys",
+    "set_intersect_keys",
+    "set_except_keys",
+    "sort_limit_top100",
+    "window_rank_dense",
+    "window_running_and_lag",
+    "window_moving_avg",
+    "month_count",
+    "error_branch_classify",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "json_extract_agg",
+    "interval_shift",
+    "agg_min_max_by",
+    "map_functions",
+    "regexp_normalize",
+    "array_map_explode",
+    "stats_aggregates",
+    "levenshtein_type_pairs",
+    "null_semantics",
+    "cross_join_regions",
+    "in_subquery_custkeys",
 )
 
 
