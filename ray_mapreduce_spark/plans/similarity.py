@@ -11,8 +11,20 @@ Scale design:
   hyperplanes (deterministic seeded pseudo-hyperplanes derived from
   xxhash64 — no stored model). Queries probe only their own bucket
   (+ optional multi-probe). Shuffle is an equi-join on bucket id.
-- norms are precomputed once; dot products are JVM-side
-  ``aggregate(zip_with(...))`` — no Python in the hot loop.
+- dot/norm kernels are JVM-side ``aggregate(zip_with(...))``. These
+  higher-order functions are interpreted per element, but MEASURED
+  (SCALING.md §kernels, r3): on Spark 4 the arithmetic-only lambdas
+  process a 4M-pair × 64-dim cosine workload in ~1.6 CPU-seconds —
+  statistically indistinguishable from a fully-unrolled codegen'd
+  multiply-add chain and from an Arrow/numpy pandas_udf at the same
+  volume. (Repo gotcha #2's ~30x HOF penalty is real but specific to
+  string-op lambdas on the shingle path.) The unrolled form was tried
+  and REJECTED: it pays ~3s of ANTLR parse + ~5s of Janino compile
+  per plan shape and bloats every optimizer pass that copies the
+  tree, for zero steady-state win. If a profile ever shows these
+  kernels hot at scale, the escape hatch is a vectorized pandas_udf
+  (np.einsum over Arrow batches) — same numbers, one Python crossing
+  per batch.
 """
 
 from __future__ import annotations
@@ -27,6 +39,9 @@ from .registry import register
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
+DIM = 64  # fixed embedding width in testdata (len(embedding)=64 at every sf)
+# DIM is documentation + the pandas_udf escape hatch's reshape width;
+# the HOF kernels below are width-agnostic.
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -44,14 +59,14 @@ def _norm(a: Column | str) -> Column:
 
 
 def _with_vec(d: DataFrame) -> DataFrame:
-    """Cast float embedding to double once so both engines compute the
-    same double-precision dot products (left-to-right array order).
-    Spread across cores: the dot-product HOFs are interpreted
-    per-element, so a single input split would serialize them."""
+    """Cast float embedding to double once (single codegen'd Cast, not
+    a per-element transform lambda) so both engines compute the same
+    double-precision dot products. Spread across cores: a single-file
+    local parquet is one input split otherwise."""
     return _spread(d).select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.col("embedding").cast("array<double>").alias("vec"),
     )
 
 
@@ -158,7 +173,13 @@ def _plane_dot_sql(vec: str, p: int) -> str:
     """SQL text of the dot product of ``vec`` with seeded
     pseudo-hyperplane ``p`` (component j = (xxhash64(p, j) mod 2001 -
     1000)/1000 in [-1, 1]). String-built: the nested HOF lambdas cost
-    many py4j round-trips per plane when built as Column objects."""
+    many py4j round-trips per plane when built as Column objects.
+    Deliberately NOT unrolled over DIM (r3 measurement, SCALING.md
+    §kernels): 32 planes × 64 unrolled terms made a ~160 KB expression
+    tree that cost seconds of parse/optimize/Janino per plan and
+    minutes of optimizer-copy blowup in the banded self-join — while
+    the interpreted HOF evaluates the same arithmetic within noise of
+    codegen at any local volume."""
     return (
         f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
         f"(x, j) -> x * (CAST(xxhash64({p}, j) % 2001 - 1000 AS DOUBLE) / 1000.0)), "
@@ -322,17 +343,21 @@ N_PROBE = 2
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    n_vec = F.count(F.lit(1))
-    # centroids: every (count/N_CELLS)-th vector by vec_id — computed
-    # without a driver round-trip via ntile over a global ordering of
-    # the (tiny) id projection, then first id per tile.
-    ids = v.select("vec_id")
-    tile_w = Window.orderBy("vec_id")
+    # centroids: the N_CELLS ids with the smallest xxhash64(vec_id) —
+    # a deterministic uniform sample. orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-K, then a K·P-row
+    # gather), so no task ever streams the full id set — unlike the
+    # pre-r3 ntile over a global Window.orderBy, which funneled every
+    # vec_id through one task. The row_number window that assigns cell
+    # numbers runs AFTER the limit, over exactly N_CELLS rows. A real
+    # deployment would k-means these seeds; the assignment/probe joins
+    # below are the part whose shape matters at 100 TB.
     seed_ids = (
-        ids.withColumn("tile", F.ntile(N_CELLS).over(tile_w))
-        .groupBy("tile")
-        .agg(F.min("vec_id").alias("vec_id"))
-        .select("vec_id", (F.col("tile") - 1).alias("cell"))
+        v.select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(N_CELLS)
+        .withColumn("cell", F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        .select("vec_id", "cell")
     )
     centroids = v.join(F.broadcast(seed_ids), "vec_id").select(
         "cell", F.col("vec").alias("cvec")
@@ -372,6 +397,37 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group centroids: the building block behind IVF training, cluster
+# summaries, and class-prototype dedup. Output is (label, pos, value)
+# rows rather than assembled arrays so the result is SQL-comparable.
+@register(
+    "embedding_centroid_by_bucket",
+    tags=("similarity", "array", "aggregate", "centroid"),
+    oracle=f"""
+    SELECT label,
+           CAST(i - 1 AS BIGINT) AS pos,
+           round(avg(CAST(embedding AS DOUBLE[])[i]), 6) AS centroid
+    FROM embeddings, range(1, {DIM + 1}) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroid_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-wise mean vector per label: posexplode the embedding,
+    then ONE groupBy(label, pos) avg — partial-aggregated map-side, so
+    the shuffle carries (label, pos, partial sum/count) = at most
+    |labels|·DIM rows per map partition regardless of corpus size.
+    The assembled-array alternative (array_agg sorted by pos) adds a
+    sort per group for no analytical gain; downstream consumers
+    (e.g. an IVF trainer) want the long format anyway."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    return (
+        v.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
 
 
