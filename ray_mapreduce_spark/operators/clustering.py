@@ -54,8 +54,17 @@ def connected_components(
         # materialize: every iteration joins against edges
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    # Initial labels = min over the CLOSED neighborhood (self + direct
+    # neighbors). The identity init ("comp = node") needs a distinct —
+    # a shuffle by node — anyway, so computing round 1's result inside
+    # that same aggregation is free and saves one full loop round
+    # (join + union + agg + checkpoint + convergence count). Near-dup
+    # clusters are clique-ish (diameter 1), so this init is usually
+    # already the fixpoint and the loop's first round just confirms it.
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("comp"))
     )
     changed = -1
     for _ in range(max_iters):

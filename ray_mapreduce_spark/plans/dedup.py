@@ -260,7 +260,7 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     array_min(transform(shingles, hash)))`` nested-HOF version is
     interpreted per element (higher-order functions skip whole-stage
     codegen) and measured ~30x slower. min() partial-aggregates
-    map-side, so the shuffle is one row of 64 longs per
+    map-side, so the shuffle is one row of N_HASHES (32) longs per
     (doc, partition)."""
     # Expression-string construction: one py4j call per column instead
     # of four (lit/xxhash64/min/alias) — plan BUILD time for wide agg
@@ -459,12 +459,21 @@ def dedup_simhash_pairs(
     oracle=None,
     tags=("dedup", "clustering", "iterative"),
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster, is_survivor) over minhash near-dup pairs."""
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, cluster, is_survivor) over near-dup pairs.
+
+    ``pairs`` lets a composing caller thread an already-computed (and
+    typically persisted/checkpointed) pair frame through instead of
+    re-running the LSH pipeline — connected_components eagerly
+    checkpoints its edge list, so whichever frame arrives here
+    executes its lineage exactly once either way."""
     from ..operators.clustering import dedup_cluster_survivors
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    if pairs is None:
+        pairs = dedup_minhash_pairs(spark, sf_dir)
     return dedup_cluster_survivors(d, pairs)
 
 
@@ -535,6 +544,63 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup: the shape every continuously-crawled
+# training corpus needs — a NEW batch of documents deduped against the
+# EXISTING corpus without ever re-processing the corpus itself.
+# Here the "batch" is doc_id % 5 == 0 (sf-proportional stand-in for
+# today's crawl); the rest is the standing corpus.
+@register(
+    "dedup_incremental_merge",
+    tags=("dedup", "exact", "incremental", "anti-join"),
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, lang, sha256(text) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT sha256(text) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.lang, b.h
+      FROM batch b ANTI JOIN corpus c ON b.h = c.h
+    )
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM fresh
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit only batch docs that are (a) not exact-dupes of any
+    standing-corpus doc — LEFT ANTI join on the sha256 digest — and
+    (b) first of their hash within the batch (min doc_id survives).
+
+    100 TB shape: the corpus side reduces to a DISTINCT digest set
+    (32-byte keys, built incrementally in a real deployment — e.g. a
+    bucketed digest table appended per crawl), the anti-join shuffles
+    digests never bodies, and the within-batch window only sees batch
+    rows. Nothing re-reads or re-hashes the standing corpus text
+    beyond the digest projection; with a digest table maintained at
+    ingest, each increment costs O(|batch|) + a digest-key join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = d.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    corpus_hashes = d.filter(F.pmod("doc_id", F.lit(5)) != 0).select("h").distinct()
+    fresh = batch.join(corpus_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
     )
 
 

@@ -143,8 +143,12 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = p.user_id
      AND p.event_type = 'purchase'
      AND c.event_type = 'click'
-     AND c.ts <= p.ts
-     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     -- CAST to micros TIMESTAMP: the Spark side truncates the
+     -- TIMESTAMP_NS source to micros (ts div 1000), so the oracle
+     -- must compare at the same precision or boundary rows that
+     -- differ only in sub-micro nanos would diverge (ADVICE r2).
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
     """,
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

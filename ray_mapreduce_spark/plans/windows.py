@@ -144,6 +144,16 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_local = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
     local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    # ``local`` feeds TWO branches (counts/offsets and the ranked join).
+    # Correctness — not just cost — requires both branches to see the
+    # SAME range partitioning: RangePartitioner samples its bounds with
+    # an RDD-id-derived seed, so two independent executions of the
+    # exchange could draw different partition boundaries and the
+    # _pid->offset mapping would silently corrupt the global ranks
+    # (gotcha #9: concurrent branches miss a lazy cache; ReusedExchange
+    # usually dedupes but AQE re-planning can break it). Materialize
+    # exactly once.
+    local = local.localCheckpoint(eager=True)
 
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
