@@ -50,3 +50,48 @@ def salted_aggregate(
     salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "_salt").agg(*aggs())
     return phase1.groupBy(*keys).agg(*combine())
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the (skewed) fact side, replicate the
+    dim side across the salt range, join on (key, salt).
+
+    For when the dim side is too big to broadcast AND a handful of hot
+    fact keys would pin single reducers: every hot key's rows spread
+    over ``n_salts`` reducers, at the cost of shuffling the dim side
+    ``n_salts``x — the classic trade when AQE's skew splitting can't
+    apply (e.g. the skewed side feeds from a shuffle AQE already
+    coalesced, or the join is inside a cached subtree). The result is
+    row-identical to the plain join: each fact row meets each matching
+    dim row exactly once (at its own salt).
+
+    ``how`` supports inner/left: the salt never drops fact rows. A
+    right/full variant would need unmatched-dim bookkeeping across
+    replicas — use the plain join there.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["_salt"] == replicated_dim["_salt"]),
+        how,
+    )
+    # re-project the callers' columns (both _salt columns dropped,
+    # parent-qualified so the shared name never resolves ambiguously)
+    return joined.select(
+        *[salted_fact[c] for c in fact.columns], *[replicated_dim[c] for c in dim.columns]
+    )

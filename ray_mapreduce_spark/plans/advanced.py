@@ -340,3 +340,80 @@ def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     lw = F.filter(F.split("p_name", " "), lambda w: F.length(w) > 9)
     return p.select("p_partkey", F.explode_outer(lw).alias("long_word"))
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: how many users progress view -> click -> purchase,
+# each stage strictly after the previous one. The product-analytics
+# staple (and the reference's per-key multi-stage reduce pattern
+# expressed declaratively).
+@register(
+    "funnel_view_click_purchase",
+    tags=("events", "funnel", "join", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT count(v.user_id)       AS n_view,
+           count(c.user_id)       AS n_view_click,
+           count(p.user_id)       AS n_view_click_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained conditional-min funnel: first view per user, first click
+    AFTER that view, first purchase AFTER that click, then one global
+    stage-count row.
+
+    Scale shape: every stage is a groupBy/join keyed on user_id, so
+    all four shuffles share one partitioning (AQE reuses the
+    exchange); stage frames only shrink (each is a subset of the
+    previous stage's users). No window over the full event stream, no
+    driver-side state. The final count row is a broadcast-free global
+    agg of three tiny-by-then frames."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )

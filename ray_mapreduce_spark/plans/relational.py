@@ -727,3 +727,36 @@ def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join, registered as an oracle-checked query: the salt is
+# pure execution strategy, so the result must be row-identical to the
+# plain equi-join — which is exactly what the oracle asserts.
+@register(
+    "join_salted_skew",
+    tags=("join", "skew", "salting"),
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*)                                  AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (fact) x customer (dim) via operators/skew.py::salted_join
+    — each hot custkey's orders spread over 16 reducers, customer rows
+    replicated 16x — then revenue per market segment. For when the dim
+    is too big to broadcast and a power-law fact key (one customer
+    placing a huge share of orders) would pin a single reducer; the
+    aggregate proves result-identity with the plain join."""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(o, c, "o_custkey", "c_custkey", n_salts=16)
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -427,3 +427,64 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "score", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf head: corpus-wide token frequency ranking. The classic sanity
+# check on a training corpus (a head that deviates wildly from a
+# power law usually means boilerplate or extraction bugs).
+@register(
+    "text_zipf_head",
+    tags=("text", "tokens", "topk"),
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS freq
+      FROM tok WHERE token <> ''
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freq
+    )
+    SELECT token, freq, rank,
+           round(CAST(freq AS DOUBLE) / max(freq) OVER (), 4) AS rel_freq
+    FROM ranked
+    WHERE rank <= 30
+    """,
+)
+def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens by corpus frequency with rank and frequency
+    relative to the head token.
+
+    Scale shape: explode + one partial-aggregated groupBy(token) —
+    shuffle carries (token, partial count), never documents — then
+    ``orderBy(...).limit(30)`` compiles to TakeOrderedAndProject
+    (per-partition top-30, a 30·P-row gather), so no global sort and
+    no single-task window over the full vocabulary. The rank/rel_freq
+    windows run AFTER the limit, over exactly 30 rows."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = freq.orderBy(F.col("freq").desc(), "token").limit(30)
+    w_rank = Window.orderBy(F.col("freq").desc(), "token")
+    return (
+        head.withColumn("rank", F.row_number().over(w_rank))
+        .withColumn(
+            "rel_freq",
+            F.round(
+                F.col("freq").cast("double") / F.max("freq").over(Window.partitionBy()),
+                4,
+            ),
+        )
+        .select("token", "freq", "rank", "rel_freq")
+    )
