@@ -90,11 +90,13 @@ def main() -> None:
 
     compat: dict[str, float] = {}
 
-    def best2(fn) -> float:
-        """Min of two runs (same noise-robust estimator as above);
-        the first run doubles as the warmup."""
+    def best2(fn, runs: int = 3) -> float:
+        """Min of three runs (the r2 driver trio was taken under
+        co-tenant CPU contention — the pure-python baseline itself
+        inflated 47% vs r1 — so the trio gets one more sample than
+        the headline queries); the first run doubles as the warmup."""
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             out = fn()
             best = min(best, time.perf_counter() - t0)
@@ -132,6 +134,22 @@ def main() -> None:
     )
     print(f"# reference 2M-record job: {compat}", file=sys.stderr)
 
+    # Solo-run sanity: the pure-python loop is a fixed workload whose
+    # solo time on this box is a recorded envelope (~0.70-0.90s; r1
+    # driver 0.76s, CLAUDE.md local solo runs). If it lands above the
+    # envelope the whole run is co-tenant-contended (gotcha #11) and
+    # EVERY number here — including the ratios — is inflated; flag it
+    # in the JSON so a reader doesn't mistake contention for regression.
+    contended = compat["python_single_process"] > 0.95
+    if contended:
+        print(
+            "# WARNING: python baseline "
+            f"{compat['python_single_process']:.2f}s exceeds the solo-run "
+            "envelope (~0.70-0.90s) — this run was CPU-contended; treat "
+            "all timings as upper bounds",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
     print(
@@ -143,6 +161,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reference_job_2m_records": compat,
+                "cpu_contended_run": contended,
             }
         )
     )

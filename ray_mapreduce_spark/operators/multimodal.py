@@ -47,17 +47,37 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def decode_features(blobs: DataFrame) -> DataFrame:
+def real_decoder_available() -> bool:
+    """True when a real image decoder (PIL) is importable — not in
+    this container, but the selection logic below is what ships."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_features(blobs: DataFrame, mode: str = "auto") -> DataFrame:
     """(doc_id, payload binary, mime) -> typed feature rows.
 
     Arrow-batched ``mapInPandas``: one Python worker call per batch,
     columnar transfer both ways. Failures land in ``decode_error``.
+
+    ``mode``: ``"auto"`` uses the REAL decoder (PIL) when importable
+    on the worker and the deterministic fake otherwise; ``"real"``
+    forces PIL (rows divert to ``decode_error`` if it's missing —
+    U11, never a job failure); ``"fake"`` forces the stub (what tests
+    pin). The output schema is identical on every path, so decoder
+    choice never changes the plan.
 
     The worker closure is fully self-contained (the decode logic is
     re-declared nested so cloudpickle ships it by value), so executors
     never need this package importable — robust to harnesses that
     launch Spark from a different cwd/PYTHONPATH.
     """
+    if mode not in ("auto", "real", "fake"):
+        raise ValueError(f"mode must be auto/real/fake, got {mode!r}")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl  # worker-side stdlib import
@@ -68,6 +88,41 @@ def decode_features(blobs: DataFrame) -> DataFrame:
                 raise ValueError("empty payload")
             h = _hl.sha256(payload).digest()
             return 64 + h[0] % 192, 64 + h[1] % 192, round(h[2] / 255.0, 6)
+
+        def make_real_decode():
+            import io as _io
+
+            from PIL import Image as _Image  # raises ImportError if absent
+
+            def real_decode(payload: bytes) -> tuple[int, int, float]:
+                if not payload:
+                    raise ValueError("empty payload")
+                img = _Image.open(_io.BytesIO(payload))
+                luma = img.convert("L")
+                hist = luma.histogram()  # 256 bins, no numpy needed
+                n_px = sum(hist) or 1
+                mean = sum(i * c for i, c in enumerate(hist)) / n_px / 255.0
+                return img.width, img.height, round(mean, 6)
+
+            return real_decode
+
+        if mode == "fake":
+            decode = fake_decode
+        elif mode == "real":
+            try:
+                decode = make_real_decode()
+            except ImportError as exc:
+                # forced-real without PIL: every row diverts (U11),
+                # the job itself never fails
+                _msg = f"real decoder unavailable: {exc}"
+
+                def decode(payload: bytes, _msg: str = _msg) -> tuple[int, int, float]:
+                    raise RuntimeError(_msg)
+        else:  # auto: prefer real, fall back to the fake
+            try:
+                decode = make_real_decode()
+            except ImportError:
+                decode = fake_decode
 
         for pdf in batches:
             out = {
@@ -81,7 +136,7 @@ def decode_features(blobs: DataFrame) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 try:
-                    w, hgt, luma = fake_decode(bytes(payload) if payload is not None else b"")
+                    w, hgt, luma = decode(bytes(payload) if payload is not None else b"")
                     out["width"].append(w)
                     out["height"].append(hgt)
                     out["mean_luma"].append(luma)

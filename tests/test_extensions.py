@@ -258,3 +258,30 @@ def test_multimodal_decode_error_branch(spark):
 
     w, h, luma = _fake_decode(b"ok-bytes")
     assert (rows[1]["width"], rows[1]["height"], rows[1]["mean_luma"]) == (w, h, luma)
+
+
+def test_multimodal_decoder_selection(spark):
+    """Decoder selection (r3): auto falls back to the fake when PIL is
+    absent (this container), forced-fake pins the stub values, and
+    forced-real without PIL diverts every row via U11 — identical
+    schema on every path, never a job failure."""
+    from ray_mapreduce_spark.operators.multimodal import (
+        _fake_decode,
+        decode_features,
+        real_decoder_available,
+    )
+
+    assert not real_decoder_available()  # container has no PIL
+    blobs = spark.createDataFrame(
+        [(1, b"ok-bytes", "image/fake")],
+        "doc_id: long, payload: binary, mime: string",
+    )
+    w, h, luma = _fake_decode(b"ok-bytes")
+    for mode in ("auto", "fake"):
+        row = decode_features(blobs, mode=mode).collect()[0]
+        assert (row["width"], row["height"], row["mean_luma"]) == (w, h, luma)
+        assert row["decode_error"] is None
+    forced = decode_features(blobs, mode="real").collect()[0]
+    assert forced["decode_error"] is not None
+    assert "unavailable" in forced["decode_error"]
+    assert forced["width"] == 0

@@ -151,3 +151,40 @@ def test_watermark_bounds_state(spark, sf_dir):
     assert sdf.isStreaming
     rows = _run_stream(spark, sdf, "t_wm")
     assert len(rows) > 0
+
+
+def test_streaming_run_matches_duckdb_oracle(spark, sf_dir):
+    """Closes the oracle loop for the streaming slice (r3): the driver
+    verifies the BATCH application of tumbling_counts against DuckDB;
+    here the genuinely STREAMING execution (readStream + availableNow)
+    is compared to that same DuckDB oracle — so the green driver row
+    certifies streaming semantics, not just the shared expression."""
+    import duckdb  # noqa: F401 - via testing helper
+
+    from ray_mapreduce_spark.plans.registry import all_queries
+    from ray_mapreduce_spark.testing import duckdb_connection
+
+    stream_rows = _run_stream(
+        spark, tumbling_counts(events_stream(spark, sf_dir)), "t_oracle_leg"
+    )
+    got = _sorted(
+        (r["win_start"], r["win_end"], r["event_type"], r["n"]) for r in stream_rows
+    )
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle = all_queries()["stream_tumbling_counts"].oracle
+        import datetime as dt
+
+        want = _sorted(
+            (
+                dt.datetime.fromtimestamp(s / 1e6, dt.timezone.utc).replace(tzinfo=None),
+                dt.datetime.fromtimestamp(e / 1e6, dt.timezone.utc).replace(tzinfo=None),
+                et,
+                n,
+            )
+            for s, e, et, n in con.execute(oracle).fetchall()
+        )
+    finally:
+        con.close()
+    assert len(got) > 0
+    assert got == want
