@@ -630,3 +630,57 @@ def dedup_survivors_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test decontamination: flag training docs sharing any word
+# 3-shingle with a held-out benchmark set (doc_id % 7 == 0 stands in
+# for the benchmark). THE pre-training hygiene op: a model must not
+# train on its own eval set.
+@register(
+    "decontaminate_ngram_overlap",
+    tags=("dedup", "decontamination", "ngram"),
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ])) AS s
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT s FROM shingled WHERE doc_id % 7 = 0
+    )
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM shingled t JOIN bench b ON t.s = b.s
+    WHERE t.doc_id % 7 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train doc_id, count of distinct 3-shingles shared with ANY
+    benchmark doc) for contaminated docs — a downstream filter drops
+    or quarantines them.
+
+    Scale shape: the inverted-index join from ngram_jaccard, one-sided:
+    shingles travel as 8-byte xxhash64 longs (collision odds ~1e-15 vs
+    the string oracle — same argument as _shingle_hashes), the
+    benchmark side reduces to a DISTINCT shingle-hash set (buildable
+    once per benchmark release and tiny relative to the corpus — in a
+    real deployment a broadcast or bucketed table), and the join never
+    enumerates doc pairs at all, only (train shingle x benchmark set)
+    matches aggregated per doc. No quadratic term anywhere."""
+    sh = _shingle_hashes(_spread(load_table(spark, sf_dir, "documents")))
+    bench = (
+        sh.filter(F.pmod("doc_id", F.lit(7)) == 0).select("s").distinct()
+    )
+    train = sh.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

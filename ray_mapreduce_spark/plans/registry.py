@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_zipf_head",
     "embedding_centroid_by_bucket",
     "funnel_view_click_purchase",
+    "decontaminate_ngram_overlap",
+    "text_redact_terms",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",

@@ -59,14 +59,17 @@ def _norm(a: Column | str) -> Column:
 
 
 def _with_vec(d: DataFrame) -> DataFrame:
-    """Cast float embedding to double once (single codegen'd Cast, not
-    a per-element transform lambda) so both engines compute the same
-    double-precision dot products. Spread across cores: a single-file
-    local parquet is one input split otherwise."""
+    """Widen the float embedding to double once so both engines
+    compute the same double-precision dot products (left-to-right
+    array order). transform(cast) vs a whole-array Cast measured
+    equal-or-better (r3 A/B: 0.78-0.90s vs 0.90-1.49s on the brute
+    query — array Cast is itself a per-element loop, not a memcpy).
+    Spread across cores: a single-file local parquet is one input
+    split otherwise."""
     return _spread(d).select(
         "vec_id",
         "label",
-        F.col("embedding").cast("array<double>").alias("vec"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
 
 

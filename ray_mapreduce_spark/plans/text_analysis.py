@@ -488,3 +488,39 @@ def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "freq", "rank", "rel_freq")
     )
+
+
+# --------------------------------------------------------------------------
+# Deny-list redaction: mask a blocklist of terms and count the hits —
+# the same machinery a production pipeline points at PII regexes
+# (emails/phones) or toxicity blocklists. The synthetic corpus has no
+# digits/emails, so the deny-list here is three common tokens; the
+# pattern is the only thing that changes for the real thing.
+_REDACT_PATTERN = r"\b(customer|spark|the)\b"
+
+
+@register(
+    "text_redact_terms",
+    tags=("text", "redaction", "regex"),
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS n_redacted,
+           sha256(regexp_replace(text, '{_REDACT_PATTERN}', '[REDACTED]', 'g'))
+             AS redacted_sha
+    FROM documents
+    """,
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + mask deny-listed terms per document; output the count
+    and the sha256 of the redacted text (hash, not body — the oracle
+    compares content without moving documents through the driver).
+    Scale shape: one narrow codegen'd projection, no shuffle at all —
+    redaction is embarrassingly parallel and runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_REDACT_PATTERN)).alias("n_redacted"),
+        F.sha2(F.regexp_replace("text", _REDACT_PATTERN, "[REDACTED]"), 256).alias(
+            "redacted_sha"
+        ),
+    )
