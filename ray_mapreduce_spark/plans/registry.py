@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "decontaminate_ngram_overlap",
     "text_redact_terms",
+    "sample_weighted_mixture",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",

@@ -193,3 +193,51 @@ def pack_sequences_greedy(
         return out
 
     return sharded.groupBy("lang", "_shard").applyInPandas(pack_shard, _PACK_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture sampling: per-source keep rates (the "books x3,
+# web x0.3" mixing table every pretraining recipe has), applied with
+# the same deterministic arithmetic hash as sample_hash_deterministic
+# so the mixture is reproducible and incremental-rebuild-stable.
+# Rates here: even-numbered sources keep 80%, odd keep 20%.
+@register(
+    "sample_weighted_mixture",
+    tags=("sampling", "mixture", "deterministic"),
+    oracle=f"""
+    WITH rates AS (
+      SELECT source, CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                          THEN 80 ELSE 20 END AS keep_pct
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE (d.doc_id * {_KNUTH}) % {_MOD} % 100 < r.keep_pct
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain downsampling: hash(doc_id) mod 100
+    compared against the domain's keep percentage.
+
+    Scale shape: the rate table is tiny (one row per domain) and
+    BROADCAST onto the corpus scan — the filter evaluates inside the
+    scan stage with no shuffle of corpus rows at all; changing the
+    mixture recipe re-runs only this map-side filter. Hash sampling
+    (not df.sample) keeps the selected set stable under
+    repartitioning AND monotone under rate increases: raising a
+    domain's rate from 20 to 30 keeps every previously-selected doc
+    (hash mod 100 < 20 implies < 30) — incremental corpus rebuilds
+    only ADD documents."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(80)
+            ).otherwise(F.lit(20)).alias("keep_pct"),
+        )
+    )
+    keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 100 < F.col("keep_pct")
+    return d.join(F.broadcast(rates), "source").filter(keep).select("doc_id", "source")

@@ -87,3 +87,23 @@ def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:
     with open(index_path) as fh:
         paths = [line.strip() for line in fh if line.strip()]
     return spark.read.text(paths)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source (one JSON object per line — the interchange
+    format most crawl/training corpora actually arrive in). Pass an
+    explicit ``schema`` in production: schema inference reads every
+    byte once before the real scan — a full extra pass at 100 TB; it
+    stays available here as the schemaless-convenience fallback.
+    ``multiline=True`` switches to whole-file JSON documents (each
+    file becomes one record scope — not splittable, so keep files
+    small in that mode)."""
+    r = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

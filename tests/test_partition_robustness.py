@@ -25,6 +25,10 @@ CASES = [
     "timeseries_ohlc",          # min_by/max_by composite-key argmin
     "text_tfidf_top_terms",     # broadcast total + ranked window
     "explode_outer_long_words", # null-preserving generator
+    "join_salted_skew",         # monotonically_increasing_id salt
+    "sample_weighted_mixture",  # broadcast rates + arithmetic hash
+    "funnel_view_click_purchase",  # chained conditional-min joins
+    "decontaminate_ngram_overlap",  # shingle window + inverted index
 ]
 
 

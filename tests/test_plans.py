@@ -138,3 +138,30 @@ def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, BinaryType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_mixture_sampling_is_broadcast_scan_filter(spark, sf_dir):
+    """sample_weighted_mixture must evaluate as a broadcast of the tiny
+    rate table onto the corpus scan — no shuffle of corpus rows."""
+    plan = _plan(spark, "sample_weighted_mixture", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_replicates_not_broadcasts_fact(spark, sf_dir):
+    """join_salted_skew joins on (key, salt): the fact side must not be
+    broadcast (the whole point is the dim side can't be), and the join
+    must be a real equi-join on the salted key pair."""
+    plan = _plan(spark, "join_salted_skew", sf_dir)
+    assert "_salt" in plan
+    # final agg partial+final as usual
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decontamination_has_no_cartesian(spark, sf_dir):
+    """The decontamination join must be an equi-join on the shingle
+    hash — any cartesian/nested-loop shape would be quadratic at
+    corpus scale."""
+    plan = _plan(spark, "decontaminate_ngram_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

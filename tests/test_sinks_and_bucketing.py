@@ -138,3 +138,20 @@ def test_pipeline_to_partitioned_sink_roundtrip(spark, sf_dir, tmp_path):
     one = back.filter(back.lang == expected[0][0])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """write_json -> read_jsonl with an explicit schema reproduces the
+    frame exactly (and inference-fallback agrees on this simple
+    schema)."""
+    from ray_mapreduce_spark.sources import load_table, read_jsonl
+    from ray_mapreduce_spark.sources.sinks import write_json
+
+    d = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = str(tmp_path / "region_jsonl")
+    write_json(d, path)
+    back = read_jsonl(spark, path, schema="r_regionkey bigint, r_name string")
+    want = sorted(tuple(r) for r in d.collect())
+    assert sorted(tuple(r) for r in back.select("r_regionkey", "r_name").collect()) == want
+    inferred = read_jsonl(spark, path)
+    assert sorted(tuple(r) for r in inferred.select("r_regionkey", "r_name").collect()) == want
