@@ -113,3 +113,47 @@ def udf_scalar_log_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("value") >= 0)
         .select("event_id", log1p_round("value").alias("log1p_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4) as a registered, ORACLE-CHECKED query — the
+# SQL-callable generator-map (reference map_fcn analog: 0..N rows per
+# input row; reference mapreduce.py:16,36-38). The lateral join below
+# is the declarative form of the shim's flatMap.
+@register(
+    "udtf_tokenize_lateral",
+    tags=("udf", "udtf", "lateral"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id, pos, token FROM t
+    """,
+)
+def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-join a Python UDTF over documents (doc_id < 50): one
+    output row per (doc, token position). UDTFs run row-at-a-time in
+    Python workers — fine for genuine generator semantics on a BOUNDED
+    slice (as here), but the 100 TB answer for plain tokenization is
+    the codegen'd explode(split(...)) in text_zipf_head; this query
+    exists to pin the UDTF surface itself against an oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class TokenizeRows:
+        def eval(self, text: str):
+            if not text:
+                return
+            for pos, token in enumerate(text.split(" ")):
+                yield (pos, token)
+
+    spark.udtf.register("tokenize_rows", TokenizeRows)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM _udtf_docs d, LATERAL tokenize_rows(d.text) t"
+    )

@@ -92,6 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram_overlap",
     "text_redact_terms",
     "sample_weighted_mixture",
+    "udtf_tokenize_lateral",
+    "pipeline_training_batch",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",

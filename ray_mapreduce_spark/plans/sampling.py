@@ -241,3 +241,116 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 100 < F.col("keep_pct")
     return d.join(F.broadcast(rates), "source").filter(keep).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# The composed SELECTION pipeline: domain mixture -> per-language
+# quality cap -> context-window packing -> per-bin stats. Unlike
+# pipeline_clean_corpus (iterative clustering inside => rows-only),
+# every stage here is deterministic and SQL-expressible, so the WHOLE
+# composition is oracle-checked end-to-end: mixture as the arithmetic
+# hash filter, the cap as a quality window, packing as the recursive
+# CTE replaying the same greedy fold.
+_TB_CAP = 50
+
+
+@register(
+    "pipeline_training_batch",
+    tags=("sampling", "packing", "pipeline", "mixture"),
+    oracle=f"""
+    WITH RECURSIVE rates AS (
+      SELECT source, CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                          THEN 80 ELSE 20 END AS keep_pct
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    picked AS (
+      SELECT d.doc_id, d.lang, d.text,
+             round(0.4 * least(len(string_split(d.text, ' ')) / 64.0, 1.0)
+                 + 0.4 * (len(list_distinct(string_split(lower(d.text), ' ')))
+                          / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+                 + 0.2 * least((CAST(length(d.text) AS DOUBLE)
+                                / len(string_split(d.text, ' '))) / 8.0, 1.0),
+                   4) AS quality
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE (d.doc_id * {_KNUTH}) % {_MOD} % 100 < r.keep_pct
+    ),
+    capped AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id
+             ) AS qrn
+      FROM picked
+    ),
+    t AS (
+      SELECT doc_id, lang, n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM capped WHERE qrn <= {_TB_CAP}
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tok, rn, 0 AS bin, n_tok AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.lang, t.n_tok, t.rn,
+             CASE WHEN p.fill + t.n_tok <= {PACK_CAPACITY}
+                  THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + t.n_tok <= {PACK_CAPACITY}
+                  THEN p.fill + t.n_tok ELSE t.n_tok END
+      FROM packed p
+      JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT lang, bin,
+           count(*)                   AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tok
+    FROM packed
+    GROUP BY lang, bin
+    """,
+)
+def pipeline_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture -> top-50 best-quality docs per
+    language -> greedy 2048-token packing -> per-(lang, bin)
+    doc/token counts: the selection half of a training-data build as
+    ONE composed plan, oracle-checked end-to-end.
+
+    Scale shape: the mixture filter runs at scan speed under a
+    broadcast rate table; the quality cap is one window shuffle on
+    lang; packing is the applyInPandas fold on the same lang
+    partitioning (AQE reuses the exchange); the stats agg is
+    partial-aggregated. Nothing in the composition adds a shuffle
+    beyond what the standalone stages pay, and the packing stage only
+    ever sees cap x |langs| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(80)
+            ).otherwise(F.lit(20)).alias("keep_pct"),
+        )
+    )
+    keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 100 < F.col("keep_pct")
+    picked = d.join(F.broadcast(rates), "source").filter(keep)
+
+    n_tok_c = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    n_ch = F.length("text")
+    quality = F.round(
+        0.4 * F.least(n_tok_c / F.lit(64.0), F.lit(1.0))
+        + 0.4 * (n_uniq.cast("double") / n_tok_c)
+        + 0.2 * F.least((n_ch.cast("double") / n_tok_c) / F.lit(8.0), F.lit(1.0)),
+        4,
+    )
+    w_q = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    capped = (
+        picked.withColumn("quality", quality)
+        .withColumn("qrn", F.row_number().over(w_q))
+        .filter(F.col("qrn") <= _TB_CAP)
+        .select("doc_id", "lang", n_tok_c.cast("int").alias("n_tok"))
+    )
+    packed = capped.groupBy("lang").applyInPandas(_pack_one_class, _PACK_SCHEMA)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tok"),
+    )

@@ -8,7 +8,7 @@ bucketed saveAsTable path for shuffle-free downstream joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(
@@ -52,3 +52,16 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other splittable columnar interchange format
+    Spark ships natively (some lakehouse stacks standardize on it)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC source: schema travels in the file footer (no inference
+    pass), predicate pushdown and column pruning work as with
+    parquet."""
+    return spark.read.orc(path)

@@ -155,3 +155,15 @@ def test_jsonl_round_trip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.select("r_regionkey", "r_name").collect()) == want
     inferred = read_jsonl(spark, path)
     assert sorted(tuple(r) for r in inferred.select("r_regionkey", "r_name").collect()) == want
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from ray_mapreduce_spark.sources import load_table
+    from ray_mapreduce_spark.sources.sinks import read_orc, write_orc
+
+    d = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = str(tmp_path / "nation_orc")
+    write_orc(d, path)
+    back = read_orc(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+    assert dict(back.dtypes) == dict(d.dtypes)  # schema from footer, no inference
