@@ -106,3 +106,43 @@ def test_pack_sharded_invariants(spark):
         assert total <= PACK_CAPACITY or len(members) == 1
         # bins never span shards: all members share doc_id % 4
         assert len({d % 4 for d, _ in members}) == 1
+
+
+def test_mixture_monotone_under_rate_increase(spark, sf_dir):
+    """Raising a domain's keep rate must keep every previously
+    selected doc (hash mod 100 < r1 implies < r2 for r2 > r1) — the
+    property that makes incremental corpus rebuilds append-only."""
+    from pyspark.sql import functions as F
+
+    from ray_mapreduce_spark.plans.sampling import _KNUTH, _MOD
+    from ray_mapreduce_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 100
+    low = {r["doc_id"] for r in d.filter(h < 20).select("doc_id").collect()}
+    high = {r["doc_id"] for r in d.filter(h < 35).select("doc_id").collect()}
+    assert low <= high
+    assert len(high) > len(low)  # the increase actually admits more
+
+
+def test_incremental_merge_admits_disjoint_and_idempotent(spark, sf_dir):
+    """Admitted batch docs must (a) collide with no standing-corpus
+    hash, (b) be hash-unique among themselves, and (c) be stable under
+    a rerun (determinism — same inputs, same admissions)."""
+    from pyspark.sql import functions as F
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.sources import load_table
+
+    spec = all_queries()["dedup_incremental_merge"]
+    admitted = {r["doc_id"] for r in spec.builder(spark, sf_dir).collect()}
+    again = {r["doc_id"] for r in spec.builder(spark, sf_dir).collect()}
+    assert admitted == again
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    rows = d.collect()
+    corpus_hashes = {r["h"] for r in rows if r["doc_id"] % 5 != 0}
+    admitted_hashes = [r["h"] for r in rows if r["doc_id"] in admitted]
+    assert not (set(admitted_hashes) & corpus_hashes)
+    assert len(admitted_hashes) == len(set(admitted_hashes))
