@@ -673,8 +673,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per benchmark release and tiny relative to the corpus — in a
     real deployment a broadcast or bucketed table), and the join never
     enumerates doc pairs at all, only (train shingle x benchmark set)
-    matches aggregated per doc. No quadratic term anywhere."""
-    sh = _shingle_hashes(_spread(load_table(spark, sf_dir, "documents")))
+    matches aggregated per doc. No quadratic term anywhere.
+
+    The shingle table feeds BOTH join branches (train side and the
+    benchmark distinct), and the r3 EXPLAIN audit showed the two
+    branches each re-running the full tokenize->window lineage (no
+    ReusedExchange — gotcha #9), so it is materialized once with an
+    eager localCheckpoint, same as pipeline_clean_corpus's survivor
+    set."""
+    sh = _shingle_hashes(
+        _spread(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=True)
     bench = (
         sh.filter(F.pmod("doc_id", F.lit(7)) == 0).select("s").distinct()
     )

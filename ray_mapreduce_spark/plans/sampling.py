@@ -229,6 +229,9 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash mod 100 < 20 implies < 30) — incremental corpus rebuilds
     only ADD documents."""
     d = load_table(spark, sf_dir, "documents")
+    # Deriving the rate table from DISTINCT source is testdata
+    # convenience (a column-pruned scan); a real deployment passes the
+    # mixing recipe as a literal/config table — zero corpus scans.
     rates = (
         d.select("source")
         .distinct()
