@@ -44,3 +44,27 @@ def test_result_invariant_under_shuffle_partitions(spark, sf_dir, name):
             assert got == baseline, f"{name} changed under shuffle.partitions={parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+AQE_CASES = [
+    "window_distribution",   # checkpointed range partitioning
+    "dedup_minhash_pairs",   # lazy-persist reuse under one job
+    "join_salted_skew",      # salted equi-join
+    "pipeline_training_batch",  # composed mixture->cap->pack
+]
+
+
+@pytest.mark.parametrize("name", AQE_CASES)
+def test_result_invariant_under_aqe_toggle(spark, sf_dir, name):
+    """AQE re-planning (coalescing, skew splits, runtime broadcast
+    conversion) is pure physical strategy — results must be identical
+    with it disabled."""
+    spec = all_queries()[name]
+    baseline = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = sorted(map(tuple, spec.builder(spark, sf_dir).collect()))
+        assert got == baseline, f"{name} changed with AQE disabled"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
