@@ -693,3 +693,65 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# Connected-components with an ORACLE: the iterative operator is
+# engine-agnostic math (comp = min reachable node), so running it over
+# the exact, SQL-expressible ngram-Jaccard pair source lets DuckDB
+# replay the whole thing as a recursive transitive closure — the
+# driver gets a hash-verified row for the ITERATIVE operator itself
+# (dedup_clusters stays rows-only because its minhash pair source is
+# engine-specific, not because clustering is).
+@register(
+    "dedup_clusters_exact",
+    tags=("dedup", "clustering", "iterative"),
+    oracle="""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT t.node, e.v AS r
+      FROM reach t JOIN edges e ON t.r = e.u
+    )
+    SELECT node AS doc_id, least(node, min(r)) AS cluster
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster) for every doc in at least one exact near-dup
+    pair; cluster = min reachable doc_id. Same iterative label
+    propagation as dedup_clusters (operators/clustering.py) — here
+    over the deterministic inverted-index pair source so the result
+    is engine-independent and hash-verified against DuckDB's
+    recursive closure."""
+    from ..operators.clustering import connected_components
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )

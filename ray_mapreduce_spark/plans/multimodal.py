@@ -71,11 +71,39 @@ def multimodal_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Decode + feature-extract pipeline (STUB decoder): mapInPandas over
-# binary payloads -> fixed-schema features. rows-only driver check;
-# exactness of the fake decoder pinned in pytest.
+# binary payloads -> fixed-schema features. The fake decoder derives
+# every feature from sha256(payload) (operators/multimodal.py), so
+# the WHOLE Arrow round-trip is oracle-checkable: DuckDB recomputes
+# width/height/luma from the same digest via hex-digit arithmetic
+# (upgraded from rows-only in r3 — this was the one partial row in
+# the r2 coverage table). mean_luma = h[2]/255 rounded to 6: k/255
+# never lands on a 6-decimal half-boundary (255·odd ≠ even), so
+# Python round and DuckDB round always agree.
+_HEXD = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+
+
+def _hex_byte(i: int) -> str:
+    """SQL for byte i (0-based) of the hex digest as an int."""
+    return f"16 * ({_HEXD.format(i=2 * i + 1)}) + ({_HEXD.format(i=2 * i + 2)})"
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           'image/fake' AS mime,
+           n_bytes,
+           CAST(64 + ({_hex_byte(0)}) % 192 AS INTEGER) AS width,
+           CAST(64 + ({_hex_byte(1)}) % 192 AS INTEGER) AS height,
+           round(({_hex_byte(2)}) / 255.0, 6) AS mean_luma,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM h
+    """,
     tags=("multimodal", "binary", "pandas-udf"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +115,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit("image/fake").alias("mime"),
     )
-    return decode_features(blobs)
+    # mode='fake' pins the registered query to the deterministic
+    # decoder so the oracle holds in ANY environment; production
+    # callers use the operator's mode='auto' (real PIL when present).
+    return decode_features(blobs, mode="fake")
 
 
 # Resize pipeline as a first-class query: binary in -> binary out via

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_norm_stats",
     "window_distribution",
     "stream_interval_join",
+    "multimodal_decode_features",  # r3: upgraded rows-only -> oracle
     # -- queries newly added in round 3 --
     "dedup_incremental_merge",
     "join_salted_skew",
@@ -94,6 +95,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_weighted_mixture",
     "udtf_tokenize_lateral",
     "pipeline_training_batch",
+    "dedup_clusters_exact",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",

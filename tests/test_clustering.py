@@ -135,3 +135,24 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
         assert got == expected, f"seed {seed}: component mismatch"
+
+
+def test_connected_components_empty_pairs(spark):
+    """Zero near-dup pairs (a clean corpus) must yield an empty label
+    frame without touching the iteration loop's failure path."""
+    from ray_mapreduce_spark.operators.clustering import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_cluster_survivors_all_singletons(spark):
+    """With no pairs at all, every doc is its own cluster and every
+    doc survives — the coalesce(comp, doc_id) fallback path."""
+    from ray_mapreduce_spark.operators.clustering import dedup_cluster_survivors
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_cluster_survivors(docs, pairs).collect()}
+    assert len(rows) == 3
+    assert all(r["is_survivor"] and r["cluster"] == k for k, r in rows.items())
