@@ -65,3 +65,34 @@ def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     pass), predicate pushdown and column pruning work as with
     parquet."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    shuffle: bool = True,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_mb``-sized files; returns the output file count.
+
+    The 100 TB maintenance op: streaming sinks and fine-grained
+    ingestion leave thousands of KB-scale files per partition, and
+    scan startup cost is per-file — compaction restores scan
+    throughput. File count = ceil(input bytes / target), sized from
+    the scan's own statistics (file-footer based; no data pass).
+    ``shuffle=True`` repartitions for evenly-sized output (full
+    shuffle — the default, since compaction jobs are about layout);
+    ``shuffle=False`` coalesces instead (no shuffle, but file sizes
+    inherit input skew). Writes to a NEW directory — swap-in belongs
+    to the caller's metastore/manifest layer, keeping the rewrite
+    atomic-by-rename like every serious table format does."""
+    import math
+
+    df = spark.read.parquet(src)
+    size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, math.ceil(size_bytes / (target_mb * 1024 * 1024)))
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.write.mode("overwrite").parquet(dst)
+    return len([f for f in spark.read.parquet(dst).inputFiles()])

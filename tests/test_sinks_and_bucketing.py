@@ -167,3 +167,28 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     back = read_orc(spark, path).select("n_nationkey", "n_name", "n_regionkey")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
     assert dict(back.dtypes) == dict(d.dtypes)  # schema from footer, no inference
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from ray_mapreduce_spark.sources import load_table
+    from ray_mapreduce_spark.sources.sinks import compact_parquet
+
+    d = load_table(spark, sf_dir, "orders").repartition(64)
+    src = str(tmp_path / "fragmented")
+    d.write.parquet(src)
+    n_in = len(spark.read.parquet(src).inputFiles())
+    assert n_in >= 32  # genuinely fragmented
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_mb=256)
+    assert n_out < n_in / 4
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == a.count()
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+
+    # no-shuffle variant also preserves content
+    dst2 = str(tmp_path / "compacted2")
+    n2 = compact_parquet(spark, src, dst2, target_mb=256, shuffle=False)
+    assert n2 < n_in / 4
+    assert spark.read.parquet(dst2).count() == a.count()
