@@ -192,3 +192,29 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     n2 = compact_parquet(spark, src, dst2, target_mb=256, shuffle=False)
     assert n2 < n_in / 4
     assert spark.read.parquet(dst2).count() == a.count()
+
+
+def test_manifest_text_datasource(spark, tmp_path):
+    """The reference's multi-file manifest ingestion as a registered
+    Spark 4 Python DataSource: one partition per listed file,
+    driver reads only the index."""
+    from ray_mapreduce_spark.sources.pydatasource import register_manifest_source
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text("".join(f"file{i}-line{j}\n" for j in range(5)))
+        files.append(str(p))
+    index = tmp_path / "index.txt"
+    index.write_text("\n".join(files) + "\n")
+
+    register_manifest_source(spark)
+    df = spark.read.format("manifest_text").option("index", str(index)).load()
+    rows = df.collect()
+    assert len(rows) == 15
+    assert df.rdd.getNumPartitions() == 3  # one partition per listed file
+    got = {(r["path"], r["line_no"], r["value"]) for r in rows}
+    assert (files[1], 2, "file1-line2") in got
+    # composes with ordinary DataFrame ops
+    per_file = {r["path"]: r["n"] for r in df.groupBy("path").count().withColumnRenamed("count", "n").collect()}
+    assert per_file == {f: 5 for f in files}
