@@ -417,3 +417,63 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_view_click_purchase"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted at
+# each later week offset — the other product-analytics staple next to
+# the funnel. Week offsets computed as day-diff/7 over week-truncated
+# timestamps (exact integer in both engines; DuckDB's
+# date_diff('week') counts boundary crossings and would diverge).
+@register(
+    "events_retention_cohorts",
+    tags=("events", "cohort", "aggregate"),
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  date_trunc('week', CAST(e.ts AS TIMESTAMP))) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           count(*) AS n_users
+    FROM a
+    GROUP BY cohort, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort week, week offset) -> distinct active users.
+
+    Scale shape: first-activity via one groupBy(user_id) min; the
+    activity join is keyed on user_id (same partitioning, AQE reuses
+    the exchange); the DISTINCT collapses (user, cohort, offset)
+    before the final partial-aggregated count — so the wide shuffle
+    carries at most one row per user-week, never raw events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_tokenize_lateral",
     "pipeline_training_batch",
     "dedup_clusters_exact",
+    "events_retention_cohorts",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",
