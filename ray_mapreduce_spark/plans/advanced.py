@@ -477,3 +477,45 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_users",
     )
+
+
+# --------------------------------------------------------------------------
+# Z-score outlier detection: values beyond 2.5 sample standard
+# deviations of their event_type's mean — the data-quality screen a
+# pipeline runs before trusting a numeric column.
+@register(
+    "events_zscore_outliers",
+    tags=("events", "stats", "outliers"),
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS value,
+           round((e.value - s.m) / s.sd, 4) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.m) / s.sd) >= 2.5
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-scores via ONE partial-aggregated groupBy producing
+    a |event_types|-row stats frame, broadcast back onto the scan —
+    the screening filter evaluates map-side with no shuffle of event
+    rows (the window-function formulation would shuffle the whole
+    table by event_type instead)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

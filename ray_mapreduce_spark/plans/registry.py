@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_training_batch",
     "dedup_clusters_exact",
     "events_retention_cohorts",
+    "events_zscore_outliers",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",
