@@ -519,3 +519,64 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): gap-free month spine between
+# the first and last order, with per-month counts. The recursion is
+# LINEAR (one row per month — depth = month span, no fan-out), which
+# is the shape recursive SQL is safe for at scale; cyclic/graph
+# recursion stays in the iterative DataFrame operator
+# (operators/clustering.py) because Spark recursion supports UNION ALL
+# only and a cycle would never terminate.
+@register(
+    "sql_recursive_month_spine",
+    tags=("sql", "recursive-cte", "timeseries"),
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT lo AS m, hi FROM bounds
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+    ),
+    cnt AS (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           coalesce(c.n, 0) AS n_orders
+    FROM spine s LEFT JOIN cnt c ON s.m = c.m
+    """,
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same recursive SQL on both engines (modulo date formatting
+    dialect) — pins Spark 4's WITH RECURSIVE surface against DuckDB.
+    The spine frame is |months| rows however large orders gets; the
+    real work is the one partial-aggregated month count."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rs_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi
+          FROM _rs_orders
+        ),
+        spine AS (
+          SELECT lo AS m, hi FROM bounds
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
+        ),
+        cnt AS (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+          FROM _rs_orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               coalesce(c.n, 0) AS n_orders
+        FROM spine s LEFT JOIN cnt c ON s.m = c.m
+        """
+    )
