@@ -436,3 +436,42 @@ def array_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("palindrome_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse the JSON props column
+# into VARIANT once, extract typed fields with variant_get — the
+# open-schema ingestion path for event payloads whose shape drifts
+# (new keys appear without migrations; extraction is late-bound and
+# typed at query time). DuckDB mirrors with its JSON extraction.
+@register(
+    "variant_props_extract",
+    tags=("json", "variant", "aggregate"),
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+      count(*) AS n,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        AS sum_k,
+      round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props -> VARIANT -> typed bigint extraction -> aggregate. At
+    scale the parse_json cost is paid once per row in the scan
+    projection and the shuffle carries only the extracted group key
+    and partial aggregates; a real deployment stores the VARIANT
+    column at ingest so queries skip the parse entirely."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )

@@ -99,6 +99,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_retention_cohorts",
     "events_zscore_outliers",
     "sql_recursive_month_spine",
+    "variant_props_extract",
     # -- r1-green block displaced by round 2 (second green row) --
     "join_anti_no_big_order",
     "join_range_price_band",
