@@ -29,6 +29,9 @@ CASES = [
     "sample_weighted_mixture",  # broadcast rates + arithmetic hash
     "funnel_view_click_purchase",  # chained conditional-min joins
     "decontaminate_ngram_overlap",  # shingle window + inverted index
+    "events_retention_cohorts",     # cohort join + distinct
+    "sql_recursive_month_spine",    # recursive CTE execution
+    "variant_props_extract",        # VARIANT parse/extract
 ]
 
 
