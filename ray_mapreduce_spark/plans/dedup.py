@@ -509,6 +509,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
         + 0.4 * (n_uniq.cast("double") / n_tok)
         + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
+        + F.lit(1e-9)  # half-boundary guard, same as text_quality_score
     )
     scored = d.withColumn("quality", F.round(quality, 4)).filter(F.col("quality") >= 0.5)
 

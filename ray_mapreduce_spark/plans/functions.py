@@ -232,24 +232,40 @@ def interval_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# min_by/max_by (argmin/argmax) aggregates.
+# min_by/max_by (argmin/argmax) aggregates. The ordering key is the
+# COMPOSITE (value, event_id): plain min_by/max_by on value alone is
+# nondeterministic under ties, and the r3 sf0.1 sweep caught exactly
+# that (duplicate values appear at 10x the data and each engine picked
+# a different event). Spark expresses the composite with a struct key;
+# DuckDB's arg_min/arg_max take scalar keys only, so the oracle spells
+# the same semantics as rank-1 rows of two windows.
 @register(
     "agg_min_max_by",
     tags=("aggregate",),
     oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC
+             ) AS rn_min,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id DESC
+             ) AS rn_max
+      FROM events
+    )
     SELECT event_type,
-           arg_max(event_id, value) AS max_value_event,
-           arg_min(event_id, value) AS min_value_event,
-           round(max(value), 4)     AS max_value
-    FROM events
+           max(CASE WHEN rn_max = 1 THEN event_id END) AS max_value_event,
+           max(CASE WHEN rn_min = 1 THEN event_id END) AS min_value_event,
+           round(max(value), 4) AS max_value
+    FROM r
     GROUP BY event_type
     """,
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.max_by("event_id", "value").alias("max_value_event"),
-        F.min_by("event_id", "value").alias("min_value_event"),
+        F.max_by("event_id", F.struct("value", "event_id")).alias("max_value_event"),
+        F.min_by("event_id", F.struct("value", "event_id")).alias("min_value_event"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
 

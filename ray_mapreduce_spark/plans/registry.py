@@ -84,6 +84,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "stream_interval_join",
     "multimodal_decode_features",  # r3: upgraded rows-only -> oracle
+    "agg_min_max_by",  # r3: deterministic composite tie-break (sf0.1 sweep)
+    "text_quality_score",  # r3: half-boundary guard (sf0.1 sweep)
+    "sample_stratified_capped",  # r3: same guard in the cap ordering
+    "pack_sequences_greedy",  # unchanged but shares sampling module lineage
     # -- queries newly added in round 3 --
     "dedup_incremental_merge",
     "join_salted_skew",

@@ -68,16 +68,16 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.4 * (len(list_distinct(string_split(lower(text), ' ')))
                           / CAST(len(string_split(text, ' ')) AS DOUBLE))
                  + 0.2 * least((CAST(length(text) AS DOUBLE)
-                                / len(string_split(text, ' '))) / 8.0, 1.0),
-                   4) AS quality,
+                                / len(string_split(text, ' '))) / 8.0, 1.0)
+                 + 1e-9, 4) AS quality,
              row_number() OVER (
                PARTITION BY lang
                ORDER BY round(0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
                  + 0.4 * (len(list_distinct(string_split(lower(text), ' ')))
                           / CAST(len(string_split(text, ' ')) AS DOUBLE))
                  + 0.2 * least((CAST(length(text) AS DOUBLE)
-                                / len(string_split(text, ' '))) / 8.0, 1.0),
-                   4) DESC, doc_id
+                                / len(string_split(text, ' '))) / 8.0, 1.0)
+                 + 1e-9, 4) DESC, doc_id
              ) AS rn
       FROM documents
     )
@@ -94,10 +94,12 @@ def sample_stratified_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(F.split("text", " "))
     n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
     n_ch = F.length("text")
+    # +1e-9 pre-round: exact half-boundary guard (see text_quality_score)
     quality = F.round(
         0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
         + 0.4 * (n_uniq.cast("double") / n_tok)
-        + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0)),
+        + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
+        + F.lit(1e-9),
         4,
     )
     w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
@@ -272,8 +274,8 @@ _TB_CAP = 50
                  + 0.4 * (len(list_distinct(string_split(lower(d.text), ' ')))
                           / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
                  + 0.2 * least((CAST(length(d.text) AS DOUBLE)
-                                / len(string_split(d.text, ' '))) / 8.0, 1.0),
-                   4) AS quality
+                                / len(string_split(d.text, ' '))) / 8.0, 1.0)
+                 + 1e-9, 4) AS quality
       FROM documents d JOIN rates r ON d.source = r.source
       WHERE (d.doc_id * {_KNUTH}) % {_MOD} % 100 < r.keep_pct
     ),
@@ -339,10 +341,12 @@ def pipeline_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok_c = F.size(F.split("text", " "))
     n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
     n_ch = F.length("text")
+    # +1e-9 pre-round: exact half-boundary guard (see text_quality_score)
     quality = F.round(
         0.4 * F.least(n_tok_c / F.lit(64.0), F.lit(1.0))
         + 0.4 * (n_uniq.cast("double") / n_tok_c)
-        + 0.2 * F.least((n_ch.cast("double") / n_tok_c) / F.lit(8.0), F.lit(1.0)),
+        + 0.2 * F.least((n_ch.cast("double") / n_tok_c) / F.lit(8.0), F.lit(1.0))
+        + F.lit(1e-9),
         4,
     )
     w_q = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")

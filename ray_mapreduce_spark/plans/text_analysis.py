@@ -113,7 +113,7 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.4 * least(n_tok / 64.0, 1.0)
            + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
            + 0.2 * least((CAST(n_ch AS DOUBLE) / n_tok) / 8.0, 1.0)
-           , 4) AS quality
+           + 1e-9, 4) AS quality
     FROM t
     """,
 )
@@ -127,7 +127,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * (n_uniq.cast("double") / n_tok)
         + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
     )
-    return d.select("doc_id", "lang", F.round(quality, 4).alias("quality"))
+    # +1e-9 before rounding on BOTH sides: the quality rational can land
+    # EXACTLY on a 4-decimal half-boundary (r3 sf0.1 sweep caught
+    # 0.53375 rounding differently per engine); the bias pushes exact
+    # boundaries consistently up, and no corpus value sits within 1e-9
+    # BELOW a boundary, so nothing else moves.
+    return d.select("doc_id", "lang", F.round(quality + F.lit(1e-9), 4).alias("quality"))
 
 
 # --------------------------------------------------------------------------
