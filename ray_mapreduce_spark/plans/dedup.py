@@ -21,7 +21,6 @@ Five dedup families, each with the scale rationale that matters at
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -280,17 +279,19 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     frame with doc_id/lang/text) — emits pairs with jaccard >= 0.6.
 
     The shingle table feeds BOTH the signature stage and the verify
-    stage, so it is persisted (computed once; the round-1 version
-    rebuilt the whole tokenize->window->distinct lineage twice and it
-    dominated the query's cost). At cluster scale the persist would be
-    MEMORY_AND_DISK on executors exactly as here — shingles are 8-byte
-    longs, ~doc_len rows per doc.
+    stage, so it is localCheckpoint'ed (computed once; the round-1
+    version rebuilt the whole tokenize->window->distinct lineage twice
+    and it dominated the query's cost). Checkpoint, not lazy persist:
+    two branches of ONE plan can both miss a not-yet-filled cache and
+    execute the lineage twice (CLAUDE.md gotcha #9) — truncating the
+    lineage makes the reuse structural. Shingles are 8-byte longs,
+    ~doc_len rows per doc, so the materialized block is small.
 
     Spreads its input first: the tokenize/explode stage is narrow, so
     it inherits the input partitioning — an upstream AQE-coalesced or
     single-split frame would serialize the per-token hashing onto one
     or two cores (CLAUDE.md gotcha #6)."""
-    sh = _shingle_hashes(_spread(docs)).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingle_hashes(_spread(docs)).localCheckpoint(eager=False)
     sigs = _signatures_from_shingles(sh)
 
     # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
@@ -328,9 +329,10 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        # two consumers below (id semi-join + payload rejoin): persist
-        # the tiny pair list rather than re-running the band self-join
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # two consumers below (id semi-join + payload rejoin):
+        # checkpoint the tiny pair list rather than re-running the band
+        # self-join — lazy persist can double-execute (gotcha #9)
+        .localCheckpoint(eager=False)
     )
     # Verify stage: rejoin shingle-hash sets for the candidates only
     # (long arrays, not text — candidate count is tiny post-banding).

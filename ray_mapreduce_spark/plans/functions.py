@@ -425,9 +425,9 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string([CAST(length(w) AS VARCHAR) FOR w IN words], ',')
                                                               AS word_lens,
            len(list_filter(words, w -> length(w) > 5))        AS n_long,
-           list_sum([length(w) FOR w IN words])               AS total_len,
-           list_sum([length(x[1] || x[2]) FOR x IN list_zip(words, list_reverse(words))])
-                                                              AS palindrome_len
+           CAST(list_sum([length(w) FOR w IN words]) AS BIGINT) AS total_len,
+           CAST(list_sum([length(x[1] || x[2]) FOR x IN list_zip(words, list_reverse(words))])
+                AS BIGINT)                                    AS palindrome_len
     FROM t
     """,
 )
@@ -445,12 +445,19 @@ def array_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long"),
         F.aggregate(
             F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-        ).alias("total_len"),
+        )
+        # DuckDB list_sum over INT lists yields DOUBLE; both engines export
+        # BIGINT so the driver's typed value hash agrees (pairing rule #3 —
+        # this exact query was r3's one red row).
+        .cast("bigint")
+        .alias("total_len"),
         F.aggregate(
             F.zip_with(words, F.reverse(words), lambda a, b: F.length(F.concat(a, b))),
             F.lit(0),
             lambda a, x: a + x,
-        ).alias("palindrome_len"),
+        )
+        .cast("bigint")
+        .alias("palindrome_len"),
     )
 
 

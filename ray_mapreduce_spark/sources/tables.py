@@ -35,21 +35,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan automatically because callers compose DataFrame ops on the
     returned frame (check ``.explain``: PushedFilters / ReadSchema).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long (legacy conf,
-    runtime-settable) and rebuild a micros timestamp column so every
-    plan sees a plain TimestampType. ``ts div 1000`` stays in integer
+    ``events.ts`` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+    1-4) and TIMESTAMP(MICROS) (round 5 regeneration), so the loader
+    branches on what the scan actually produces rather than assuming a
+    generation. Nanos: Spark's vectorized reader rejects the physical
+    type, so we read nanos as long (legacy conf, runtime-settable) and
+    rebuild a micros timestamp. ``ts div 1000`` stays in integer
     arithmetic — nanos since epoch (~8e17) overflow a double's 53-bit
     mantissa, so a float division here would corrupt timestamps.
+    Micros: arrives as TIMESTAMP_NTZ; cast to the session-TZ (UTC)
+    TimestampType so every downstream plan sees one stable type across
+    data generations.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
+        # Harmless when the file is micros — the conf only affects NANOS.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -25,9 +25,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Explicit schema (streaming sources require one). ts arrives as
-# parquet TIMESTAMP(NANOS) -> read as long (legacy conf) and rebuilt
-# as a micros timestamp, same as the batch path in sources/tables.py.
+# Explicit schema (streaming sources require one). The ts physical
+# type has shipped as BOTH TIMESTAMP(NANOS) (rounds 1-4: read as long
+# via legacy conf, rebuilt as micros) and TIMESTAMP(MICROS) (round 5
+# regeneration) — ``_events_raw_schema`` picks per data generation by
+# probing the parquet footer, same dual-generation handling as the
+# batch path in sources/tables.py.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -40,18 +43,43 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """One batch-read of the footer schema (no data scan): nanos files
+    surface ts as bigint under the legacy conf, micros as a timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return dict(probe.dtypes)["ts"] == "bigint"
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (one-file directory glob). The driver
     data is static, so tests run with trigger(availableNow=True) —
     the stream processes the backlog and stops."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _events_ts_is_nanos(spark, sf_dir):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")  # dir holds all tables
+            .load(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql.types import TimestampNTZType
+
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampNTZType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")  # dir holds all tables
+        .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

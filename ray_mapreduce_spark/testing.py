@@ -52,14 +52,19 @@ def _sort_key(row: tuple) -> tuple:
 def _values_equal(a: Any, b: Any) -> bool:
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
+    a_float = isinstance(a, float)
+    b_float = isinstance(b, float)
+    if a_float or b_float:
+        # The driver hashes TYPED values: an integral 9 on one engine and a
+        # DOUBLE 9.0 on the other hash-mismatch even though they compare
+        # numerically equal. r3's array_hof red row slipped through the old
+        # coerce-both-to-float comparator — the local gate must be at least
+        # as strict as the driver, so cross-type drift is a failure.
+        if a_float != b_float:
             return False
-        if math.isnan(af) and math.isnan(bf):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-9)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     return a == b
 
 

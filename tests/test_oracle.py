@@ -40,3 +40,19 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+def test_values_equal_rejects_int_float_type_drift():
+    """Regression for r3's array_hof_functions red row: DuckDB list_sum
+    returned DOUBLE 9.0 while Spark returned INT 9. The driver hashes
+    typed values so that mismatches; the old comparator coerced both to
+    float and passed. The local gate must be at least as strict."""
+    from ray_mapreduce_spark.testing import _values_equal
+
+    assert not _values_equal(9, 9.0)
+    assert not _values_equal(9.0, 9)
+    assert _values_equal(9, 9)
+    assert _values_equal(9.0, 9.0)
+    assert _values_equal(9.0, 9.0 + 1e-12)
+    assert _values_equal(float("nan"), float("nan"))
+    assert not _values_equal(None, 0.0)
+    assert _values_equal(None, None)
