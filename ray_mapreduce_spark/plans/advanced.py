@@ -382,17 +382,29 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER that view, first purchase AFTER that click, then one global
     stage-count row.
 
-    Scale shape: every stage is a groupBy/join keyed on user_id, so
-    all four shuffles share one partitioning (AQE reuses the
-    exchange); stage frames only shrink (each is a subset of the
-    previous stage's users). No window over the full event stream, no
-    driver-side state. The final count row is a broadcast-free global
-    agg of three tiny-by-then frames."""
+    Scale shape: every stage is a groupBy/join keyed on user_id; stage
+    frames only shrink (each is a subset of the previous stage's
+    users). No window over the full event stream, no driver-side
+    state. The final count row is a broadcast-free global agg of three
+    tiny-by-then frames.
+
+    v and c are each referenced by TWO downstream consumers (the next
+    stage's join + the final funnel join), and exchange reuse does NOT
+    rescue the duplicated lineage: Catalyst pushes the join's
+    IsNotNull(user_id) into one branch's scan but not the other's, so
+    the subtrees canonicalize differently and ReuseExchange never
+    matches (measured: 6 events scans, 0 ReusedExchange). The fix is
+    gotcha #9's: localCheckpoint(eager=True) the per-user stage
+    aggregates — they are at most one row per surviving user, orders
+    of magnitude smaller than events, so materializing them is cheap
+    at any scale and collapses the plan to exactly ONE scan per event
+    type (3 total, each with its event_type filter pushed)."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -400,6 +412,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -453,10 +466,15 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cohort week, week offset) -> distinct active users.
 
     Scale shape: first-activity via one groupBy(user_id) min; the
-    activity join is keyed on user_id (same partitioning, AQE reuses
-    the exchange); the DISTINCT collapses (user, cohort, offset)
-    before the final partial-aggregated count — so the wide shuffle
-    carries at most one row per user-week, never raw events."""
+    activity join is keyed on user_id; the DISTINCT collapses (user,
+    cohort, offset) before the final partial-aggregated count — so the
+    wide shuffle carries at most one row per user-week, never raw
+    events. The shared base ``e`` IS scanned twice (once under f's
+    groupBy, once as the join probe) — deliberately NOT checkpointed:
+    ``e`` is the full 2-column projection of events, so materializing
+    it would write the whole corpus to executor storage, strictly
+    worse at 100 TB than two pruned columnar scans (ReadSchema is
+    2 of 6 columns; the scans are the cheap part of this plan)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     )

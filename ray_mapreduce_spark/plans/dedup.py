@@ -291,7 +291,7 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     it inherits the input partitioning — an upstream AQE-coalesced or
     single-split frame would serialize the per-token hashing onto one
     or two cores (CLAUDE.md gotcha #6)."""
-    sh = _shingle_hashes(_spread(docs)).localCheckpoint(eager=False)
+    sh = _shingle_hashes(_spread(docs)).localCheckpoint(eager=True)
     sigs = _signatures_from_shingles(sh)
 
     # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
@@ -331,8 +331,10 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
         .dropDuplicates(["doc_a", "doc_b"])
         # two consumers below (id semi-join + payload rejoin):
         # checkpoint the tiny pair list rather than re-running the band
-        # self-join — lazy persist can double-execute (gotcha #9)
-        .localCheckpoint(eager=False)
+        # self-join — a lazy checkpoint only truncates lineage after the
+        # first job, so concurrent branches of the one action can still
+        # double-execute (gotcha #9 prescribes eager)
+        .localCheckpoint(eager=True)
     )
     # Verify stage: rejoin shingle-hash sets for the candidates only
     # (long arrays, not text — candidate count is tiny post-banding).
@@ -523,7 +525,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The survivor set feeds TWO consumers (the LSH stage below and the
     # final cluster join) — localCheckpoint materializes it once and
     # keeps the quality+window lineage from re-executing per consumer.
-    exact = exact.localCheckpoint(eager=False)
+    exact = exact.localCheckpoint(eager=True)
 
     # 3. near-dup pairs (minhash LSH) computed ON the surviving set —
     # not on the full corpus then filtered: the LSH stages never touch

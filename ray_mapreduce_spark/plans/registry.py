@@ -58,76 +58,33 @@ def register(
 # checks a bounded prefix of the query dict (observed: first 50), so
 # the prefix must rotate across rounds to cover the full registry:
 # r1 verified the relational/window/function block; r2 the §2d
-# extensions; r3/r4 (identical windows — r4 was a 1-turn no-op) the
-# never-checked + r3-changed + r3-new + 15 r1 re-verifications.
-# Round 5 window: (1) array_hof_functions — r3/r4's one red row, oracle
-# typing fixed this round, must re-verify green; (2) plans changed in
-# round 5 (minhash checkpoint swap; EVERY events consumer implicitly
-# changed — the round-5 testdata regeneration turned events.ts from
-# TIMESTAMP(NANOS) into TIMESTAMP(MICROS) and load_table now branches
-# per generation, so events-based queries are the riskiest and come
-# early); (3) queries newly added in round 5; (4) the r1-verified block
-# that rotated out of r3/r4's window (least-recently verified); (5) the
-# r2-verified §2d block. Names past the 50-slot window get their turn
-# in round 6 (tracked in CLAUDE.md). Names not listed fall after, in
+# extensions; r3/r4 (identical windows) the never-checked + r3-changed
+# + r3-new + 15 r1 re-verifications; r5 the events/micros block +
+# array_hof fix + r1/r2 re-verifications (50/50 green).
+# Round 6 window (least-recently-verified first, per VERDICT r5 #1):
+# (1) plans CHANGED in round 6 — dedup_minhash_pairs +
+#     pipeline_clean_corpus (localCheckpoint eager=False -> True,
+#     gotcha #9) and funnel_view_click_purchase (checkpointed v/c
+#     stage aggregates — exchange reuse proven absent);
+# (2) the 15 remaining queries whose newest driver row is r2: the
+#     text/multimodal/sampling tail + every rows-only query;
+# (3) the r4-verified EVENTS consumers — their last driver row
+#     predates the round-5 nanos->micros regeneration, so they have
+#     never been driver-checked on the new data (ADVICE r5 #2):
+#     events_retention_cohorts, events_zscore_outliers,
+#     histogram_event_values, pivot_event_counts,
+#     variant_props_extract, agg_min_max_by, median_by_group,
+#     stream_interval_join;
+# (4) the r4-verified non-events block in original order (24 fit).
+# Past the window: the 16 deferred r4 names (re-front in round 7 —
+# they will be 3 rounds old), then the r5-green block, then
 # registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (1) fixed this round: was the only red row in r3/r4 --
-    "array_hof_functions",
-    # -- (2a) plans changed in round 5 --
-    "dedup_minhash_pairs",  # persist -> localCheckpoint (gotcha #9)
-    # -- (2b) events consumers: new micros ts path + regenerated data --
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "timeseries_rollup_hierarchy",
-    "timeseries_ohlc",
-    "timeseries_gapfill",
-    "asof_join_last_click",
-    "json_extract_agg",
-    "interval_shift",
-    "math_functions",
-    "error_branch_classify",
-    "month_count",
-    "date_functions",
-    # -- (3) queries newly added in round 5 (appended as built) --
-    # -- (4) r1-verified block displaced since round 3 --
-    "sort_limit_top100",
-    "window_rank_dense",
-    "window_running_and_lag",
-    "window_moving_avg",
-    "string_functions",
-    "map_functions",
-    "regexp_normalize",
-    "array_map_explode",
-    "stats_aggregates",
-    "levenshtein_type_pairs",
-    "null_semantics",
-    "cross_join_regions",
-    "in_subquery_custkeys",
-    "q1_pricing_summary",
-    "join_left_outer_customer",
-    "join_semi_open_orders",
-    "q6_forecast_revenue",
-    # -- (5) r2-verified §2d block, least recently verified first --
-    "join_customer_orders",
-    "q5_local_supplier_revenue",
-    "q3_shipping_priority",
-    "q10_returned_item_revenue",
-    "q18_large_orders",
-    "try_cast_parsing",
-    "above_segment_avg_orders",
-    "udaf_applyinpandas_median",
-    "udf_mapinpandas_tokens",
-    "udf_scalar_log_value",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_survivors_window",
-    "text_token_stats",
-    "text_token_count_regex",
-    "text_lang_id",
-    "text_top_bigrams",
+    # -- (1) plans changed in round 6 --
+    "dedup_minhash_pairs",
+    "pipeline_clean_corpus",
+    "funnel_view_click_purchase",
+    # -- (2) newest driver row is r2 --
     "text_fingerprint",
     "text_quality_ratios",
     "text_repetition_stats",
@@ -136,15 +93,65 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_resize_meta",
     "multimodal_frame_sample",
     "sample_hash_deterministic",
-    # -- past the 50-slot window: rotate into round 6 --
     "agg_approx_count_distinct",
     "approx_percentiles",
     "dedup_simhash_pairs",
     "dedup_clusters",
-    "pipeline_clean_corpus",
     "similarity_topk_lsh",
     "dedup_embedding_lsh",
     "similarity_topk_ivf",
+    # -- (3) events consumers never driver-checked on micros data --
+    "events_retention_cohorts",
+    "events_zscore_outliers",
+    "histogram_event_values",
+    "pivot_event_counts",
+    "variant_props_extract",
+    "agg_min_max_by",
+    "median_by_group",
+    "stream_interval_join",
+    # -- (4) r4-verified non-events block --
+    "filter_project_revenue",
+    "join_anti_no_big_order",
+    "join_range_price_band",
+    "agg_count_distinct",
+    "distinct_flag_status",
+    "rollup_order_status",
+    "cube_flag_status",
+    "set_union_all_keys",
+    "set_intersect_keys",
+    "set_except_keys",
+    "join_full_outer_nation_counts",
+    "join_salted_skew",
+    "window_topk_per_customer",
+    "window_distribution",
+    "window_range_frame",
+    "window_value_functions",
+    "grouping_sets_sql",
+    "unpivot_nation_counts",
+    "explode_outer_long_words",
+    "sql_recursive_month_spine",
+    "listagg_priorities",
+    "nested_case_matrix",
+    "exists_correlated_sql",
+    "udtf_tokenize_lateral",
+    # -- past the 50-slot window: the 16 deferred r4 names; front
+    # -- these in round 7 (r4-green = 3 rounds old by then) --
+    "dedup_incremental_merge",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters_exact",
+    "similarity_topk_brute",
+    "dedup_embedding_cosine",
+    "embedding_centroid_by_bucket",
+    "embedding_norm_stats",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_zipf_head",
+    "text_redact_terms",
+    "multimodal_decode_features",
+    "sample_stratified_capped",
+    "pack_sequences_greedy",
+    "sample_weighted_mixture",
+    "pipeline_training_batch",
 )
 
 

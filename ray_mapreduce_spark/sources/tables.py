@@ -58,6 +58,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type not in ("timestamp", "timestamp_ntz"):
+            # Fail loudly on an unexpected physical type from a future
+            # testdata regeneration (e.g. string / INT96) instead of
+            # silently coercing garbage — the dtype HAS changed between
+            # rounds before (nanos -> micros).
+            raise TypeError(
+                f"events.ts read as unexpected dtype {ts_type!r}; "
+                "expected bigint (nanos-as-long), timestamp, or timestamp_ntz "
+                "— inspect pq.read_schema and extend load_table deliberately"
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

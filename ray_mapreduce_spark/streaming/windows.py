@@ -50,7 +50,13 @@ def _events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
     import os
 
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return dict(probe.dtypes)["ts"] == "bigint"
+    ts_type = dict(probe.dtypes)["ts"]
+    if ts_type not in ("bigint", "timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"events.ts read as unexpected dtype {ts_type!r}; "
+            "extend the dual-generation handling deliberately (gotcha #1)"
+        )
+    return ts_type == "bigint"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,6 +188,60 @@ def test_embedding_lsh_neardup_subset_and_recall(spark, sf_dir):
         assert recall >= 0.6, f"recall {recall:.2f} below S-curve floor"
 
 
+def test_clusters_minhash_recall_vs_exact(spark, sf_dir):
+    """Cluster-level cross-gate (VERDICT r5 #5): the minhash-sourced
+    clustering (``dedup_clusters``, rows-only by design) is pinned
+    against the hash-verified exact clustering
+    (``dedup_clusters_exact``) on the same corpus.
+
+    Contract, measured at sf0.001 AND sf0.1 (r6: recall 1.0 / 1.0,
+    same-lang precision 1.0 / 1.0; minhash co-pairs 28 / 256 vs exact
+    8 / 79 — every surplus pair is CROSS-lang, which the exact oracle
+    excludes by construction: its DuckDB recursive closure blocks
+    pairs on a.lang = b.lang, while minhash LSH verifies raw shingle
+    jaccard across languages):
+
+    1. recall — every exact co-clustered pair is co-clustered by the
+       minhash pipeline;
+    2. same-lang precision — every SAME-lang minhash pair edge is in
+       the exact pair set (the LSH never invents a same-lang pair the
+       inverted index wouldn't, because both verify jaccard >= 0.6
+       over the same k=3 shingles).
+    """
+    from collections import defaultdict
+    from itertools import combinations
+
+    def co_pairs(name, idcol, ccol):
+        by_c = defaultdict(list)
+        for r in _rows(spark, sf_dir, name):
+            by_c[r[ccol]].append(r[idcol])
+        return {
+            tuple(sorted(p))
+            for docs in by_c.values()
+            for p in combinations(docs, 2)
+        }
+
+    exact = co_pairs("dedup_clusters_exact", "doc_id", "cluster")
+    mh = co_pairs("dedup_clusters", "doc_id", "cluster")
+    if exact:
+        recall = len(exact & mh) / len(exact)
+        assert recall >= 0.9, f"cluster co-pair recall {recall:.2f}"
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in _rows(spark, sf_dir, "dedup_ngram_jaccard")
+    }
+    mh_pairs = [
+        (r["doc_a"], r["doc_b"]) for r in _rows(spark, sf_dir, "dedup_minhash_pairs")
+    ]
+    same_lang = [p for p in mh_pairs if langs[p[0]] == langs[p[1]]]
+    bad = [p for p in same_lang if p not in exact_pairs]
+    assert not bad, f"same-lang minhash pairs missing from exact set: {bad[:5]}"
+
+
 def test_ivf_topk_cosine_agreement(spark, sf_dir):
     """IVF ANN: returned cosines must be true cosines (agree with the
     brute-force result wherever the pair overlaps), and every query
