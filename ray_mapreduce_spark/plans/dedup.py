@@ -152,15 +152,29 @@ def dedup_ngram_jaccard(
 def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
     """Core inverted-index exact-Jaccard plan over any (doc_id, lang,
     text) frame — see ``dedup_ngram_jaccard`` for the rationale.
-    Spreads its input (the shingle stage is narrow; see minhash_pairs)."""
+    Spreads its input (the shingle stage is narrow; see minhash_pairs).
+
+    Single-lineage df filter (r6 rework, found by the repeated-scan
+    audit): the old agg-then-self-join df_filter re-embedded the
+    tokenize -> window -> distinct lineage in both the filter branch
+    and the join branch, and Catalyst's column pruning made the two
+    subtrees canonicalize differently, so NO exchange was ever reused
+    — documents was scanned (and shingled) 4x per run. The df count
+    is now a window over (s, lang): one lineage, one shuffle on the
+    shingle key, and the self-join below consumes two IDENTICAL
+    subtrees that AQE runtime exchange-reuse computes once (the same
+    mechanism proven live in dedup_simhash_pairs / minhash's band
+    join — ReusedExchange appears in the final adaptive plan). Also
+    leaves the data partitioned by (s, lang), exactly the join's
+    distribution, so the join adds no exchange of its own."""
     ex = _with_doc_size(_shingle_hashes(_spread(d)))
     # df >= 2 pre-filter: singleton shingles cannot appear in any pair.
-    df_filter = (
-        ex.groupBy("s", "lang")
-        .agg(F.count(F.lit(1)).alias("df"))
+    wdf = Window.partitionBy("s", "lang")
+    ex = (
+        ex.withColumn("df", F.count(F.lit(1)).over(wdf))
         .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .drop("df")
     )
-    ex = ex.join(df_filter.select("s", "lang"), ["s", "lang"])
     a = ex.alias("a")
     b = ex.alias("b")
     common = (

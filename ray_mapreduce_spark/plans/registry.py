@@ -64,8 +64,10 @@ def register(
 # Round 6 window (least-recently-verified first, per VERDICT r5 #1):
 # (1) plans CHANGED in round 6 — dedup_minhash_pairs +
 #     pipeline_clean_corpus (localCheckpoint eager=False -> True,
-#     gotcha #9) and funnel_view_click_purchase (checkpointed v/c
-#     stage aggregates — exchange reuse proven absent);
+#     gotcha #9), funnel_view_click_purchase (checkpointed v/c
+#     stage aggregates — exchange reuse proven absent), and the
+#     ngram/tfidf df-as-window rework (+ dedup_clusters_exact, which
+#     consumes ngram_jaccard_pairs);
 # (2) the 15 remaining queries whose newest driver row is r2: the
 #     text/multimodal/sampling tail + every rows-only query;
 # (3) the r4-verified EVENTS consumers — their last driver row
@@ -75,8 +77,8 @@ def register(
 #     histogram_event_values, pivot_event_counts,
 #     variant_props_extract, agg_min_max_by, median_by_group,
 #     stream_interval_join;
-# (4) the r4-verified non-events block in original order (24 fit).
-# Past the window: the 16 deferred r4 names (re-front in round 7 —
+# (4) the r4-verified non-events block in original order (21 fit).
+# Past the window: the 17 deferred r4 names (re-front in round 7 —
 # they will be 3 rounds old), then the r5-green block, then
 # registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -84,6 +86,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_pairs",
     "pipeline_clean_corpus",
     "funnel_view_click_purchase",
+    "dedup_ngram_jaccard",  # df filter: agg+join -> window (reuse fix)
+    "text_tfidf_top_terms",  # same rework
+    "dedup_clusters_exact",  # consumes ngram_jaccard_pairs
     # -- (2) newest driver row is r2 --
     "text_fingerprint",
     "text_quality_ratios",
@@ -131,20 +136,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "explode_outer_long_words",
     "sql_recursive_month_spine",
     "listagg_priorities",
+    # -- past the 50-slot window: the deferred r4 names; front these
+    # -- in round 7 (r4-green = 3 rounds old by then) --
     "nested_case_matrix",
     "exists_correlated_sql",
     "udtf_tokenize_lateral",
-    # -- past the 50-slot window: the 16 deferred r4 names; front
-    # -- these in round 7 (r4-green = 3 rounds old by then) --
     "dedup_incremental_merge",
     "decontaminate_ngram_overlap",
-    "dedup_clusters_exact",
     "similarity_topk_brute",
     "dedup_embedding_cosine",
     "embedding_centroid_by_bucket",
     "embedding_norm_stats",
     "text_quality_score",
-    "text_tfidf_top_terms",
     "text_zipf_head",
     "text_redact_terms",
     "multimodal_decode_features",

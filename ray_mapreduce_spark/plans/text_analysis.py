@@ -408,15 +408,21 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df as a WINDOW over the tf table, not an agg-then-rejoin: the
+    join form re-embedded the tokenize+tf lineage in both branches,
+    and column pruning made the subtrees canonicalize differently, so
+    exchange reuse never fired and documents was tokenized twice (r6
+    repeated-scan audit). One window on tok = one lineage, one
+    shuffle; only the corpus-size scalar touches documents again (a
+    count-star metadata scan)."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(df, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -78,7 +78,27 @@ def determinism_sweep(sf_dir: str) -> int:
     return 1 if bad else 0
 
 
+def recall_sweep(sf_dir: str) -> int:
+    """Run the extension quality gates (tests/test_extensions.py —
+    recall/exactness contracts for every rows-only LSH/sketch query)
+    at ``sf_dir`` instead of the default test sf. The two-scale-factor
+    evidence (default sf0.001 via pytest, sf0.1 via this sweep) is
+    what keeps the rows-only queries honest (VERDICT r5 #5)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_TEST_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    t0 = time.time()
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", "tests/test_extensions.py", "-q"],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    print(f"recall sweep @ {sf_dir}: rc={rc}, {time.time()-t0:.0f}s")
+    return rc
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "oracle"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    sys.exit(oracle_sweep(sf) if mode == "oracle" else determinism_sweep(sf))
+    fns = {"oracle": oracle_sweep, "determinism": determinism_sweep, "recall": recall_sweep}
+    sys.exit(fns[mode](sf))
