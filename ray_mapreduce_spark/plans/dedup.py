@@ -293,19 +293,30 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     frame with doc_id/lang/text) — emits pairs with jaccard >= 0.6.
 
     The shingle table feeds BOTH the signature stage and the verify
-    stage, so it is localCheckpoint'ed (computed once; the round-1
-    version rebuilt the whole tokenize->window->distinct lineage twice
-    and it dominated the query's cost). Checkpoint, not lazy persist:
-    two branches of ONE plan can both miss a not-yet-filled cache and
-    execute the lineage twice (CLAUDE.md gotcha #9) — truncating the
-    lineage makes the reuse structural. Shingles are 8-byte longs,
-    ~doc_len rows per doc, so the materialized block is small.
+    stage, so it is persisted (computed once; the round-1 version
+    rebuilt the whole tokenize->window->distinct lineage twice and it
+    dominated the query's cost). LAZY persist, not an eager
+    checkpoint, and deliberately so (r6 A/B at sf0.1, min-of-3 solo:
+    persist 1.08s / eager localCheckpoint 1.29s / no materialization
+    with AQE runtime exchange-reuse 2.60s): gotcha #9's
+    concurrent-cache-miss race needs two SIBLING branches inside one
+    stage barrier (e.g. clustering's self-union); here the two
+    consumers are strictly DEPENDENCY-ORDERED — the verify semi-join
+    cannot be scheduled until candidates exist, which require the
+    signature stage, which is the first consumer — so the first use
+    always fills the cache before the second is submitted, and the
+    lazy form additionally pipelines materialization into the
+    signature stages instead of paying a separate write-barrier job.
+    Shingles are 8-byte longs, ~doc_len rows per doc, so the
+    materialized block is small.
 
     Spreads its input first: the tokenize/explode stage is narrow, so
     it inherits the input partitioning — an upstream AQE-coalesced or
     single-split frame would serialize the per-token hashing onto one
     or two cores (CLAUDE.md gotcha #6)."""
-    sh = _shingle_hashes(_spread(docs)).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    sh = _shingle_hashes(_spread(docs)).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh)
 
     # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
@@ -343,12 +354,11 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        # two consumers below (id semi-join + payload rejoin):
-        # checkpoint the tiny pair list rather than re-running the band
-        # self-join — a lazy checkpoint only truncates lineage after the
-        # first job, so concurrent branches of the one action can still
-        # double-execute (gotcha #9 prescribes eager)
-        .localCheckpoint(eager=True)
+        # two consumers below (id semi-join + payload rejoin), again
+        # dependency-ordered (the rejoin consumes shs, which consumes
+        # cand_ids, which consumes this frame) — lazy persist computes
+        # the band self-join once with no write-barrier job
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Verify stage: rejoin shingle-hash sets for the candidates only
     # (long arrays, not text — candidate count is tiny post-banding).
@@ -537,9 +547,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rn") == 1
     ).drop("_rn")
     # The survivor set feeds TWO consumers (the LSH stage below and the
-    # final cluster join) — localCheckpoint materializes it once and
-    # keeps the quality+window lineage from re-executing per consumer.
-    exact = exact.localCheckpoint(eager=True)
+    # final cluster join) — dependency-ordered (the cluster join
+    # consumes comps <- pairs <- the LSH stage), so a lazy persist
+    # computes the quality+window lineage exactly once without the
+    # eager checkpoint's write-barrier job (see minhash_pairs).
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 3. near-dup pairs (minhash LSH) computed ON the surviving set —
     # not on the full corpus then filtered: the LSH stages never touch

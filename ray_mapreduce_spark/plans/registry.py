@@ -63,8 +63,9 @@ def register(
 # array_hof fix + r1/r2 re-verifications (50/50 green).
 # Round 6 window (least-recently-verified first, per VERDICT r5 #1):
 # (1) plans CHANGED in round 6 — dedup_minhash_pairs +
-#     pipeline_clean_corpus (localCheckpoint eager=False -> True,
-#     gotcha #9), funnel_view_click_purchase (checkpointed v/c
+#     pipeline_clean_corpus (lazy localCheckpoint -> lazy persist of
+#     the dependency-ordered shared frames, gotcha #9 as revised),
+#     funnel_view_click_purchase (checkpointed v/c
 #     stage aggregates — exchange reuse proven absent), and the
 #     ngram/tfidf df-as-window rework (+ dedup_clusters_exact, which
 #     consumes ngram_jaccard_pairs);
