@@ -465,3 +465,111 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's) over the embedding corpus: the iterative
+# centroid-refinement companion to connected_components — and, unlike
+# most engines' k-means, ORACLE-PAIRED: deterministic seeds (the K
+# smallest vec_ids), a FIXED number of unrolled iterations, distances
+# rounded to 4 decimals with a cluster-id tiebreak before argmin, and
+# centroids re-rounded to 6 decimals after every update, so Spark and
+# DuckDB stay in numerical lockstep round by round (same discipline
+# as the cosine oracles: double-widen once, round before compare).
+K_MEANS_K = 8
+K_MEANS_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Generate the unrolled DuckDB mirror of cluster_kmeans_assign."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"round(list_inner_product({v}, {v})"
+            f" - 2 * list_inner_product({v}, {c})"
+            f" + list_inner_product({c}, {c}), 4)"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, vec AS cvec"
+        f" FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, vec, cluster FROM ("
+            f" SELECT v.vec_id, v.vec, c.cluster,"
+            f" row_number() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {d2('v.vec', 'c.cvec')}, c.cluster) AS rn"
+            f" FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i} AS (SELECT cluster, list(cval ORDER BY i) AS cvec FROM ("
+                f" SELECT cluster, i, round(avg(vec[i]), 6) AS cval"
+                f" FROM a{i}, range(1, {dim + 1}) t(i)"
+                f" GROUP BY cluster, i) GROUP BY cluster)"
+            )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
+    )
+
+
+@register(
+    "cluster_kmeans_assign",
+    tags=("similarity", "clustering", "iterative", "kmeans"),
+    oracle=_kmeans_oracle(K_MEANS_K, K_MEANS_ITERS, DIM),
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after K_MEANS_ITERS Lloyd rounds from the
+    deterministic vec_id < K seed centroids.
+
+    Scale shape per iteration: assignment is a BROADCAST cross join
+    against the K centroids (K·n scored rows that partial-aggregate
+    map-side through min_by before the one O(n) shuffle on vec_id —
+    no window over the scored set), and the centroid update shuffles
+    only (cluster, pos, partial sum/count) ≤ K·dim rows per map
+    partition (posexplode + partial avg, the
+    embedding_centroid_by_bucket kernel). The corpus projection is
+    lazily persisted: its per-iteration consumers are
+    dependency-ordered (iteration i+1 needs centroids from iteration
+    i), so the first assignment materializes it once (gotcha #9,
+    dependency-ordered case). min_by ties are impossible by
+    construction — the ordering struct includes the cluster id
+    (gotcha from the r3 sf0.1 sweep: plain min_by on a value with
+    duplicates is partition-order nondeterministic)."""
+    from pyspark import StorageLevel
+
+    v = (
+        _with_vec(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "vec")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = v.filter(F.col("vec_id") < K_MEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    assigned = None
+    for it in range(1, K_MEANS_ITERS + 1):
+        d2 = F.round(
+            _dot("vec", "vec") - 2 * _dot("vec", "cvec") + _dot("cvec", "cvec"), 4
+        )
+        scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+        assigned = scored.groupBy("vec_id").agg(
+            F.min_by("cluster", F.struct("d2", "cluster")).alias("cluster"),
+            F.first("vec").alias("vec"),  # constant per vec_id
+        )
+        if it < K_MEANS_ITERS:
+            cent = (
+                assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("cval"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                        lambda s: s["cval"],
+                    ).alias("cvec")
+                )
+            )
+    return assigned.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
