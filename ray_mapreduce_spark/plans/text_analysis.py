@@ -535,3 +535,104 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redacted_sha"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring: rank the corpus against a deterministic
+# query-term set (the distinct tokens of the first N_QUERY_DOCS
+# documents — a stand-in for "find training docs similar to these").
+# The retrieval primitive behind decontamination-by-retrieval and
+# targeted corpus curation. Okapi BM25 with k1=1.2, b=0.75.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_DOCS = 3
+BM25_TOP_N = 50
+
+
+@register(
+    "text_bm25_topdocs",
+    tags=("text", "bm25", "retrieval", "window"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT tok FROM tok WHERE doc_id < {BM25_QUERY_DOCS}
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dlen / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN qterms USING (tok)
+      JOIN df USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25, rk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {BM25_TOP_N}
+    """,
+)
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} documents by BM25 relevance to the query-term set.
+
+    Scale shape: ONE tokenize lineage — doc length via a window over
+    doc_id, df via a window over tok (the r6 agg+rejoin-free pattern;
+    both windows reuse shuffles the plan needs anyway), query terms
+    semi-joined (at scale: broadcast — the term set is small by
+    construction), corpus stats (N, avgdl) as one broadcast scalar
+    row. The per-doc score aggregation partial-aggregates map-side;
+    the final top-N is TakeOrderedAndProject (per-partition heaps, no
+    global sort). Ranking happens on the ROUNDED score with a doc_id
+    tiebreak so cross-engine double arithmetic cannot flip
+    neighboring ranks (same discipline as text_tfidf_top_terms).
+    """.format(n=BM25_TOP_N)
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    # doc length = sum of tf over the doc; df = docs containing tok —
+    # both as windows over the tf table: one lineage, no rejoin.
+    tf = tf.withColumn("dlen", F.sum("tf").over(Window.partitionBy("doc_id"))).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
+    qterms = (
+        tok.filter(F.col("doc_id") < BM25_QUERY_DOCS).select("tok").distinct()
+    )
+    stats = tf.groupBy("doc_id").agg(F.first("dlen").alias("dlen")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dlen").alias("avgdl")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(qterms, "tok", "left_semi")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    w = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_N)
+        .select("doc_id", F.round("score", 4).alias("bm25"), "rk")
+    )
