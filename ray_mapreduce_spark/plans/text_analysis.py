@@ -636,3 +636,57 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOP_N)
         .select("doc_id", F.round("score", 4).alias("bm25"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring: the perplexity-proxy corpus filter.
+# p(tok) = corpus term frequency / total tokens; a document's score is
+# the mean ln p over its tokens — unusually low means OOV-heavy or
+# garbled text, unusually high means boilerplate. The shape LLM
+# pipelines run when a real LM is too expensive per document.
+@register(
+    "text_unigram_logprob",
+    tags=("text", "quality", "perplexity", "window"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    tot AS (
+      SELECT CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE) AS total
+      FROM documents
+    ),
+    ctf AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY tok) AS ctf FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(ctf / tot.total)), 4) AS avg_logprob
+    FROM ctf CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg unigram log-prob).
+
+    Scale shape: ONE tokenize lineage — the corpus term frequency is a
+    window over tok (no agg+rejoin, the r6 reuse rule), the total-token
+    scalar is a separate narrow agg over the scan (never a tokenize
+    duplicate, and never a single-partition global window), broadcast
+    onto the scored rows; the per-doc mean partial-aggregates
+    map-side."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tot = d.agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).cast("double").alias("total")
+    )
+    ctf = tok.select("doc_id", F.count(F.lit(1)).over(Window.partitionBy("tok")).alias("ctf"))
+    return (
+        ctf.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("ctf") / F.col("total"))), 4).alias("avg_logprob"),
+        )
+    )

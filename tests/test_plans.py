@@ -165,3 +165,29 @@ def test_decontamination_has_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "decontaminate_ngram_overlap", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_ts_guard_rejects_unknown_dtype(spark, tmp_path):
+    """gotcha #1 hardening (r6): the events loader branches on the ts
+    dtype it actually reads (nanos-as-long vs micros); any OTHER
+    physical type must fail loudly, not coerce silently — the dtype
+    has already changed once between data generations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ray_mapreduce_spark.sources import load_table
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2024-01-01 00:00:00"], pa.string()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with _pytest.raises(TypeError, match="unexpected dtype 'string'"):
+        load_table(spark, str(tmp_path), "events")
