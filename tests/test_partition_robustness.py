@@ -32,6 +32,10 @@ CASES = [
     "events_retention_cohorts",     # cohort join + distinct
     "sql_recursive_month_spine",    # recursive CTE execution
     "variant_props_extract",        # VARIANT parse/extract
+    "cluster_kmeans_assign",        # iterative Lloyd + min_by argmin (r6)
+    "text_bm25_topdocs",            # window df/dlen + ranked window (r6)
+    "text_unigram_logprob",         # window ctf + float avg rounding (r6)
+    "dedup_ngram_jaccard",          # window df + self-join reuse (r6 rework)
 ]
 
 
