@@ -573,3 +573,69 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return assigned.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+
+
+# --------------------------------------------------------------------------
+# Hybrid (text x embedding) near-dup confirmation: the cross-modal
+# join the curation pipeline runs before destructive dedup — each
+# text-level near-dup pair is scored with the embedding cosine of the
+# same pair (embeddings.vec_id is 1:1 with documents.doc_id in the
+# test schema). Disagreement (high jaccard, low cosine) flags
+# template/boilerplate pairs; agreement confirms true duplicates.
+@register(
+    "hybrid_neardup_scores",
+    tags=("dedup", "similarity", "cross-modal", "join"),
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    tpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
+    jp AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
+      FROM tpairs
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+           round(list_cosine_similarity(va.vec, vb.vec), 4) AS cosine
+    FROM jp
+    JOIN v va ON va.vec_id = jp.doc_a
+    JOIN v vb ON vb.vec_id = jp.doc_b
+    """,
+)
+def hybrid_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard, cosine) for every text near-dup pair.
+
+    Scale shape: the pair list from the inverted-index jaccard plan is
+    tiny relative to the corpus, so the embedding rejoins touch only
+    |pairs| x 2 vectors — two hash equi-joins on vec_id, never a
+    vector self-join. The embedding projection is referenced twice
+    (a/b side); identical subtrees, runtime exchange-reuse per
+    gotcha #14."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    v = _with_vec(load_table(spark, sf_dir, "embeddings")).select("vec_id", "vec")
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        pairs.join(
+            v.select(F.col("vec_id").alias("doc_a"), F.col("vec").alias("va")), "doc_a"
+        )
+        .join(v.select(F.col("vec_id").alias("doc_b"), F.col("vec").alias("vb")), "doc_b")
+        .select("doc_a", "doc_b", "jaccard", F.round(cos, 4).alias("cosine"))
+    )
