@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bm25_topdocs",  # NEW in r6: BM25 retrieval scoring
     "text_unigram_logprob",  # NEW in r6: perplexity-proxy scoring
     "hybrid_neardup_scores",  # NEW in r6: cross-modal text x embedding
+    "chunk_documents_overlap",  # NEW in r6: overlapping token chunks
     # -- (2) newest driver row is r2 --
     "text_fingerprint",
     "text_quality_ratios",
@@ -136,9 +137,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_range_frame",
     "window_value_functions",
-    "grouping_sets_sql",
     # -- past the 50-slot window: the deferred r4 names; front these
     # -- in round 7 (r4-green = 3 rounds old by then) --
+    "grouping_sets_sql",
     "unpivot_nation_counts",
     "explode_outer_long_words",
     "sql_recursive_month_spine",

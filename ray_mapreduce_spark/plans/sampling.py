@@ -361,3 +361,66 @@ def pipeline_training_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with overlap — the
+# pretraining/RAG preprocessing sibling of sequence packing (packing
+# bins whole docs into context windows; chunking splits long docs
+# into overlapping windows). Emits content as sha256 digests so the
+# oracle compares chunk text without moving bodies through the
+# driver (same trick as text_redact_terms / multimodal decode).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 56  # 8-token overlap
+
+
+@register(
+    "chunk_documents_overlap",
+    tags=("text", "chunking", "explode"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest([s FOR s IN range(0, len(toks), {CHUNK_STRIDE})]) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(len(list_slice(toks, start + 1,
+                               least(start + {CHUNK_SIZE}, len(toks)))) AS BIGINT)
+             AS n_tokens,
+           sha256(array_to_string(
+             list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks))),
+             ' ')) AS chunk_sha
+    FROM s
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk_sha) for ~{size}-token
+    chunks at stride {stride} ({overlap}-token overlap).
+
+    Scale shape: pure narrow generate-explode — tokenize once, build
+    the start-offset array with `sequence`, posexplode, slice; no
+    shuffle at all, runs at scan speed, and chunk content leaves the
+    stage only as a 32-byte digest. Chunk boundaries are token
+    positions, so the op is deterministic under any partitioning.
+    """.format(size=CHUNK_SIZE, stride=CHUNK_STRIDE, overlap=CHUNK_SIZE - CHUNK_STRIDE)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_no", "start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK_SIZE)
+    return s.select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.sha2(F.concat_ws(" ", chunk), 256).alias("chunk_sha"),
+    )
