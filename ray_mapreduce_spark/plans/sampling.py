@@ -424,3 +424,55 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.sha2(F.concat_ws(" ", chunk), 256).alias("chunk_sha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split assignment: the everyday corpus-prep op —
+# deterministic (repartition- and rerun-stable, same arithmetic hash
+# as sample_hash_deterministic), stratification auditable per lang.
+# 90/5/5 by hash bucket; membership is stable under corpus growth
+# (a doc's split never changes when new docs arrive).
+@register(
+    "sample_split_assign",
+    tags=("sampling", "split", "deterministic"),
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE WHEN (doc_id * {_KNUTH}) % {_MOD} % 100 < 90 THEN 'train'
+                  WHEN (doc_id * {_KNUTH}) % {_MOD} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(doc_id) AS BIGINT) AS id_min,
+           CAST(max(doc_id) AS BIGINT) AS id_max
+    FROM s GROUP BY lang, split
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) membership summary of the deterministic
+    90/5/5 assignment. The summary row set (count + id sum/min/max)
+    pins the exact membership without moving per-doc rows through the
+    comparator. Scale shape: narrow hash-bucket projection at scan
+    speed, one partial-aggregated groupBy — assignment itself is a
+    zero-shuffle map, and reruns on appended corpora only add rows
+    (existing docs never switch split)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.min("doc_id").cast("bigint").alias("id_min"),
+            F.max("doc_id").cast("bigint").alias("id_max"),
+        )
+    )
