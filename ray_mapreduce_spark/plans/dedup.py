@@ -40,6 +40,17 @@ from .registry import register
 # exact-Jaccard oracle is unaffected.
 DEFAULT_DF_CAP = 1000
 
+# Near-dup spec shared by every text-similarity operator AND the
+# DuckDB oracles that re-encode it (dedup_ngram_jaccard /
+# decontaminate_ngram_overlap here, hybrid_neardup_scores in
+# similarity.py): word SHINGLE_K-shingles, pairs kept at jaccard >=
+# JACCARD_THRESHOLD. The oracle SQL interpolates these constants;
+# the [i] || [i+1] || [i+2] shingle construction in the SQL is the
+# structural form of SHINGLE_K=3 — changing K means updating that
+# list-comprehension shape in each oracle as well.
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.6
+
 
 # --------------------------------------------------------------------------
 # Exact dedup: canonical survivor (min doc_id) per distinct text.
@@ -101,7 +112,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     bench=True,
     tags=("dedup", "ngram", "jaccard"),
-    oracle="""
+    oracle=f"""
     WITH shingled AS (
       SELECT doc_id, lang,
              list_distinct([
@@ -111,7 +122,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
              ]) AS shingles
       FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 3
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -123,7 +134,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
     FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_ngram_jaccard(
@@ -197,7 +208,7 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame
     )
     return (
         common.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
@@ -384,7 +395,7 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
         pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
@@ -673,7 +684,7 @@ def dedup_survivors_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate_ngram_overlap",
     tags=("dedup", "decontamination", "ngram"),
-    oracle="""
+    oracle=f"""
     WITH shingled AS (
       SELECT doc_id,
              unnest(list_distinct([
@@ -683,7 +694,7 @@ def dedup_survivors_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
              ])) AS s
       FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 3
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
     ),
     bench AS (
       SELECT DISTINCT s FROM shingled WHERE doc_id % 7 = 0
@@ -739,7 +750,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters_exact",
     tags=("dedup", "clustering", "iterative"),
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE shingled AS (
       SELECT doc_id, lang,
              list_distinct([
@@ -749,7 +760,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
              ]) AS shingles
       FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 3
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -757,7 +768,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
     ),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs

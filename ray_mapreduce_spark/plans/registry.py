@@ -169,10 +169,14 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import _load_all  # noqa: F401
 
     _load_all()
+    missing = [name for name in _DRIVER_PRIORITY if name not in _REGISTRY]
+    if missing:
+        # A typo during the per-round rotation would otherwise silently
+        # shift the driver's 50-slot verification window.
+        raise KeyError(f"_DRIVER_PRIORITY names not in registry: {missing}")
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+        ordered[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

@@ -398,15 +398,15 @@ CHUNK_STRIDE = 56  # 8-token overlap
     """,
 )
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, chunk_no, n_tokens, chunk_sha) for ~{size}-token
-    chunks at stride {stride} ({overlap}-token overlap).
+    """(doc_id, chunk_no, n_tokens, chunk_sha) for CHUNK_SIZE-token
+    chunks at stride CHUNK_STRIDE (CHUNK_SIZE-CHUNK_STRIDE overlap).
 
     Scale shape: pure narrow generate-explode — tokenize once, build
     the start-offset array with `sequence`, posexplode, slice; no
     shuffle at all, runs at scan speed, and chunk content leaves the
     stage only as a 32-byte digest. Chunk boundaries are token
     positions, so the op is deterministic under any partitioning.
-    """.format(size=CHUNK_SIZE, stride=CHUNK_STRIDE, overlap=CHUNK_SIZE - CHUNK_STRIDE)
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     t = d.select("doc_id", toks.alias("toks"))

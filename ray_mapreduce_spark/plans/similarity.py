@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from ..functions.scale import spread as _spread
 from ..sources import load_table
+from .dedup import JACCARD_THRESHOLD, SHINGLE_K
 from .registry import register
 
 TOP_K = 5
@@ -541,6 +542,10 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates is partition-order nondeterministic)."""
     from pyspark import StorageLevel
 
+    # Deliberately NOT unpersisted: the returned frame still reads the
+    # cache lazily, so the builder can't drop it before the driver's
+    # action. Long sweep sessions rely on LRU block eviction (bounded:
+    # one projected corpus per persisting query, MEMORY_AND_DISK).
     v = (
         _with_vec(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "vec")
@@ -585,7 +590,11 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hybrid_neardup_scores",
     tags=("dedup", "similarity", "cross-modal", "join"),
-    oracle="""
+    # The shingle/threshold spec below is dedup.py's — interpolated
+    # from the shared SHINGLE_K / JACCARD_THRESHOLD constants so the
+    # two oracles can't silently diverge (the [i]||[i+1]||[i+2] shape
+    # is structural SHINGLE_K=3; see the constants' comment).
+    oracle=f"""
     WITH shingled AS (
       SELECT doc_id, lang,
              list_distinct([
@@ -595,7 +604,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
              ]) AS shingles
       FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 3
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
     ),
     tpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -608,7 +617,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b,
              round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
       FROM tpairs
-      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.6
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
     ),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
     SELECT jp.doc_a, jp.doc_b, jp.jaccard,
