@@ -598,3 +598,84 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN cnt c ON s.m = c.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization: the batch form of the classic clickstream
+# operator (streaming twin: stream_session_counts' session_window).
+# A session breaks when a user is idle longer than SESSION_GAP_US.
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h, ~30% of adjacent pairs merge
+
+
+@register(
+    "events_sessionize_gap",
+    tags=("events", "sessionization", "window"),
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, value, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, event_id, value, us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           CAST(min(us) AS BIGINT)    AS start_us,
+           CAST(max(us) AS BIGINT)    AS end_us,
+           round(sum(value), 2)       AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (user, session): event count, span, value sum.
+
+    Scale shape: ONE shuffle on user_id serves everything — the lag
+    window and the running-sum session counter share the same
+    (user_id, ts, event_id) sort, so Spark plans a single exchange +
+    single sort with both window functions in it, and the final
+    groupBy(user_id, session_no) needs no further exchange because
+    hash-partitioning on user_id already clusters the composite key
+    (partial agg still runs map-side). No global window, no driver
+    state; (ts, event_id) ordering makes session numbering
+    deterministic under any partitioning. At 100 TB the same plan
+    holds — sessionization cost is one sort per user partition, and
+    skewed mega-users degrade one partition, not the stage (AQE skew
+    handling applies to the exchange)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        (
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+        ).cast("int"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("us").cast("bigint").alias("start_us"),
+        F.max("us").cast("bigint").alias("end_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -590,7 +590,7 @@ BM25_TOP_N = 50
     """,
 )
 def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{n} documents by BM25 relevance to the query-term set.
+    """Top-BM25_TOP_N documents by BM25 relevance to the query-term set.
 
     Scale shape: ONE tokenize lineage — doc length via a window over
     doc_id, df via a window over tok (the r6 agg+rejoin-free pattern;
@@ -602,7 +602,7 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort). Ranking happens on the ROUNDED score with a doc_id
     tiebreak so cross-engine double arithmetic cannot flip
     neighboring ranks (same discipline as text_tfidf_top_terms).
-    """.format(n=BM25_TOP_N)
+    """
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -690,3 +690,104 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("ctf") / F.col("total"))), 4).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental unigram scoring: the train/serve split of
+# text_unigram_logprob. A rolling crawl never rescoreshe corpus —
+# term stats are FROZEN from the already-ingested corpus and each new
+# batch is scored against them (cf. dedup_incremental_merge for the
+# same batch-vs-corpus pattern on exact dedup). Laplace add-one
+# smoothing gives OOV tokens finite log-prob:
+#   p(tok) = (ctf + 1) / (total + vocab + 1).
+# The corpus/batch split is the deterministic doc_id % UNIGRAM_SPLIT_MOD
+# rule so both engines (and reruns) see identical frozen stats.
+UNIGRAM_SPLIT_MOD = 5  # doc_id % 5 == 0 -> "new batch", else corpus
+
+
+def unigram_corpus_stats(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Frozen unigram stats from a corpus frame with a ``text`` column:
+    (terms(tok, ctf), scalars(total, vocab)).
+
+    In production these two frames are computed ONCE per corpus
+    snapshot and written to a parquet stats table (terms bucketed by
+    tok); every subsequent batch scores against the stored stats with
+    no corpus rescan — the stats-reuse test pins exactly that shape by
+    scoring two batches against one checkpointed stats pair.
+    """
+    ctok = corpus.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    terms = ctok.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("ctf"))
+    scalars = terms.agg(
+        F.sum("ctf").alias("total"), F.count(F.lit(1)).cast("double").alias("vocab")
+    )
+    return terms, scalars
+
+
+def unigram_score_batch(
+    batch: DataFrame, terms: DataFrame, scalars: DataFrame
+) -> DataFrame:
+    """Score a (doc_id, text) batch against frozen unigram stats.
+
+    Scale shape: the batch tokenizes narrow, LEFT-joins terms on tok
+    (hash equi-join; the terms agg already partitioned terms by tok,
+    so only the — much smaller — batch side shuffles), the two-scalar
+    stats row is broadcast, and the per-doc mean partial-aggregates
+    map-side. OOV tokens (no terms match) take ctf=0 under add-one
+    smoothing and are counted in n_oov."""
+    btok = batch.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    scored = btok.join(terms, "tok", "left").crossJoin(F.broadcast(scalars))
+    p = (F.coalesce(F.col("ctf"), F.lit(0.0)) + 1) / (
+        F.col("total") + F.col("vocab") + 1
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("ctf").isNull().cast("int")).cast("bigint").alias("n_oov"),
+        F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+    )
+
+
+@register(
+    "text_unigram_incremental",
+    tags=("text", "quality", "perplexity", "incremental"),
+    oracle=f"""
+    WITH ctok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id % {UNIGRAM_SPLIT_MOD} <> 0
+    ),
+    terms AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS ctf FROM ctok GROUP BY tok
+    ),
+    scal AS (
+      SELECT CAST(sum(ctf) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS vocab
+      FROM terms
+    ),
+    btok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id % {UNIGRAM_SPLIT_MOD} = 0
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN t.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(avg(ln((coalesce(t.ctf, 0) + 1) / (scal.total + scal.vocab + 1))), 4)
+             AS avg_logprob
+    FROM btok b
+    LEFT JOIN terms t ON b.tok = t.tok
+    CROSS JOIN scal
+    GROUP BY b.doc_id
+    """,
+)
+def text_unigram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, avg smoothed log-prob) for the "new
+    batch" slice (doc_id % UNIGRAM_SPLIT_MOD == 0) scored against
+    stats frozen from the rest of the corpus. See
+    unigram_corpus_stats / unigram_score_batch for the reusable
+    train/serve API and the scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) != 0)
+    batch = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) == 0)
+    terms, scalars = unigram_corpus_stats(corpus)
+    return unigram_score_batch(batch, terms, scalars)
