@@ -416,6 +416,29 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash: 64-bit weighted fingerprint, JVM-side (xxhash64 bit tests).
 # Near-dup candidates: exact match on any of 4 16-bit bands (pigeonhole:
 # hamming<=3 guarantees one clean band), then exact hamming verify.
+#
+# Band saturation guard: 16-bit bands hold ~2^16 distinct values, so
+# RANDOM (non-near-dup) collisions alone fill the buckets once the
+# blocked population nears ~10^5 docs (SCALING.md §tuning) — candidate
+# generation then goes quadratic corpus-wide, which the per-bucket cap
+# doesn't fix, it just silently DROPS over-cap buckets (fine for a few
+# adversarial boilerplate buckets, recall collapse when buckets are
+# systematically full). The guard meters the band join's actual
+# candidate volume — sum over buckets of C(k,2), per doc — and raises
+# via a lazy in-plan raise_error (the builder stays action-free) when
+# the average crosses SIMHASH_MAX_CANDIDATES_PER_DOC. Calibration
+# (measured r7): the deliberately duplicate-heavy test corpora sit at
+# 29-302 candidates/doc (sf0.001-0.1), while uniform-hash math puts
+# random saturation at ~1e5 docs around ~3000/doc (4*C(n,2)/2^16/n)
+# and a same-fingerprint mega-family is unbounded (a 1600-doc family
+# alone implies ~3200/doc) — 1024 separates the regimes with ~3x
+# margin both ways. The fix at scale is structural — widen the band
+# prefix, exact-dedup or cluster first, or shard the corpus — so
+# failing loudly beats silently degraded recall or a quadratic verify
+# stage.
+SIMHASH_MAX_CANDIDATES_PER_DOC = 1024.0
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=None,  # hash-function specific; pytest pins determinism + recall
@@ -431,7 +454,19 @@ def dedup_simhash_pairs(
     groupBy(doc_id) computing all 64 bit-votes as parallel algebraic
     sums (partial-aggregated map-side). Bit positions / shift amounts
     are plan-time Python ints, so the whole tree is codegen'd."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), bucket_cap=bucket_cap)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bucket_cap: int = DEFAULT_DF_CAP,
+    max_candidates_per_doc: float = SIMHASH_MAX_CANDIDATES_PER_DOC,
+) -> DataFrame:
+    """Core simhash near-dup plan over any (doc_id, text) frame — see
+    ``dedup_simhash_pairs``. Raises at action time (lazy in-plan
+    ``raise_error`` on a broadcast saturation scalar) when band
+    buckets are systematically saturated."""
+    d = _spread(docs)
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     # Wide expression lists built as SQL strings (one py4j call each):
@@ -459,10 +494,46 @@ def dedup_simhash_pairs(
     # Same bucket-size guard as the LSH path: a 16-bit band value
     # shared by k docs emits k² candidate rows.
     wb = Window.partitionBy("band_no", "band_val")
+    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+    # Lazy persist: the saturation scalar below and BOTH self-join
+    # sides consume this frame. The broadcast build for the guard
+    # scalar runs before the join stage is submitted
+    # (dependency-ordered, gotcha #9), so the first consumer fills the
+    # cache and the fingerprint lineage executes once.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # Candidate volume implied by the bucket populations: each row in
+    # a bucket of size k contributes (k-1)/2 pairs, so the row-level
+    # sum equals sum-over-buckets of k(k-1)/2 — computed BEFORE the
+    # cap filter so systematic saturation can't hide behind dropped
+    # buckets.
+    sat = banded.agg(
+        (F.sum(F.col("bsz") - 1) / 2).alias("cand_pairs"),
+        (F.count(F.lit(1)) / 4).cast("double").alias("n_docs"),
+    )
+    guard = F.when(
+        F.col("cand_pairs") > max_candidates_per_doc * F.col("n_docs"),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash 16-bit bands are saturated: "),
+                F.col("cand_pairs").cast("string"),
+                F.lit(" distinct-fingerprint candidate pairs for "),
+                F.col("n_docs").cast("string"),
+                F.lit(f" docs exceeds {max_candidates_per_doc} per doc"),
+                F.lit(
+                    " — widen the band prefix / add bands, exact-dedup "
+                    "first, or shard the corpus (SCALING.md: ~1e5 docs "
+                    "per blocked population saturates 16-bit bands)"
+                ),
+            )
+        ),
+    ).otherwise(F.lit(True))
     banded = (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        banded.crossJoin(F.broadcast(sat))
+        .filter(guard)
         .filter((F.col("bsz") >= 2) & (F.col("bsz") <= bucket_cap))
-        .drop("bsz")
+        .drop("bsz", "cand_pairs", "n_docs")
     )
     a = banded.alias("a")
     b = banded.alias("b")

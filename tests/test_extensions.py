@@ -339,3 +339,40 @@ def test_multimodal_decoder_selection(spark):
     assert forced["decode_error"] is not None
     assert "unavailable" in forced["decode_error"]
     assert forced["width"] == 0
+
+
+def test_simhash_saturation_guard_raises(spark):
+    """An oversaturated corpus — a near-dup mega-family whose band
+    buckets hold hundreds of docs each, so candidate generation goes
+    quadratic — must FAIL LOUDLY at action time, not silently lose
+    the over-cap buckets to the bucket_cap filter. 1600 docs sharing
+    a 60-token base with one unique token each put ~1600 rows in each
+    band's hot buckets: ~4*C(1600,2)/1600 ≈ 3200 candidate pairs per
+    doc >> the 1024/doc ceiling (and max bucket 1600 > cap 1000, the
+    silent-drop regime the guard exists to catch)."""
+    from ray_mapreduce_spark.plans.dedup import simhash_pairs
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    docs = spark.createDataFrame(
+        [(i, f"{base} unique{i}") for i in range(1600)],
+        "doc_id: long, text: string",
+    )
+    with pytest.raises(Exception, match="saturated"):
+        simhash_pairs(docs).collect()
+
+
+def test_simhash_saturation_guard_passes_diverse_corpus(spark):
+    """A diverse corpus stays far under the saturation threshold and
+    the guarded plan returns normally (empty or near-empty pairs)."""
+    import random
+
+    from ray_mapreduce_spark.plans.dedup import simhash_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(500)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(vocab, 30))) for i in range(120)],
+        "doc_id: long, text: string",
+    )
+    rows = simhash_pairs(docs).collect()
+    assert isinstance(rows, list)
