@@ -191,3 +191,65 @@ def test_events_ts_guard_rejects_unknown_dtype(spark, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     with _pytest.raises(TypeError, match="unexpected dtype 'string'"):
         load_table(spark, str(tmp_path), "events")
+
+
+# ---------------------------------------------------------------------------
+# Executed-ADAPTIVE-plan shape (gotchas #9/#14, promoted from the r6
+# A/B measurements to regression tests): static explain always shows
+# 0 ReusedExchange, so these walk the tree Spark actually ran
+# (isFinalPlan=true), recursing through AQE query stages but NOT into
+# InMemoryRelation build lineages (which print in toString but are
+# cached, not re-executed).
+
+
+def _executed_nodes(spark, name, sf_dir) -> list[str]:
+    # Pristine cache: Spark substitutes any cached fragment from an
+    # earlier test's persist into this plan (cache lookup is by
+    # logical fragment), which would change the scan counts asserted
+    # below.
+    spark.catalog.clearCache()
+    df = all_queries()[name].builder(spark, sf_dir)
+    df.collect()  # drive AQE to the final plan
+    out: list[str] = []
+
+    def walk(p) -> None:
+        out.append(p.nodeName())
+        cls = p.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.finalPhysicalPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(p.plan())
+            return
+        for i in range(p.children().length()):
+            walk(p.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_minhash_shingle_lineage_executes_once(spark, sf_dir):
+    """minhash_pairs' shingle table feeds the signature stage AND the
+    verify stage. The r6 lazy persist makes every consumer a cache
+    read; if the persist is dropped, the consumers re-embed the
+    tokenize->shingle lineage and parquet scans reappear in the
+    executed plan — the 2.6s no-materialization regression measured
+    in the r6 A/B. Pin: zero parquet scans in the executed final
+    plan, >=2 cache reads."""
+    nodes = _executed_nodes(spark, "dedup_minhash_pairs", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    cache_reads = [n for n in nodes if n == "InMemoryTableScan"]
+    assert scans == [], scans
+    assert len(cache_reads) >= 2, nodes
+
+
+def test_ngram_single_scan_and_runtime_exchange_reuse(spark, sf_dir):
+    """ngram_jaccard's r6 window rework gives one tokenize lineage
+    whose identical self-join sides AQE runtime-reuses: exactly ONE
+    documents scan and at least one ReusedExchange in the executed
+    final plan (the pre-r6 agg+rejoin form scanned documents 4x with
+    zero reuse)."""
+    nodes = _executed_nodes(spark, "dedup_ngram_jaccard", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) == 1, scans
+    assert any(n.startswith("ReusedExchange") for n in nodes), nodes
