@@ -188,3 +188,30 @@ def test_streaming_run_matches_duckdb_oracle(spark, sf_dir):
         con.close()
     assert len(got) > 0
     assert got == want
+
+
+def test_events_stream_ts_guard_rejects_unknown_dtype(spark, tmp_path):
+    """gotcha #1's STREAMING mirror of the batch loader guard
+    (test_plans.py::test_events_ts_guard_rejects_unknown_dtype): the
+    stream source probes the parquet footer and branches on the ts
+    dtype; any physical type outside the two known generations must
+    fail loudly before a stream ever starts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ray_mapreduce_spark.streaming.windows import events_stream
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2024-01-01 00:00:00"], pa.string()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with _pytest.raises(TypeError, match="unexpected dtype 'string'"):
+        events_stream(spark, str(tmp_path))
