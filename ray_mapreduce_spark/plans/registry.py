@@ -60,85 +60,30 @@ def register(
 # r1 verified the relational/window/function block; r2 the §2d
 # extensions; r3/r4 (identical windows) the never-checked + r3-changed
 # + r3-new + 15 r1 re-verifications; r5 the events/micros block +
-# array_hof fix + r1/r2 re-verifications (50/50 green).
-# Round 6 window (least-recently-verified first, per VERDICT r5 #1):
-# (1) plans CHANGED in round 6 — dedup_minhash_pairs +
-#     pipeline_clean_corpus (lazy localCheckpoint -> lazy persist of
-#     the dependency-ordered shared frames, gotcha #9 as revised),
-#     funnel_view_click_purchase (checkpointed v/c
-#     stage aggregates — exchange reuse proven absent), and the
-#     ngram/tfidf df-as-window rework (+ dedup_clusters_exact, which
-#     consumes ngram_jaccard_pairs);
-# (2) the 15 remaining queries whose newest driver row is r2: the
-#     text/multimodal/sampling tail + every rows-only query;
-# (3) the r4-verified EVENTS consumers — their last driver row
-#     predates the round-5 nanos->micros regeneration, so they have
-#     never been driver-checked on the new data (ADVICE r5 #2):
-#     events_retention_cohorts, events_zscore_outliers,
-#     histogram_event_values, pivot_event_counts,
-#     variant_props_extract, agg_min_max_by, median_by_group,
-#     stream_interval_join;
-# (4) the r4-verified non-events block in original order (21 fit).
-# Past the window: the 17 deferred r4 names (re-front in round 7 —
-# they will be 3 rounds old), then the r5-green block, then
-# registration order.
+# array_hof fix (50/50 green); r6 the r6-changed/new plans + the
+# r2-stale tail + the events consumers on micros data + 15 r4
+# non-events (50/50 green incl. 9 rows-only).
+# Round 7 window (least-recently-verified first, per VERDICT r6 #1):
+# (1) sample_split_assign — the ONLY oracle-paired query with no
+#     driver row ever (added after the r6 window was pinned);
+# (2) round-7 additions/changes: text_unigram_incremental +
+#     events_sessionize_gap (new, oracle-paired) and
+#     dedup_simhash_pairs (band-saturation guard changed the plan;
+#     rows-only);
+# (3) the 22 deferred r4-green names — 3 rounds stale;
+# (4) 24 slots from the oldest slice of the r5-green block, in the
+#     r5 window's own order (stream_*/timeseries_*/asof onward).
+# Past the window: the remaining 24 r5-green names (front these in
+# round 8: cross_join_regions .. array_hof_functions), then the
+# r6-green block by registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (1) plans changed in round 6 --
-    "dedup_minhash_pairs",
-    "pipeline_clean_corpus",
-    "funnel_view_click_purchase",
-    "dedup_ngram_jaccard",  # df filter: agg+join -> window (reuse fix)
-    "text_tfidf_top_terms",  # same rework
-    "dedup_clusters_exact",  # consumes ngram_jaccard_pairs
-    "cluster_kmeans_assign",  # NEW in r6: oracle-paired iterative k-means
-    "text_bm25_topdocs",  # NEW in r6: BM25 retrieval scoring
-    "text_unigram_logprob",  # NEW in r6: perplexity-proxy scoring
-    "hybrid_neardup_scores",  # NEW in r6: cross-modal text x embedding
-    "chunk_documents_overlap",  # NEW in r6: overlapping token chunks
-    # -- (2) newest driver row is r2 --
-    "text_fingerprint",
-    "text_quality_ratios",
-    "text_repetition_stats",
-    "multimodal_binary_meta",
-    "multimodal_size_profile",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "sample_hash_deterministic",
-    "agg_approx_count_distinct",
-    "approx_percentiles",
+    # -- (1) never driver-checked --
+    "sample_split_assign",
+    # -- (2) round-7 additions/changes --
+    "text_unigram_incremental",
+    "events_sessionize_gap",
     "dedup_simhash_pairs",
-    "dedup_clusters",
-    "similarity_topk_lsh",
-    "dedup_embedding_lsh",
-    "similarity_topk_ivf",
-    # -- (3) events consumers never driver-checked on micros data --
-    "events_retention_cohorts",
-    "events_zscore_outliers",
-    "histogram_event_values",
-    "pivot_event_counts",
-    "variant_props_extract",
-    "agg_min_max_by",
-    "median_by_group",
-    "stream_interval_join",
-    # -- (4) r4-verified non-events block --
-    "filter_project_revenue",
-    "join_anti_no_big_order",
-    "join_range_price_band",
-    "agg_count_distinct",
-    "distinct_flag_status",
-    "rollup_order_status",
-    "cube_flag_status",
-    "set_union_all_keys",
-    "set_intersect_keys",
-    "set_except_keys",
-    "join_full_outer_nation_counts",
-    "join_salted_skew",
-    "window_topk_per_customer",
-    "window_distribution",
-    "window_range_frame",
-    "window_value_functions",
-    # -- past the 50-slot window: the deferred r4 names; front these
-    # -- in round 7 (r4-green = 3 rounds old by then) --
+    # -- (3) deferred r4-green names (3 rounds stale) --
     "grouping_sets_sql",
     "unpivot_nation_counts",
     "explode_outer_long_words",
@@ -161,6 +106,58 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pack_sequences_greedy",
     "sample_weighted_mixture",
     "pipeline_training_batch",
+    # -- (4) oldest r5-green slice, r5-window order --
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "timeseries_rollup_hierarchy",
+    "timeseries_ohlc",
+    "timeseries_gapfill",
+    "asof_join_last_click",
+    "json_extract_agg",
+    "interval_shift",
+    "math_functions",
+    "error_branch_classify",
+    "month_count",
+    "date_functions",
+    "sort_limit_top100",
+    "window_rank_dense",
+    "window_running_and_lag",
+    "window_moving_avg",
+    "string_functions",
+    "map_functions",
+    "regexp_normalize",
+    "array_map_explode",
+    "stats_aggregates",
+    "levenshtein_type_pairs",
+    "null_semantics",
+    # -- past the 50-slot window: the rest of the r5-green block —
+    # -- front these in round 8 --
+    "cross_join_regions",
+    "in_subquery_custkeys",
+    "q1_pricing_summary",
+    "join_left_outer_customer",
+    "join_semi_open_orders",
+    "q6_forecast_revenue",
+    "join_customer_orders",
+    "q5_local_supplier_revenue",
+    "q3_shipping_priority",
+    "q10_returned_item_revenue",
+    "q18_large_orders",
+    "try_cast_parsing",
+    "above_segment_avg_orders",
+    "udaf_applyinpandas_median",
+    "udf_mapinpandas_tokens",
+    "udf_scalar_log_value",
+    "dedup_exact",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_survivors_window",
+    "text_token_stats",
+    "text_token_count_regex",
+    "text_lang_id",
+    "text_top_bigrams",
+    "array_hof_functions",
 )
 
 
