@@ -67,21 +67,22 @@ def register(
 # (1) sample_split_assign — the ONLY oracle-paired query with no
 #     driver row ever (added after the r6 window was pinned);
 # (2) round-7 additions/changes: text_unigram_incremental +
-#     events_sessionize_gap (new, oracle-paired) and
-#     dedup_simhash_pairs (band-saturation guard changed the plan;
-#     rows-only);
+#     events_sessionize_gap + text_bm25_incremental (new,
+#     oracle-paired) and dedup_simhash_pairs (band-saturation guard
+#     changed the plan; rows-only);
 # (3) the 22 deferred r4-green names — 3 rounds stale;
-# (4) 24 slots from the oldest slice of the r5-green block, in the
+# (4) 23 slots from the oldest slice of the r5-green block, in the
 #     r5 window's own order (stream_*/timeseries_*/asof onward).
-# Past the window: the remaining 24 r5-green names (front these in
-# round 8: cross_join_regions .. array_hof_functions), then the
-# r6-green block by registration order.
+# Past the window: the remaining 25 r5-green names (front these in
+# round 8: null_semantics .. array_hof_functions), then the r6-green
+# block by registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked --
     "sample_split_assign",
     # -- (2) round-7 additions/changes --
     "text_unigram_incremental",
     "events_sessionize_gap",
+    "text_bm25_incremental",
     "dedup_simhash_pairs",
     # -- (3) deferred r4-green names (3 rounds stale) --
     "grouping_sets_sql",
@@ -130,9 +131,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "array_map_explode",
     "stats_aggregates",
     "levenshtein_type_pairs",
-    "null_semantics",
     # -- past the 50-slot window: the rest of the r5-green block —
     # -- front these in round 8 --
+    "null_semantics",
     "cross_join_regions",
     "in_subquery_custkeys",
     "q1_pricing_summary",

@@ -791,3 +791,122 @@ def text_unigram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) == 0)
     terms, scalars = unigram_corpus_stats(corpus)
     return unigram_score_batch(batch, terms, scalars)
+
+
+# --------------------------------------------------------------------------
+# Incremental BM25: the train/serve split of text_bm25_topdocs (same
+# pattern as text_unigram_incremental — a rolling crawl scores each
+# NEW batch against retrieval stats FROZEN from the standing corpus:
+# df, N, avgdl never recompute per batch). Query terms come from the
+# first corpus docs (doc_id < BM25_QUERY_DOCS + 1 restricted to the
+# corpus slice, so the query set is identical on both engines and
+# disjoint from the batch).
+def bm25_corpus_stats(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Frozen BM25 stats from a (doc_id, text) corpus frame:
+    (terms(tok, df), scalars(n, avgdl)). In production both are
+    written once per corpus snapshot (terms bucketed by tok) and
+    every batch scores against the stored tables."""
+    tok = corpus.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    terms = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dlen"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dlen").alias("avgdl")
+    )
+    return terms, scalars
+
+
+def bm25_score_batch(
+    batch: DataFrame, terms: DataFrame, scalars: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """Score a (doc_id, text) batch against frozen BM25 stats for the
+    given single-column (tok) query-term set.
+
+    Scale shape: batch tokenizes narrow with the doc length as a
+    window over the tf rows (one lineage); the query-term set is
+    broadcast (small by construction) and applied as a semi-join
+    BEFORE the df join, so only matching terms ever join the frozen
+    df table (equi-join on tok — the terms agg already partitioned
+    the frozen side); the two-scalar stats row is broadcast. The
+    per-doc score partial-aggregates map-side. OOV query terms (no
+    df row) can't occur — qterms is derived from the corpus — but a
+    left join + coalesce(df, 0) keeps external query sets safe."""
+    from pyspark.sql.window import Window
+
+    btok = batch.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = btok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    tf = tf.withColumn("dlen", F.sum("tf").over(Window.partitionBy("doc_id")))
+    matched = (
+        tf.join(F.broadcast(qterms), "tok", "left_semi")
+        .join(terms, "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0.0)))
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    return matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_match"),
+        F.round(F.sum(idf * tf_part), 4).alias("bm25"),
+    )
+
+
+@register(
+    "text_bm25_incremental",
+    tags=("text", "bm25", "retrieval", "incremental"),
+    oracle=f"""
+    WITH ctok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id % {UNIGRAM_SPLIT_MOD} <> 0
+    ),
+    ctf AS (SELECT doc_id, tok, count(*) AS tf FROM ctok GROUP BY doc_id, tok),
+    terms AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM ctf GROUP BY tok),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM ctf GROUP BY doc_id),
+    scal AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl
+    ),
+    qterms AS (
+      SELECT DISTINCT tok FROM ctok WHERE doc_id < {BM25_QUERY_DOCS + 1}
+    ),
+    btok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents WHERE doc_id % {UNIGRAM_SPLIT_MOD} = 0
+    ),
+    btf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM btok GROUP BY doc_id, tok
+    ),
+    bdl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dlen FROM btf GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_match,
+           round(sum(
+             ln((scal.n - coalesce(t.df, 0) + 0.5) / (coalesce(t.df, 0) + 0.5) + 1)
+             * b.tf * ({BM25_K1} + 1)
+             / (b.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * bdl.dlen / scal.avgdl))
+           ), 4) AS bm25
+    FROM btf b
+    JOIN qterms q ON b.tok = q.tok
+    LEFT JOIN terms t ON b.tok = t.tok
+    JOIN bdl ON b.doc_id = bdl.doc_id
+    CROSS JOIN scal
+    GROUP BY b.doc_id
+    """,
+)
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_match, bm25) for the new-batch slice
+    (doc_id % UNIGRAM_SPLIT_MOD == 0) scored against BM25 stats
+    frozen from the rest of the corpus; query terms are the distinct
+    tokens of the first corpus docs (doc_id < BM25_QUERY_DOCS + 1 in
+    the corpus slice). See bm25_corpus_stats / bm25_score_batch."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) != 0)
+    batch = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) == 0)
+    terms, scalars = bm25_corpus_stats(corpus)
+    qterms = (
+        corpus.filter(F.col("doc_id") < BM25_QUERY_DOCS + 1)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    return bm25_score_batch(batch, terms, scalars, qterms)

@@ -88,3 +88,48 @@ def test_sessionize_boundary_invariants(spark, sf_dir):
             assert r["start_us"] <= r["end_us"]
         for prev, nxt in zip(sess, sess[1:]):
             assert nxt["start_us"] - prev["end_us"] > SESSION_GAP_US
+
+
+def test_bm25_stats_frozen_and_reused(spark, sf_dir):
+    """Same contract as the unigram test for the BM25 leg: stats
+    materialized once must reproduce the registered end-to-end plan,
+    and an external (partially-OOV) query set scores safely through
+    the coalesce(df, 0) path."""
+    from ray_mapreduce_spark.plans.text_analysis import (
+        BM25_QUERY_DOCS,
+        bm25_corpus_stats,
+        bm25_score_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) != 0)
+    batch = d.filter(F.pmod("doc_id", F.lit(UNIGRAM_SPLIT_MOD)) == 0)
+    terms, scalars = bm25_corpus_stats(corpus)
+    terms = terms.localCheckpoint(eager=True)
+    scalars = scalars.localCheckpoint(eager=True)
+    qterms = (
+        corpus.filter(F.col("doc_id") < BM25_QUERY_DOCS + 1)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .distinct()
+    )
+
+    expected = {
+        r["doc_id"]: (r["n_match"], r["bm25"])
+        for r in _Q["text_bm25_incremental"].builder(spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_match"], r["bm25"])
+        for r in bm25_score_batch(batch, terms, scalars, qterms).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+    # External query set with an OOV term: must not error (df -> 0)
+    # and the OOV term contributes the MAX idf, never a negative/null.
+    ext = spark.createDataFrame([("zzz_never_seen",)], "tok: string")
+    first_tok = (
+        batch.select(F.split(F.lower("text"), " ")[0].alias("tok")).first()["tok"]
+    )
+    ext = ext.union(spark.createDataFrame([(first_tok,)], "tok: string"))
+    rows = bm25_score_batch(batch, terms, scalars, ext).collect()
+    assert all(r["bm25"] is not None for r in rows)
