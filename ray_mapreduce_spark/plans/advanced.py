@@ -679,3 +679,58 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").cast("bigint").alias("end_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially time-decayed engagement: the recency-weighted feature
+# a ranking/curation pipeline computes per user ("activity as of
+# now") — sum(value * exp(-days_since / TAU)). Decay anchored to the
+# corpus max ts so both engines see one deterministic "now".
+DECAY_TAU_DAYS = 7.0
+
+
+@register(
+    "events_decayed_score",
+    tags=("events", "feature", "decay"),
+    oracle=f"""
+    WITH anchor AS (
+      SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS t_end FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-((anchor.t_end - epoch_us(CAST(ts AS TIMESTAMP)))
+                                   / 86400000000.0) / {DECAY_TAU_DAYS})), 4)
+             AS decayed_value,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_seen_us
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+)
+def events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, decayed_value, last_seen_us) with a
+    TAU-day exponential decay anchored at the corpus max timestamp.
+
+    Scale shape: the anchor is a narrow scan agg broadcast onto every
+    row (never a global window); the decayed sum partial-aggregates
+    map-side, so the one shuffle carries a row per (user, partition).
+    Cross-engine float note: exp() differs by <=1 ulp between the JVM
+    and libm, and summed terms are transcendental (never sitting on a
+    4dp rounding boundary), so 4dp rounding is stable — unlike
+    rational arithmetic, which CAN land exactly on boundaries and
+    needs the gotcha-#13 bias."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    anchor = e.agg(F.max("us").alias("t_end"))
+    days = (F.col("t_end") - F.col("us")) / F.lit(86400000000.0)
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-days / DECAY_TAU_DAYS)), 4).alias(
+                "decayed_value"
+            ),
+            F.max("us").cast("bigint").alias("last_seen_us"),
+        )
+    )

@@ -870,3 +870,86 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level duplication profiling: the exact-substring complement to
+# the doc-level near-dup families (cf. "Deduplicating Training Data
+# Makes Language Models Better" — repeated spans inflate memorization
+# even when whole docs aren't duplicates). For every overlapping
+# SPAN_K-token span, is the same span present in ANY other doc? The
+# per-doc repeated fraction is the signal a curation pipeline
+# thresholds on (or feeds to span-excision).
+SPAN_K = 8
+
+
+@register(
+    "dedup_repeated_spans",
+    tags=("dedup", "spans", "substring", "window"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ')
+                     FOR i IN range(1, greatest(len(toks) - {SPAN_K - 2}, 1))]) AS g
+      FROM t
+      WHERE len(toks) >= {SPAN_K}
+    ),
+    f AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY g)         AS cnt_total,
+             count(*) OVER (PARTITION BY g, doc_id) AS cnt_doc
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN cnt_total > cnt_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           round(CAST(sum(CASE WHEN cnt_total > cnt_doc THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS repeated_frac
+    FROM f GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, n_repeated, repeated_frac) over overlapping
+    SPAN_K-token spans; a span counts as repeated when it also occurs
+    in a DIFFERENT document.
+
+    Scale shape: the _shingle_hashes construction generalized to
+    K=8 — tokenize, posexplode, hash each token ONCE, lead x7 on one
+    doc_id sort, combine to an 8-byte span hash (spans shuffle as
+    longs, never text; collision odds ~1e-15, same argument as the
+    shingle path). Cross-doc detection is two COUNT windows on one
+    lineage — over (g) and over (g, doc_id); the g-exchange satisfies
+    both, so ordering them g-first costs a single shuffle and
+    "repeated elsewhere" is just cnt_total > cnt_doc (no countDistinct
+    over a window, no agg+rejoin). The per-doc fraction
+    partial-aggregates map-side. The frac division is int/int in
+    IDENTICAL IEEE order on both engines, so 4dp rounding cannot
+    diverge."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = tok.select("doc_id", "pos", F.xxhash64("t").alias("h0"))
+    for i in range(1, SPAN_K):
+        h = h.withColumn(f"h{i}", F.lead("h0", i).over(w))
+    spans = h.filter(F.col(f"h{SPAN_K - 1}").isNotNull()).select(
+        "doc_id", F.xxhash64(*[f"h{i}" for i in range(SPAN_K)]).alias("g")
+    )
+    wg = Window.partitionBy("g")
+    wgd = Window.partitionBy("g", "doc_id")
+    flagged = spans.withColumn("cnt_total", F.count(F.lit(1)).over(wg)).withColumn(
+        "cnt_doc", F.count(F.lit(1)).over(wgd)
+    )
+    rep = (F.col("cnt_total") > F.col("cnt_doc")).cast("int")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(rep).cast("bigint").alias("n_repeated"),
+        F.round(
+            F.sum(rep).cast("double") / F.count(F.lit(1)), 4
+        ).alias("repeated_frac"),
+    )

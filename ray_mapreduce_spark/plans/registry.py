@@ -66,16 +66,18 @@ def register(
 # Round 7 window (least-recently-verified first, per VERDICT r6 #1):
 # (1) sample_split_assign — the ONLY oracle-paired query with no
 #     driver row ever (added after the r6 window was pinned);
-# (2) round-7 additions/changes: text_unigram_incremental +
-#     events_sessionize_gap + text_bm25_incremental (new,
-#     oracle-paired) and dedup_simhash_pairs (band-saturation guard
-#     changed the plan; rows-only);
+# (2) round-7 additions/changes: 7 NEW oracle-paired queries
+#     (text_unigram_incremental, events_sessionize_gap,
+#     text_bm25_incremental, dedup_repeated_spans,
+#     events_decayed_score, corpus_composition_report,
+#     decontaminate_embedding) and dedup_simhash_pairs
+#     (band-saturation guard changed the plan; rows-only);
 # (3) the 22 deferred r4-green names — 3 rounds stale;
-# (4) 23 slots from the oldest slice of the r5-green block, in the
+# (4) 19 slots from the oldest slice of the r5-green block, in the
 #     r5 window's own order (stream_*/timeseries_*/asof onward).
-# Past the window: the remaining 25 r5-green names (front these in
-# round 8: null_semantics .. array_hof_functions), then the r6-green
-# block by registration order.
+# Past the window: the remaining 29 r5-green names (front these in
+# round 8: regexp_normalize .. array_hof_functions), then the
+# r6-green block by registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked --
     "sample_split_assign",
@@ -83,6 +85,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_unigram_incremental",
     "events_sessionize_gap",
     "text_bm25_incremental",
+    "dedup_repeated_spans",
+    "events_decayed_score",
+    "corpus_composition_report",
+    "decontaminate_embedding",
     "dedup_simhash_pairs",
     # -- (3) deferred r4-green names (3 rounds stale) --
     "grouping_sets_sql",
@@ -127,12 +133,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_moving_avg",
     "string_functions",
     "map_functions",
+    # -- past the 50-slot window: the rest of the r5-green block —
+    # -- front these in round 8 --
     "regexp_normalize",
     "array_map_explode",
     "stats_aggregates",
     "levenshtein_type_pairs",
-    # -- past the 50-slot window: the rest of the r5-green block —
-    # -- front these in round 8 --
     "null_semantics",
     "cross_join_regions",
     "in_subquery_custkeys",

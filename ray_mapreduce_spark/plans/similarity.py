@@ -648,3 +648,61 @@ def hybrid_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v.select(F.col("vec_id").alias("doc_b"), F.col("vec").alias("vb")), "doc_b")
         .select("doc_a", "doc_b", "jaccard", F.round(cos, 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space decontamination: the retrieval twin of
+# decontaminate_ngram_overlap — flag training vectors semantically
+# close to any benchmark vector even when no tokens overlap
+# (paraphrased contamination). Benchmark = vec_id % 7 == 0, the same
+# deterministic split rule as the n-gram variant.
+@register(
+    "decontaminate_embedding",
+    tags=("similarity", "decontamination", "cross-modal"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    bench AS (SELECT vec_id, vec FROM v WHERE vec_id % 7 = 0),
+    train AS (SELECT vec_id, vec FROM v WHERE vec_id % 7 <> 0),
+    scored AS (
+      SELECT t.vec_id,
+             list_cosine_similarity(t.vec, b.vec) AS cos
+      FROM train t JOIN bench b ON true
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(max(cos), 4) AS max_cos
+    FROM scored
+    WHERE cos >= {EMB_NEARDUP_THRESHOLD}
+    GROUP BY vec_id
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train vec_id, n benchmark hits at cosine >= threshold, max
+    cosine) — a downstream filter quarantines the hits.
+
+    Scale shape: EXACT variant — the benchmark set is broadcast (like
+    a benchmark release, it is small and fixed) against the corpus
+    scan, so cost is O(n·|bench|) with no shuffle on the corpus side
+    beyond the per-vector agg; at |bench| beyond broadcast size the
+    sign-LSH bucket join (dedup_embedding_lsh's shape) is the scale
+    path with this as its verifier. Same dot/norm kernels and the
+    same 0.35 threshold as the r4-proven dedup_embedding_cosine, so
+    the float-boundary behavior is already hash-verified."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings")).select("vec_id", "vec")
+    bench = v.filter(F.pmod("vec_id", F.lit(7)) == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("bvec")
+    )
+    train = v.filter(F.pmod("vec_id", F.lit(7)) != 0)
+    cos = _dot("vec", "bvec") / (_norm("vec") * _norm("bvec"))
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_NEARDUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+    )

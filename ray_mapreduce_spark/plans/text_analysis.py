@@ -910,3 +910,58 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bm25_score_batch(batch, terms, scalars, qterms)
+
+
+# --------------------------------------------------------------------------
+# Corpus composition report: the per-(source, lang) share table that
+# drives mixture design (sample_weighted_mixture consumes shares like
+# these as its rate recipe) and the first artifact any 100 TB corpus
+# audit produces.
+@register(
+    "corpus_composition_report",
+    tags=("text", "composition", "aggregate"),
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens,
+             sum(length(text)) AS n_chars
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM per)
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT)  AS n_chars,
+           round(n_tokens / tot.total_tokens, 6) AS token_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_docs, n_tokens, n_chars, token_share).
+
+    Scale shape: one partial-aggregated groupBy on (source, lang) —
+    the group count is tiny by construction (domains x languages), so
+    the share denominator is an agg OVER THE GROUPED FRAME (group
+    rows, not corpus rows) broadcast back onto it; the corpus is
+    scanned once and never re-shuffled for the total. Token counts
+    stay integers until the one share division, which both engines
+    perform in identical IEEE order (6dp round cannot diverge)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+        )
+    )
