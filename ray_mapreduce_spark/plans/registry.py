@@ -70,14 +70,15 @@ def register(
 #     (text_unigram_incremental, events_sessionize_gap,
 #     text_bm25_incremental, dedup_repeated_spans,
 #     events_decayed_score, corpus_composition_report,
-#     decontaminate_embedding) and dedup_simhash_pairs
+#     decontaminate_embedding, plus rows-only
+#     similarity_topk_ivf_kmeans) and dedup_simhash_pairs
 #     (band-saturation guard changed the plan; rows-only);
 # (3) the 22 deferred r4-green names — 3 rounds stale;
-# (4) 19 slots from the oldest slice of the r5-green block, in the
+# (4) 18 slots from the oldest slice of the r5-green block, in the
 #     r5 window's own order (stream_*/timeseries_*/asof onward).
-# Past the window: the remaining 29 r5-green names (front these in
-# round 8: regexp_normalize .. array_hof_functions), then the
-# r6-green block by registration order.
+# Past the window: the remaining 30 r5-green names (front these in
+# round 8: map_functions .. array_hof_functions), then the r6-green
+# block by registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked --
     "sample_split_assign",
@@ -89,6 +90,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_decayed_score",
     "corpus_composition_report",
     "decontaminate_embedding",
+    "similarity_topk_ivf_kmeans",
     "dedup_simhash_pairs",
     # -- (3) deferred r4-green names (3 rounds stale) --
     "grouping_sets_sql",
@@ -132,9 +134,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_and_lag",
     "window_moving_avg",
     "string_functions",
-    "map_functions",
     # -- past the 50-slot window: the rest of the r5-green block —
     # -- front these in round 8 --
+    "map_functions",
     "regexp_normalize",
     "array_map_explode",
     "stats_aggregates",

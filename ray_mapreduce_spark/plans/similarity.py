@@ -366,24 +366,40 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = v.join(F.broadcast(seed_ids), "vec_id").select(
         "cell", F.col("vec").alias("cvec")
     )
+    return _ivf_probe_topk(v, centroids)
 
-    def ranked_cells(side: DataFrame, vec_col: str, keep: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).select(
-            *side.columns,
-            "cell",
-            (_dot(vec_col, "cvec") / (_norm(vec_col) * _norm("cvec"))).alias("ccos"),
-        )
-        w = Window.partitionBy(*[c for c in side.columns if c != vec_col]).orderBy(
-            F.col("ccos").desc(), "cell"
-        )
-        return scored.withColumn("crk", F.row_number().over(w)).filter(F.col("crk") <= keep)
 
+def _ranked_cells(
+    side: DataFrame, centroids: DataFrame, vec_col: str, keep: int
+) -> DataFrame:
+    """Rank each row's nearest ``keep`` centroid cells by cosine (one
+    broadcast cross join vs K centroids; per-row window over K rows)."""
+    scored = side.crossJoin(F.broadcast(centroids)).select(
+        *side.columns,
+        "cell",
+        (_dot(vec_col, "cvec") / (_norm(vec_col) * _norm("cvec"))).alias("ccos"),
+    )
+    w = Window.partitionBy(*[c for c in side.columns if c != vec_col]).orderBy(
+        F.col("ccos").desc(), "cell"
+    )
+    return scored.withColumn("crk", F.row_number().over(w)).filter(F.col("crk") <= keep)
+
+
+def _ivf_probe_topk(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Shared IVF probe stage: assign corpus to 1 cell, probe N_PROBE
+    cells per query, exact-cosine the candidates, window top-k. The
+    candidate join is an equi-join on cell — shuffle O(n), never
+    O(n²) — whatever trained the centroids."""
     corpus = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec_n"))
-    corpus_cells = ranked_cells(corpus, "cvec_n", 1).select("neighbor_id", "cvec_n", "cell")
+    corpus_cells = _ranked_cells(corpus, centroids, "cvec_n", 1).select(
+        "neighbor_id", "cvec_n", "cell"
+    )
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    query_cells = ranked_cells(queries, "qvec", N_PROBE).select("query_id", "qvec", "cell")
+    query_cells = _ranked_cells(queries, centroids, "qvec", N_PROBE).select(
+        "query_id", "qvec", "cell"
+    )
 
     scored = (
         F.broadcast(query_cells)
@@ -402,6 +418,84 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
     )
+
+
+# IVF with TRAINED cells: the seed-sampled variant above concedes "a
+# real deployment would k-means these seeds" — this variant does,
+# reusing the Lloyd kernel (unrounded: no oracle needs lockstep here)
+# before the identical probe stage. Trained cells align with the data
+# distribution, which is exactly where seed-IVF loses recall (the
+# adversarial clustered fixture measures the gap; see
+# tests/test_ann_adversarial.py).
+IVF_KMEANS_ITERS = 2
+
+
+@register(
+    "similarity_topk_ivf_kmeans",
+    oracle=None,  # trained-cell layout engine-specific; recall pinned in pytest
+    tags=("similarity", "topk", "ivf", "kmeans", "ann"),
+)
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with Lloyd-refined centroids.
+
+    Scale shape: training = IVF_KMEANS_ITERS rounds of the
+    cluster_kmeans_assign kernel (broadcast centroids, partial min_by
+    assignment, posexplode partial-avg update) seeded by the same
+    deterministic hash-ordered sample as similarity_topk_ivf; the
+    final K x dim centroid frame is eager-localCheckpointed — it is
+    tiny, and it feeds TWO broadcast builds (corpus-side and
+    query-side cell ranking), which are sibling branches that would
+    otherwise re-run training twice (gotcha #9, sibling case). Probe
+    stage identical to similarity_topk_ivf."""
+    from pyspark import StorageLevel
+
+    v = (
+        _with_vec(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "vec")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # loop-invariant corpus
+    )
+    seed_ids = (
+        v.select("vec_id", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(N_CELLS)
+        .withColumn("cell", F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        .select("vec_id", "cell")
+    )
+    cent = v.join(F.broadcast(seed_ids), "vec_id").select(
+        "cell", F.col("vec").alias("cvec")
+    )
+    for _ in range(IVF_KMEANS_ITERS):
+        # Same determinism discipline as cluster_kmeans_assign (gotcha
+        # #13): distances rounded with a cell tiebreak before argmin,
+        # centroid means re-rounded — float summation order varies
+        # with partitioning, and an unrounded near-tie would make the
+        # trained cells (and thus the result set) partition-dependent.
+        d2 = F.round(
+            _dot("vec", "vec") - 2 * _dot("vec", "cvec") + _dot("cvec", "cvec"), 4
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                F.first("vec").alias("vec"),
+            )
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cvec")
+            )
+        )
+    cent = cent.localCheckpoint(eager=True)
+    return _ivf_probe_topk(v, cent)
 
 
 # --------------------------------------------------------------------------

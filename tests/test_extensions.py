@@ -376,3 +376,29 @@ def test_simhash_saturation_guard_passes_diverse_corpus(spark):
     )
     rows = simhash_pairs(docs).collect()
     assert isinstance(rows, list)
+
+
+def test_ivf_kmeans_topk_agreement_and_recall(spark, sf_dir):
+    """Trained-cell IVF: cosines must agree with brute force on
+    overlapping pairs, every query answered, and recall@5 vs brute
+    above the uniform-data floor. NOTE the driver embeddings are
+    near-UNIFORM — the worst case for any IVF (no cluster structure
+    for cells to align with; measured 0.38 here, same ballpark as
+    seed-IVF) — so the meaningful recall pin lives in
+    test_ann_adversarial.py, where clustered data measures 1.0 for
+    trained cells vs 0.62/0.86 for seed sampling."""
+    brute = {}
+    for r in _rows(spark, sf_dir, "similarity_topk_brute"):
+        brute.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine"]
+    ivf = _rows(spark, sf_dir, "similarity_topk_ivf_kmeans")
+    assert ivf, "kmeans-IVF returned nothing"
+    got: dict[int, set] = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["neighbor_id"] in brute.get(r["query_id"], {}):
+            assert abs(r["cosine"] - brute[r["query_id"]][r["neighbor_id"]]) < 1e-6
+    assert set(got) == set(brute)
+    recalls = [
+        len(got[q] & set(nbrs)) / len(nbrs) for q, nbrs in brute.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
