@@ -160,10 +160,9 @@ def dedup_ngram_jaccard(
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=df_cap)
 
 
-def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
-    """Core inverted-index exact-Jaccard plan over any (doc_id, lang,
-    text) frame — see ``dedup_ngram_jaccard`` for the rationale.
-    Spreads its input (the shingle stage is narrow; see minhash_pairs).
+def _ngram_common_counts(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
+    """Shared inverted-index core: (doc_a, doc_b, n_a, n_b, n_common)
+    for every same-lang doc pair sharing >=1 sub-cap shingle.
 
     Single-lineage df filter (r6 rework, found by the repeated-scan
     audit): the old agg-then-self-join df_filter re-embedded the
@@ -188,7 +187,7 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame
     )
     a = ex.alias("a")
     b = ex.alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -203,6 +202,14 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
+    """Core inverted-index exact-Jaccard plan over any (doc_id, lang,
+    text) frame — see ``dedup_ngram_jaccard`` for the rationale.
+    Spreads its input (the shingle stage is narrow; see minhash_pairs).
+    Plan shape notes live on ``_ngram_common_counts``."""
+    common = _ngram_common_counts(d, df_cap=df_cap)
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
@@ -210,6 +217,86 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFrame
         common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric shingle CONTAINMENT: |A∩B|/|A| (and /|B|). Near-dup
+# detection by Jaccard misses subset duplication — a short doc quoted
+# wholesale inside a long one has low Jaccard (the union is dominated
+# by the long doc) but containment ~1 for the short side. This is the
+# signal crawl pipelines use to kill quote-farms and wrapper pages.
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("dedup", "ngram", "containment"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / n_a + 1e-9, 4) AS contain_ab,
+           round(CAST(n_common AS DOUBLE) / n_b + 1e-9, 4) AS contain_ba
+    FROM pairs
+    WHERE greatest(CAST(n_common AS DOUBLE) / n_a,
+                   CAST(n_common AS DOUBLE) / n_b) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int = DEFAULT_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, contain_ab, contain_ba) for same-lang pairs where
+    either directed containment |A∩B|/|A| or |A∩B|/|B| reaches
+    CONTAINMENT_THRESHOLD — catches subset/quote duplication that
+    Jaccard's union denominator hides.
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` (shared
+    ``_ngram_common_counts`` inverted index — O(occurrences with
+    df∈[2,cap]) shuffle, never all-pairs); only the final scalar
+    filter differs, so the two queries cost the same and a pipeline
+    computing both shares the candidate stage wholesale. Threshold
+    compares single-division doubles built from identical ints
+    (IEEE-exact on both engines); output rounding carries the +1e-9
+    half-boundary guard (k/n lands exactly on 4dp half-boundaries,
+    e.g. 1/32 — see text_quality_score)."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"), df_cap=df_cap)
+
+
+def containment_pairs(
+    d: DataFrame,
+    df_cap: int = DEFAULT_DF_CAP,
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """Frame-level containment core over any (doc_id, lang, text)
+    frame — see ``dedup_containment_pairs``."""
+    common = _ngram_common_counts(d, df_cap=df_cap)
+    c_ab = F.col("n_common").cast("double") / F.col("n_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        common.filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab + F.lit(1e-9), 4).alias("contain_ab"),
+            F.round(c_ba + F.lit(1e-9), 4).alias("contain_ba"),
+        )
     )
 
 

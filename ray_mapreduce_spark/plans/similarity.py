@@ -575,8 +575,11 @@ K_MEANS_K = 8
 K_MEANS_ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """Generate the unrolled DuckDB mirror of cluster_kmeans_assign."""
+def _kmeans_cte(k: int, iters: int, dim: int) -> str:
+    """Unrolled DuckDB Lloyd-iteration CTE chain; the final assignment
+    lives in ``a{iters}`` as (vec_id, vec, cluster). Shared by
+    cluster_kmeans_assign and dedup_semantic_kmeans so the two oracles
+    cannot drift."""
 
     def d2(v: str, c: str) -> str:
         return (
@@ -605,8 +608,13 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
                 f" FROM a{i}, range(1, {dim + 1}) t(i)"
                 f" GROUP BY cluster, i) GROUP BY cluster)"
             )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Generate the unrolled DuckDB mirror of cluster_kmeans_assign."""
     return (
-        ",\n".join(parts)
+        _kmeans_cte(k, iters, dim)
         + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
     )
 
@@ -634,22 +642,38 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — the ordering struct includes the cluster id
     (gotcha from the r3 sf0.1 sweep: plain min_by on a value with
     duplicates is partition-order nondeterministic)."""
+    v = _persisted_corpus(spark, sf_dir)
+    assigned = _lloyd_assign(v, K_MEANS_K, K_MEANS_ITERS)
+    return assigned.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+
+
+def _persisted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec) projection, lazily persisted for iterative reuse.
+
+    Deliberately NOT unpersisted: the returned frame still reads the
+    cache lazily, so the builder can't drop it before the driver's
+    action. Long sweep sessions rely on LRU block eviction (bounded:
+    one projected corpus per persisting query, MEMORY_AND_DISK)."""
     from pyspark import StorageLevel
 
-    # Deliberately NOT unpersisted: the returned frame still reads the
-    # cache lazily, so the builder can't drop it before the driver's
-    # action. Long sweep sessions rely on LRU block eviction (bounded:
-    # one projected corpus per persisting query, MEMORY_AND_DISK).
-    v = (
+    return (
         _with_vec(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "vec")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cent = v.filter(F.col("vec_id") < K_MEANS_K).select(
+
+
+def _lloyd_assign(v: DataFrame, k: int, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds from the deterministic vec_id < k seed
+    centroids over a persisted (vec_id, vec) frame; returns
+    (vec_id, cluster INT, vec). Plan-shape rationale lives on
+    cluster_kmeans_assign (broadcast centroids, min_by partial
+    assignment, composite tiebreak, 6dp centroid re-round)."""
+    cent = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("vec").alias("cvec")
     )
     assigned = None
-    for it in range(1, K_MEANS_ITERS + 1):
+    for it in range(1, iters + 1):
         d2 = F.round(
             _dot("vec", "vec") - 2 * _dot("vec", "cvec") + _dot("cvec", "cvec"), 4
         )
@@ -658,7 +682,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("cluster", F.struct("d2", "cluster")).alias("cluster"),
             F.first("vec").alias("vec"),  # constant per vec_id
         )
-        if it < K_MEANS_ITERS:
+        if it < iters:
             cent = (
                 assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
                 .groupBy("cluster", "pos")
@@ -671,7 +695,79 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("cvec")
                 )
             )
-    return assigned.select("vec_id", F.col("cluster").cast("bigint").alias("cluster"))
+    return assigned
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape: arXiv 2303.09540): k-means the
+# embedding space, then exact pairwise cosine ONLY within each
+# cluster. The cluster assignment bounds candidate generation — the
+# quadratic blow-up of all-pairs cosine is confined to cluster
+# populations, which K is chosen to keep bounded (at 100 TB: K grows
+# with the corpus so |cluster| stays ~constant; here K_MEANS_K on the
+# test corpus). This is the embedding-space sibling of LSH blocking.
+SEMANTIC_COS_THRESHOLD = 0.35
+
+
+def _semantic_kmeans_oracle(k: int, iters: int, dim: int, thr: float) -> str:
+    return (
+        _kmeans_cte(k, iters, dim)
+        + f""",
+    av AS (SELECT vec_id, vec, cluster FROM a{iters})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.cluster AS BIGINT) AS cluster,
+           round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+    FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= {thr}
+    """
+    )
+
+
+@register(
+    "dedup_semantic_kmeans",
+    tags=("dedup", "similarity", "kmeans", "iterative", "semdedup"),
+    oracle=_semantic_kmeans_oracle(
+        K_MEANS_K, K_MEANS_ITERS, DIM, SEMANTIC_COS_THRESHOLD
+    ),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cluster, cosine) for within-cluster pairs at
+    cosine >= SEMANTIC_COS_THRESHOLD after the SAME deterministic
+    Lloyd assignment as cluster_kmeans_assign (shared _lloyd_assign /
+    _kmeans_cte, so the two oracles cannot drift).
+
+    Scale shape: the pair stage is a SELF-join of one identical
+    assigned frame on the cluster key — AQE runtime exchange-reuse
+    computes the assignment lineage once (gotcha #14, self-join
+    case), and only same-cluster pairs are ever enumerated. With K
+    sized so clusters hold ~10³ vectors, per-cluster work is bounded
+    O(|c|²·dim) regardless of corpus size; cluster count is the
+    parallelism unit (here K_MEANS_K keeps the tiny test corpus in a
+    few tasks — a crawl-scale run raises K, which only widens the
+    broadcast centroid table). Threshold reuses the cosine kernel
+    already hash-verified against DuckDB's list_cosine_similarity in
+    dedup_embedding_cosine; the >= compare is on the unrounded
+    double both engines build identically."""
+    v = _persisted_corpus(spark, sf_dir)
+    assigned = _lloyd_assign(v, K_MEANS_K, K_MEANS_ITERS)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = _dot("a.vec", "b.vec") / (_norm("a.vec") * _norm("b.vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMANTIC_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cluster").cast("bigint").alias("cluster"),
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

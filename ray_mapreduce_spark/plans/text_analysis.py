@@ -965,3 +965,211 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style scoring shape): the
+# production corpus-filter stage is "apply a frozen linear model over
+# hashed bag-of-words features". The model here is a deterministic
+# pseudo-trained weight table — weight_j derives arithmetically from
+# bucket j — because no trained artifact ships with the testdata; the
+# SHAPE (hash trick, integer feature accumulation, sigmoid margin) is
+# the real operator and is identical to serving a real .bin model.
+CLF_HASH_DIM = 4096
+_CLF_KNUTH = 2654435761  # same Knuth multiplier as plans/sampling.py
+_CLF_MOD = 4294967296  # 2^32
+
+
+@register(
+    "text_quality_classifier",
+    tags=("text", "quality", "classifier", "hash-features"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(sha256(t), 1, 6)) AS BIGINT)
+               % {CLF_HASH_DIM} AS bucket
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             count(*) AS n_tokens,
+             CAST(sum((bucket * {_CLF_KNUTH}) % {_CLF_MOD} % 2001 - 1000)
+                  AS BIGINT) AS raw
+      FROM w GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-4.0 * raw / (1000.0 * n_tokens))), 4)
+             AS clf_score,
+           CASE WHEN raw >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, clf_score, verdict): mean hashed-token
+    weight through a sigmoid; verdict = sign of the raw margin.
+
+    Determinism across engines AND partitionings: per-token weights
+    are INTEGERS in [-1000, 1000] (bucket = first 24 bits of
+    sha256(token) mod CLF_HASH_DIM, weight = Knuth-mix of the bucket),
+    so the per-doc accumulation is an exact associative integer sum —
+    no float-order sensitivity anywhere before the single final
+    division, which both engines perform on identical (long, long)
+    inputs. The keep/drop margin test is an integer >= 0 compare, so
+    classification can never flip at a float boundary. The sigmoid is
+    transcendental, so 4dp rounding never sits on a half-boundary
+    (same argument as events_decayed_score).
+
+    Scale shape: explode -> codegen'd sha2/conv projection -> one
+    partial-aggregated groupBy(doc_id) — one shuffle carrying
+    (doc_id, lang, count, int sum); token text never shuffles. A real
+    model swap-in replaces the weight expression with a broadcast
+    bucket->weight join of the exported table; everything else keeps
+    its shape."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    bucket = F.conv(F.substring(F.sha2(F.col("t"), 256), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % CLF_HASH_DIM
+    weight = (bucket * F.lit(_CLF_KNUTH)) % F.lit(_CLF_MOD) % 2001 - 1000
+    s = tok.select("doc_id", "lang", weight.alias("w")).groupBy(
+        "doc_id", "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("raw"),
+    )
+    score = 1.0 / (
+        1.0 + F.exp(F.lit(-4.0) * F.col("raw") / (1000.0 * F.col("n_tokens")))
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(score, 4).alias("clf_score"),
+        F.when(F.col("raw") >= 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI: pointwise mutual information of adjacent token pairs —
+# the collocation/phrase-mining primitive (vocabulary building, MWE
+# detection) over a training corpus.
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOP_N = 50
+
+
+@register(
+    "text_bigram_pmi",
+    tags=("text", "pmi", "collocations", "window"),
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT t AS tok, count(*) AS c
+      FROM (SELECT unnest(toks) AS t FROM t) GROUP BY t
+    ),
+    big AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt FROM (
+        SELECT unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                       FOR i IN range(1, len(toks))]) AS p
+        FROM t
+      ) GROUP BY p.w1, p.w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(sum(cnt) AS BIGINT) FROM big) AS n_bi
+    )
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS pair_count,
+           round(ln(cnt) + 2 * ln(n_uni) - ln(n_bi) - ln(ua.c) - ln(ub.c), 4)
+             AS pmi
+    FROM big, tot
+    JOIN uni ua ON ua.tok = w1
+    JOIN uni ub ON ub.tok = w2
+    WHERE cnt >= {PMI_MIN_PAIR_COUNT}
+    ORDER BY ln(cnt) + 2 * ln(n_uni) - ln(n_bi) - ln(ua.c) - ln(ub.c) DESC,
+             w1, w2
+    LIMIT {PMI_TOP_N}
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI_TOP_N adjacent-token collocations with count >=
+    PMI_MIN_PAIR_COUNT: (w1, w2, pair_count, pmi).
+
+    PMI is evaluated in log-space (ln(cnt) + 2 ln(N_uni) - ln(N_bi)
+    - ln(c_a) - ln(c_b)) in the SAME left-to-right expression shape
+    on both engines: every ln input is an exact integer, so the five
+    doubles and their sum are bit-identical and the ORDER BY on the
+    unrounded value cannot diverge; ties break on the unique (w1, w2)
+    key (LIMIT rule).
+
+    Scale shape: tokenize once, ONE doc-local lead() window builds
+    adjacency (shuffle by doc_id), then one groupBy(t, t2) collapses
+    the corpus to observed-bigram granularity INCLUDING doc-final
+    (t2 NULL) rows — so unigram counts, both totals, and the pair
+    table all derive from that tiny aggregate and the raw corpus is
+    scanned exactly once. The aggregate is eager-localCheckpointed
+    before fan-out: its four consumers are sibling branches with
+    different pushed aggregations, exactly the shape AQE never
+    exchange-reuses (gotcha #14). Final top-N is TakeOrdered, not a
+    single-task global window."""
+    return bigram_pmi(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_pmi(
+    d: DataFrame,
+    min_count: int = PMI_MIN_PAIR_COUNT,
+    top_n: int = PMI_TOP_N,
+) -> DataFrame:
+    """Frame-level PMI core over any (doc_id, text) frame — see
+    ``text_bigram_pmi`` for the plan rationale."""
+    from pyspark.sql.window import Window
+
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = tok.select("t", F.lead("t", 1).over(w).alias("t2"))
+    bc = (
+        adj.groupBy("t", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    uni = bc.groupBy("t").agg(F.sum("cnt").cast("bigint").alias("c"))
+    tot = bc.agg(
+        F.sum("cnt").cast("bigint").alias("n_uni"),
+        F.sum(F.when(F.col("t2").isNotNull(), F.col("cnt"))).cast("bigint").alias("n_bi"),
+    )
+    pairs = bc.filter(F.col("t2").isNotNull() & (F.col("cnt") >= min_count))
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.select(F.col("t").alias("w1"), F.col("t2").alias("w2"), "cnt")
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = (
+        F.log(F.col("cnt"))
+        + 2 * F.log(F.col("n_uni"))
+        - F.log(F.col("n_bi"))
+        - F.log(F.col("c_a"))
+        - F.log(F.col("c_b"))
+    )
+    return (
+        scored.withColumn("pmi_raw", pmi)
+        .orderBy(F.desc("pmi_raw"), "w1", "w2")
+        .limit(top_n)
+        .select(
+            "w1",
+            "w2",
+            F.col("cnt").cast("bigint").alias("pair_count"),
+            F.round("pmi_raw", 4).alias("pmi"),
+        )
+    )

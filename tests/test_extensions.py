@@ -402,3 +402,127 @@ def test_ivf_kmeans_topk_agreement_and_recall(spark, sf_dir):
         len(got[q] & set(nbrs)) / len(nbrs) for q, nbrs in brute.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+# --------------------------------------------------------------------------
+# Round-7 late additions: containment, hashed classifier, PMI,
+# semantic (SemDeDup-style) kmeans dedup.
+
+
+def test_containment_catches_subset_duplication(spark):
+    """The operator's reason to exist: a short doc quoted wholesale
+    inside a long one has LOW Jaccard (union dominated by the long
+    doc) but containment ~1.0 for the short side. Jaccard at 0.6
+    misses the pair; containment at 0.7 must catch it — and report the
+    direction (contain_ab ~1, contain_ba small)."""
+    from ray_mapreduce_spark.plans.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long_text = " ".join(f"body{i}" for i in range(100))
+    short_text = " ".join(f"body{i}" for i in range(20))  # strict prefix
+    other = " ".join(f"other{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, "en", short_text), (2, "en", long_text), (3, "en", other)],
+        "doc_id: long, lang: string, text: string",
+    )
+    jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (1, 2) not in jac  # jaccard 18/98 ~ 0.18 — invisible to jaccard dedup
+
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["contain_ab"] == 1.0  # all 18 shingles of the short doc are in the long doc
+    assert r["contain_ba"] < 0.25
+
+
+def test_containment_superset_of_jaccard_at_equal_threshold(spark, sf_dir):
+    """max(containment) >= jaccard always (min <= union), so at the
+    SAME threshold the containment pair set must contain the jaccard
+    pair set — the algebraic relationship that makes containment the
+    more sensitive screen."""
+    from ray_mapreduce_spark.plans.dedup import (
+        JACCARD_THRESHOLD,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(d).collect()}
+    cont = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(d, threshold=JACCARD_THRESHOLD).collect()
+    }
+    assert jac <= cont
+
+
+def test_quality_classifier_margin_consistency(spark, sf_dir):
+    """verdict is the sign of the integer margin, so it must agree
+    with the sigmoid score's 0.5 crossing on every row, and scores
+    stay in (0, 1)."""
+    rows = _rows(spark, sf_dir, "text_quality_classifier")
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r["clf_score"] < 1.0 or r["clf_score"] in (0.0, 1.0)
+        if r["clf_score"] > 0.5:
+            assert r["verdict"] == "keep"
+        elif r["clf_score"] < 0.5:
+            assert r["verdict"] == "drop"
+
+
+def test_bigram_pmi_ranks_planted_collocation_first(spark):
+    """A planted collocation — two tokens that ONLY ever occur
+    adjacent to each other — must out-PMI high-frequency independent
+    pairs. 40 docs of shared filler (high count, low PMI) each
+    containing 'san francisco' exactly once."""
+    from ray_mapreduce_spark.plans.text_analysis import bigram_pmi
+
+    filler = "the cat sat on the mat near the dog"
+    docs = spark.createDataFrame(
+        [(i, f"{filler} san francisco {filler}") for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    rows = bigram_pmi(docs, min_count=5, top_n=10).collect()
+    assert rows, "no collocations found"
+    top = rows[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["pair_count"] == 40
+    # planted pair must strictly dominate any filler bigram
+    filler_pmis = [r["pmi"] for r in rows[1:]]
+    assert all(top["pmi"] > p for p in filler_pmis)
+
+
+def test_semantic_kmeans_complete_and_consistent(spark, sf_dir):
+    """Independent replay of the definition: the output must be
+    EXACTLY the same-cluster pairs (per cluster_kmeans_assign's
+    hash-verified assignment) whose exact numpy cosine clears the
+    threshold — completeness and soundness in one set equality,
+    computed outside Spark."""
+    import numpy as np
+
+    from ray_mapreduce_spark.plans.similarity import SEMANTIC_COS_THRESHOLD
+
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in _rows(spark, sf_dir, "cluster_kmeans_assign")
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    ids = sorted(vecs)
+    expected = set()
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        na = np.sqrt(va @ va)
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            vb = vecs[b]
+            cos = (va @ vb) / (na * np.sqrt(vb @ vb))
+            if cos >= SEMANTIC_COS_THRESHOLD:
+                expected.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"]): r["cluster"]
+        for r in _rows(spark, sf_dir, "dedup_semantic_kmeans")
+    }
+    assert set(got) == expected
+    # reported cluster ids match the assignment operator
+    for (a, b), c in got.items():
+        assert assign[a] == c and assign[b] == c

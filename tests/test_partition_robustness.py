@@ -36,6 +36,10 @@ CASES = [
     "text_bm25_topdocs",            # window df/dlen + ranked window (r6)
     "text_unigram_logprob",         # window ctf + float avg rounding (r6)
     "dedup_ngram_jaccard",          # window df + self-join reuse (r6 rework)
+    "dedup_containment_pairs",      # shared inverted index, directed ratios (r7)
+    "text_quality_classifier",      # integer-margin hashed features (r7)
+    "text_bigram_pmi",              # checkpointed fan-out + TakeOrdered ties (r7)
+    "dedup_semantic_kmeans",        # Lloyd + same-cluster self-join (r7)
 ]
 
 
