@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scale import spread as _spread
 from ..sources import load_table
 from .registry import register
 
@@ -1030,7 +1031,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model swap-in replaces the weight expression with a broadcast
     bucket->weight join of the exported table; everything else keeps
     its shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -1131,7 +1132,7 @@ def bigram_pmi(
     ``text_bigram_pmi`` for the plan rationale."""
     from pyspark.sql.window import Window
 
-    tok = d.select(
+    tok = _spread(d).select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
