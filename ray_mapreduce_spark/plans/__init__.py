@@ -20,6 +20,7 @@ _QUERY_MODULES = (
     "pandas_udfs",
     "dedup",
     "similarity",
+    "graph",
     "text_analysis",
     "multimodal",
     "streaming_batch",

@@ -1,0 +1,243 @@
+"""Graph analytics over the near-duplicate similarity graph
+(SURVEY.md §2d adjacent): PageRank centrality and triangle counting
+on the edge set induced by embedding-cosine near-dup pairs.
+
+Why these belong in a training-data engine: the near-dup graph's
+structure is a curation signal — high-PageRank nodes are template
+hubs (one page quoted/duplicated everywhere), high triangle density
+marks tight boilerplate families that exact/cluster dedup should
+collapse, while low-degree nodes are the unique long tail worth
+keeping. Connected components (operators/clustering.py) gives the
+partition; these give the per-node structure inside it.
+
+Both operators are ORACLE-PAIRED despite PageRank being iterative:
+the rank state is kept in FIXED-POINT INTEGER micro-units (1e12
+scale) and every update uses only integer multiply / floor-divide /
+sum — all associative and engine-identical, so there is no float
+summation order anywhere in the loop and the unrolled DuckDB CTE
+mirror matches bit-for-bit (the same determinism discipline as
+cluster_kmeans_assign's rounded distances, pushed one step further:
+no rounding tolerance needed at all). The single float division
+happens once, at output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+from .similarity import _dot, _norm, _with_vec
+
+# Edge rule shared with dedup_embedding_cosine (plans/similarity.py):
+# same-label pairs at cosine >= EDGE_COS_THRESHOLD. The oracles
+# re-encode it via list_cosine_similarity, which is hash-verified
+# against the HOF kernel in dedup_embedding_cosine.
+EDGE_COS_THRESHOLD = 0.35
+
+PR_ITERS = 3
+PR_SCALE = 10**12  # rank mass in integer micro-units
+# damping 0.85 expressed as integer numerator/denominator
+_PR_EDGE_SQL = f"""
+    v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    prs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.vec, b.vec) >= {EDGE_COS_THRESHOLD}
+    )
+"""
+
+
+def _pair_edges(v: DataFrame) -> DataFrame:
+    """Canonical (src < dst) near-dup edges from a _with_vec frame.
+    Self-join of one identical subtree — AQE runtime exchange-reuse
+    computes the projection once (gotcha #14, self-join case)."""
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = _dot("a.vec", "b.vec") / (_norm("a.vec") * _norm("b.vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EDGE_COS_THRESHOLD)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+
+
+def _pagerank_oracle(iters: int, scale: int) -> str:
+    parts = [
+        "WITH " + _PR_EDGE_SQL.strip(),
+        "edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst AS src, src AS dst FROM prs)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "n AS (SELECT count(*) AS n FROM v)",
+        f"r0 AS (SELECT vec_id, ({scale} // n.n) AS r FROM v, n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS vec_id,"
+            f" CAST(sum((r.r // d.deg)) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.vec_id"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.vec_id,"
+            f" ((15 * ({scale} // n.n)) // 100)"
+            f" + ((85 * coalesce(c.s, 0)) // 100) AS r"
+            f" FROM v CROSS JOIN n LEFT JOIN c{i} c ON v.vec_id = c.vec_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT r.vec_id,
+           CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+           round(r.r / {float(scale)}, 6) AS pagerank
+    FROM r{iters} r LEFT JOIN deg d ON d.src = r.vec_id
+    """
+    )
+
+
+@register(
+    "graph_pagerank_neardup",
+    tags=("graph", "pagerank", "iterative", "dedup-signal"),
+    oracle=_pagerank_oracle(PR_ITERS, PR_SCALE),
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, degree, pagerank) after PR_ITERS damped PageRank
+    rounds over the undirected near-dup graph; dangling (degree-0)
+    nodes hold the teleport mass (their outflow is not redistributed
+    — the variant both engines encode identically).
+
+    Determinism: rank lives in integer micro-units; per-edge
+    contribution is `r div deg` (floor), the damped update is
+    `base + (85 * sum) div 100` — integer sums are order-free, so
+    the result is partition-invariant and exactly equal to the
+    unrolled DuckDB CTE with no rounding tolerance.
+
+    Scale shape: the edge list (with degree attached) and the
+    node/base frame are LOOP-INVARIANT and eager-localCheckpointed
+    once (iterative-operator rule — an uncheckpointed invariant
+    re-executes the whole LSH/cosine lineage every round); the pair
+    frame is checkpointed BEFORE the forward+reverse self-union
+    (sibling branches race the same lineage, gotcha #9). Each round
+    is one equi-join ranks⋈edges on src (O(E) contributions) plus
+    one partial-aggregated groupBy(dst) and a left join back to the
+    node frame (O(V)) — the canonical distributed PageRank shuffle;
+    per-round state is checkpointed so lineage stays flat. At crawl
+    scale the same plan runs with edges pre-partitioned by src so
+    only rank deltas shuffle."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    pairs = _pair_edges(v).localCheckpoint(eager=True)
+    return pagerank_from_edges(v.select("vec_id"), pairs, iters=PR_ITERS)
+
+
+def pagerank_from_edges(
+    nodes: DataFrame, pairs: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Fixed-point integer PageRank core over a (vec_id) node frame
+    and a canonical (src, dst) undirected pair frame (pass pairs
+    already checkpointed — they are consumed by the forward+reverse
+    self-union). See graph_pagerank_neardup for the rationale."""
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_frame)).localCheckpoint(eager=True)
+    ranks = base.select("vec_id", F.expr(f"{PR_SCALE} div n").alias("r"))
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed.src == ranks.vec_id).select(
+            F.col("dst"), F.expr("r div deg").alias("c")
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("s"))
+        ranks = (
+            base.join(s, base.vec_id == s.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.expr(f"(15 * ({PR_SCALE} div n)) div 100")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, ranks.vec_id == deg.src, "left").select(
+        "vec_id",
+        F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
+        F.round(F.col("r") / F.lit(float(PR_SCALE)), 6).alias("pagerank"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "triangles", "dedup-signal"),
+    oracle=f"""
+    WITH {_PR_EDGE_SQL.strip()},
+    tri AS (
+      SELECT a.src AS x, a.dst AS y, b.dst AS z
+      FROM prs a
+      JOIN prs b ON b.src = a.dst
+      JOIN prs c ON c.src = a.src AND c.dst = b.dst
+    ),
+    member AS (
+      SELECT x AS vec_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    cnt AS (SELECT vec_id, count(*) AS t FROM member GROUP BY vec_id)
+    SELECT v.vec_id, CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles
+    FROM v LEFT JOIN cnt c ON v.vec_id = c.vec_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, n_triangles) over the canonical (src<dst) near-dup
+    edge set — every triangle enumerated exactly once via the ordered
+    x<y<z wedge join. Triangle density separates tight boilerplate
+    families (collapse them) from chains of borderline pairs (keep).
+
+    Scale shape: the canonical edge frame is eager-localCheckpointed
+    and then self-joined twice — wedge generation is an equi-join on
+    the shared endpoint and closure is an equi-join on the (x, z)
+    pair, both hash joins on edge keys; no cross product anywhere.
+    The ordered orientation (src < dst everywhere) is the standard
+    trick that caps wedge counts by out-degree; at crawl scale the
+    id ordering would be replaced by degree ordering (orient edges
+    low->high degree), which bounds per-node wedge work by sqrt(E)
+    without changing this plan's shape."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    prs = _pair_edges(v).localCheckpoint(eager=True)
+    return triangle_counts(v.select("vec_id"), prs)
+
+
+def triangle_counts(nodes: DataFrame, prs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over a canonical (src < dst) pair
+    frame (pass it checkpointed — it is self-joined twice). See
+    graph_triangle_count for the rationale."""
+    a = prs.alias("a")
+    b = prs.alias("b")
+    c = prs.alias("c")
+    tri = (
+        a.join(b, F.col("b.src") == F.col("a.dst"))
+        .join(
+            c,
+            (F.col("c.src") == F.col("a.src")) & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .select(
+            F.col("a.src").alias("x"),
+            F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    # one generate, not a 3-way self-union: the union form re-executes
+    # the wedge joins once per branch (sibling-branch rule, gotcha #14)
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+    cnt = member.groupBy("vec_id").agg(F.count(F.lit(1)).alias("t"))
+    return nodes.join(cnt, "vec_id", "left").select(
+        "vec_id", F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles")
+    )

@@ -40,6 +40,8 @@ CASES = [
     "text_quality_classifier",      # integer-margin hashed features (r7)
     "text_bigram_pmi",              # checkpointed fan-out + TakeOrdered ties (r7)
     "dedup_semantic_kmeans",        # Lloyd + same-cluster self-join (r7)
+    "graph_pagerank_neardup",       # fixed-point integer iteration (r7)
+    "graph_triangle_count",         # checkpointed wedge self-joins (r7)
 ]
 
 
