@@ -734,3 +734,86 @@ def events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("us").cast("bigint").alias("last_seen_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostics: the heavy-hitter profile an engineer (or
+# an auto-tuner) reads BEFORE choosing a join strategy — the top keys
+# by row count with their share of total traffic and their multiple of
+# the average key load. join_salted_skew is the cure; this is the
+# diagnosis.
+SKEW_TOP_N = 20
+
+
+@register(
+    "events_key_skew_profile",
+    tags=("events", "skew", "diagnostics", "heavy-hitters"),
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    ),
+    r AS (
+      SELECT user_id, cnt, total, n_keys,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM c, t
+    )
+    SELECT rk, user_id,
+           CAST(cnt AS BIGINT) AS n_events,
+           round((cnt / CAST(total AS DOUBLE)) + 1e-9, 6) AS share,
+           round(((cnt * CAST(n_keys AS DOUBLE)) / total) + 1e-9, 4) AS skew_vs_avg
+    FROM r WHERE rk <= {SKEW_TOP_N}
+    """,
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rk, user_id, n_events, share, skew_vs_avg) for the SKEW_TOP_N
+    heaviest join keys — skew_vs_avg is the key's multiple of the
+    mean per-key load (the number that decides between plain shuffle,
+    AQE skew split, and salting; see join_salted_skew).
+
+    Scale shape: per-key counts partial-aggregate map-side (one
+    shuffle on user_id); the (total, n_keys) scalar broadcast-joins
+    back; the global ranking is orderBy+limit — TakeOrderedAndProject
+    (per-partition top-N heaps + driver merge of N rows), NEVER a
+    single-task global window. The rank column is then a row_number
+    over the N surviving rows only. Ratios are single divisions of
+    identical (long, double) operands with the +1e-9 half-boundary
+    guard (counts/totals are rationals)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    # per-key counts feed two differently-aggregated siblings (the
+    # scalar and the ranking) — the no-reuse shape; the frame is tiny
+    # (one row per key), so eager-checkpoint it (gotcha #9)
+    c = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    t = c.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = (
+        c.crossJoin(F.broadcast(t))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(SKEW_TOP_N)
+    )
+    rk = F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
+    return top.select(
+        rk.alias("rk"),
+        "user_id",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.round((F.col("cnt") / F.col("total").cast("double")) + F.lit(1e-9), 6).alias(
+            "share"
+        ),
+        F.round(
+            ((F.col("cnt") * F.col("n_keys").cast("double")) / F.col("total"))
+            + F.lit(1e-9),
+            4,
+        ).alias("skew_vs_avg"),
+    )

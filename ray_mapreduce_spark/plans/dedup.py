@@ -1040,3 +1040,120 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rep).cast("double") / F.count(F.lit(1)), 4
         ).alias("repeated_frac"),
     )
+
+
+def _survivors_quality_oracle() -> str:
+    from .text_analysis import QUALITY_RAW_SQL
+
+    return f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs
+    ),
+    reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT t.node, e.v AS r
+      FROM reach t JOIN edges e ON t.r = e.u
+    ),
+    clus AS (
+      SELECT node AS doc_id, least(node, min(r)) AS cluster
+      FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cluster, d.doc_id) AS cluster,
+             {QUALITY_RAW_SQL} AS qr
+      FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster ORDER BY qr DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members
+      FROM q
+    )
+    SELECT cluster, doc_id, lang,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(qr + 1e-9, 4) AS quality
+    FROM r WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Best-quality survivor per near-dup cluster: the destructive step of
+# the curation pipeline. dedup_survivors_window keeps min-doc_id per
+# EXACT-duplicate group (texts identical, so any member is as good);
+# near-dup clusters contain DIFFERENT texts, so the pipeline keeps the
+# highest-quality member instead of an arbitrary one.
+@register(
+    "dedup_survivors_quality",
+    tags=("dedup", "clustering", "quality", "survivors"),
+    oracle=_survivors_quality_oracle(),
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, doc_id, lang, n_members, quality): one survivor per
+    exact-Jaccard near-dup cluster (connected components over
+    dedup_ngram_jaccard pairs; singleton docs are their own cluster),
+    chosen by (quality DESC, doc_id) — unrounded quality doubles are
+    engine-identical (shared QUALITY_RAW_SQL closed form), and the
+    doc_id tiebreak keeps equal-quality groups deterministic.
+
+    Scale shape: the iterative CC operator does the heavy lifting
+    (checkpointed label propagation, see operators/clustering.py);
+    the survivor pick is then ONE exchange on the cluster key — the
+    row_number and the member count share the same window partition,
+    and docs never in a pair short-circuit via the left join +
+    coalesce(cluster, doc_id) without entering the pair lineage at
+    all. Output is the deduplicated corpus manifest: |clusters| +
+    |singletons| rows."""
+    return survivors_quality(load_table(spark, sf_dir, "documents"))
+
+
+def survivors_quality(d: DataFrame) -> DataFrame:
+    """Frame-level survivor-selection core over any (doc_id, lang,
+    text) frame — see ``dedup_survivors_quality``."""
+    from ..operators.clustering import connected_components
+    from .text_analysis import quality_raw_col
+
+    clusters = connected_components(ngram_jaccard_pairs(d)).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )
+    q = d.select("doc_id", "lang", quality_raw_col().alias("qr"))
+    with_c = (
+        q.join(clusters, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("cluster", "doc_id"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("qr"), "doc_id")
+    wc = Window.partitionBy("cluster")
+    return (
+        with_c.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "doc_id",
+            "lang",
+            "n_members",
+            F.round(F.col("qr") + F.lit(1e-9), 4).alias("quality"),
+        )
+    )

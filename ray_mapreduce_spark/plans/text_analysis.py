@@ -96,38 +96,46 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Quality score: deterministic [0,1] combo of length band, lexical
 # diversity, and mean word length — the filter stage of a training-data
-# pipeline. Identical closed-form on both engines.
-@register(
-    "text_quality_score",
-    bench=True,
-    tags=("text", "quality"),
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang,
-             len(string_split(text, ' ')) AS n_tok,
-             len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
-             length(text) AS n_ch
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           round(
-             0.4 * least(n_tok / 64.0, 1.0)
-           + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
-           + 0.2 * least((CAST(n_ch AS DOUBLE) / n_tok) / 8.0, 1.0)
-           + 1e-9, 4) AS quality
-    FROM t
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+# pipeline. Identical closed-form on both engines. The closed form is
+# shared (QUALITY_RAW_SQL / quality_raw_col) with every consumer that
+# ranks or buckets by quality (quality_calibration_deciles here,
+# dedup_survivors_quality in dedup.py) so the engines can never drift.
+QUALITY_RAW_SQL = """(
+             0.4 * least(len(string_split(text, ' ')) / 64.0, 1.0)
+           + 0.4 * (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.2 * least((CAST(length(text) AS DOUBLE)
+                          / len(string_split(text, ' '))) / 8.0, 1.0)
+          )"""
+
+
+def quality_raw_col():
+    """Unrounded quality Column over a frame exposing ``text`` —
+    structurally identical to QUALITY_RAW_SQL (same operand order, so
+    both engines build the same doubles)."""
     n_tok = F.size(F.split("text", " "))
     n_uniq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
     n_ch = F.length("text")
-    quality = (
+    return (
         0.4 * F.least(n_tok / F.lit(64.0), F.lit(1.0))
         + 0.4 * (n_uniq.cast("double") / n_tok)
         + 0.2 * F.least((n_ch.cast("double") / n_tok) / F.lit(8.0), F.lit(1.0))
     )
+
+
+@register(
+    "text_quality_score",
+    bench=True,
+    tags=("text", "quality"),
+    oracle=f"""
+    SELECT doc_id, lang,
+           round({QUALITY_RAW_SQL} + 1e-9, 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    quality = quality_raw_col()
     # +1e-9 before rounding on BOTH sides: the quality rational can land
     # EXACTLY on a 4-decimal half-boundary (r3 sf0.1 sweep caught
     # 0.53375 rounding differently per engine); the bias pushes exact
@@ -1173,4 +1181,56 @@ def bigram_pmi(
             F.col("cnt").cast("bigint").alias("pair_count"),
             F.round("pmi_raw", 4).alias("pmi"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality calibration: per-language decile profile of the quality
+# score — the lookup table a pipeline uses to turn a raw score into a
+# corpus-relative percentile threshold ("keep the top 30% of each
+# language", not one global cutoff that starves low-scoring langs).
+@register(
+    "quality_calibration_deciles",
+    tags=("text", "quality", "calibration", "window", "ntile"),
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, {QUALITY_RAW_SQL} AS qr FROM documents
+    ),
+    d AS (
+      SELECT lang, qr,
+             ntile(10) OVER (PARTITION BY lang ORDER BY qr, doc_id) AS decile
+      FROM q
+    )
+    SELECT lang, decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(qr) + 1e-9, 4) AS q_min,
+           round(max(qr) + 1e-9, 4) AS q_max
+    FROM d GROUP BY lang, decile
+    """,
+)
+def quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, decile, n_docs, q_min, q_max): ntile(10) per language
+    over (quality, doc_id) — the unique composite key makes tile
+    boundaries deterministic under ties (the r3 min_by lesson), and
+    min/max are order-free exact picks of engine-identical doubles
+    (no float accumulation; +1e-9 pre-round guard as in
+    text_quality_score).
+
+    Scale note: ntile needs a per-lang sort, so one language is one
+    sort partition — fine while per-lang corpora fit a task's spill
+    budget. The crawl-scale variant computes approximate decile
+    boundaries (approx_percentile per lang, a partial-aggregable
+    sketch) and buckets by range instead; this exact form is the
+    oracle-able semantic and the calibration-table shape is
+    identical."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", quality_raw_col().alias("qr"))
+    w = Window.partitionBy("lang").orderBy("qr", "doc_id")
+    deciled = q.withColumn("decile", F.ntile(10).over(w))
+    return deciled.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("qr") + F.lit(1e-9), 4).alias("q_min"),
+        F.round(F.max("qr") + F.lit(1e-9), 4).alias("q_max"),
     )

@@ -526,3 +526,58 @@ def test_semantic_kmeans_complete_and_consistent(spark, sf_dir):
     # reported cluster ids match the assignment operator
     for (a, b), c in got.items():
         assert assign[a] == c and assign[b] == c
+
+
+def test_survivors_quality_keeps_best_not_min_id(spark):
+    """The operator's reason to exist vs dedup_survivors_window: in a
+    near-dup cluster the HIGHEST-quality member must survive even
+    when it has the larger doc_id (min-id would pick the other)."""
+    from ray_mapreduce_spark.plans.dedup import survivors_quality
+
+    # doc 1: 30-token doc with every token repeated (low diversity ->
+    # low quality); doc 2: near-identical but with distinct tail
+    # tokens (higher diversity -> higher quality). jaccard >= 0.6.
+    base = " ".join(f"tok{i}" for i in range(28))
+    low = base + " tok0 tok1"          # repeats drop uniq ratio
+    high = base + " fresh1 fresh2"
+    docs = spark.createDataFrame(
+        [(1, "en", low), (2, "en", high), (3, "en", "solo doc entirely different")],
+        "doc_id: long, lang: string, text: string",
+    )
+    rows = {r["cluster"]: r for r in survivors_quality(docs).collect()}
+    assert rows[1]["doc_id"] == 2  # cluster rooted at min id 1, survivor is doc 2
+    assert rows[1]["n_members"] == 2
+    assert rows[3]["doc_id"] == 3 and rows[3]["n_members"] == 1  # singleton
+
+
+def test_calibration_deciles_are_contiguous_and_monotone(spark, sf_dir):
+    """Per lang: deciles 1..10 all present, tile sizes differ by at
+    most 1 (ntile contract), and quality ranges never overlap across
+    consecutive deciles."""
+    rows = _rows(spark, sf_dir, "quality_calibration_deciles")
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, 11)), lang
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, lang
+        for lo, hi in zip(rs, rs[1:]):
+            assert lo["q_max"] <= hi["q_min"] + 1e-9, lang
+
+
+def test_skew_profile_ranking_consistent(spark, sf_dir):
+    """rk must be 1..N with n_events non-increasing, shares in (0,1]
+    and skew_vs_avg proportional to share (same ratio for every row:
+    skew = share * n_keys)."""
+    rows = sorted(_rows(spark, sf_dir, "events_key_skew_profile"), key=lambda r: r["rk"])
+    assert rows and [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    evs = [r["n_events"] for r in rows]
+    assert evs == sorted(evs, reverse=True)
+    for r in rows:
+        assert 0 < r["share"] <= 1
+        ratio = r["skew_vs_avg"] / r["share"]
+        ratio0 = rows[0]["skew_vs_avg"] / rows[0]["share"]
+        assert abs(ratio - ratio0) / ratio0 < 0.01  # common n_keys factor

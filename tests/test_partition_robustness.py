@@ -42,6 +42,9 @@ CASES = [
     "dedup_semantic_kmeans",        # Lloyd + same-cluster self-join (r7)
     "graph_pagerank_neardup",       # fixed-point integer iteration (r7)
     "graph_triangle_count",         # checkpointed wedge self-joins (r7)
+    "quality_calibration_deciles",  # ntile with composite tiebreak (r7)
+    "dedup_survivors_quality",      # CC + quality argmax windows (r7)
+    "events_key_skew_profile",      # checkpointed counts + TakeOrdered (r7)
 ]
 
 
