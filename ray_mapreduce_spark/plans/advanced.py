@@ -817,3 +817,59 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_vs_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorization profile: exact p01/p99 clip bounds per event_type and
+# how many rows each bound would clip — the numeric-column hygiene
+# pass before a value column feeds features. Spark `percentile` and
+# DuckDB `quantile_cont` both use linear interpolation and agree
+# BIT-EXACTLY (verified on this data), so the clip counts compare
+# against identical unrounded bounds.
+@register(
+    "events_winsorize_stats",
+    tags=("events", "stats", "percentile", "winsorize"),
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN e.value < s.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN e.value > s.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           round(min(s.p01) + 1e-9, 4) AS p01,
+           round(min(s.p99) + 1e-9, 4) AS p99
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, n_below, n_above, p01, p99): exact
+    two-pass winsorize profile. Counts compare raw values against the
+    UNROUNDED bounds (engine-identical doubles), so they cannot drift;
+    displayed bounds carry the +1e-9 half-boundary guard.
+
+    Scale shape: pass 1 is a per-type exact percentile — a holistic
+    agg that buffers each group's values (fine per event_type here;
+    the crawl-scale swap is approx_percentile, a partial-aggregable
+    sketch, same output shape). Pass 2 broadcasts the tiny bounds
+    table back onto the scan and partial-aggregates the clip counts
+    map-side. Two scans total, no row ever shuffles with its value."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = e.join(F.broadcast(s), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("value") < F.col("p01")).cast("int")).cast("bigint").alias("n_below"),
+        F.sum((F.col("value") > F.col("p99")).cast("int")).cast("bigint").alias("n_above"),
+        F.round(F.min("p01") + F.lit(1e-9), 4).alias("p01"),
+        F.round(F.min("p99") + F.lit(1e-9), 4).alias("p99"),
+    )

@@ -72,17 +72,18 @@ def register(
 #     events_decayed_score, corpus_composition_report,
 #     decontaminate_embedding, plus rows-only
 #     similarity_topk_ivf_kmeans) and dedup_simhash_pairs
-#     (band-saturation guard changed the plan; rows-only), plus the 9
+#     (band-saturation guard changed the plan; rows-only), plus the 11
 #     late-round-7 oracle-paired ops (dedup_containment_pairs,
 #     text_quality_classifier, text_bigram_pmi, dedup_semantic_kmeans,
 #     graph_pagerank_neardup, graph_triangle_count,
 #     quality_calibration_deciles, dedup_survivors_quality,
-#     events_key_skew_profile);
+#     events_key_skew_profile, events_winsorize_stats,
+#     text_bigram_logprob — 11 in all);
 # (3) the 22 deferred r4-green names — 3 rounds stale;
-# (4) 9 slots from the oldest slice of the r5-green block, in the
+# (4) 7 slots from the oldest slice of the r5-green block, in the
 #     r5 window's own order (stream_*/timeseries_*/asof onward).
-# Past the window: the remaining 39 r5-green names (front these in
-# round 8: math_functions .. array_hof_functions), then the
+# Past the window: the remaining 41 r5-green names (front these in
+# round 8: json_extract_agg .. array_hof_functions), then the
 # r6-green block by registration order.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked --
@@ -106,6 +107,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_calibration_deciles",
     "dedup_survivors_quality",
     "events_key_skew_profile",
+    "events_winsorize_stats",
+    "text_bigram_logprob",
     # -- (3) deferred r4-green names (3 rounds stale) --
     "grouping_sets_sql",
     "unpivot_nation_counts",
@@ -137,10 +140,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ohlc",
     "timeseries_gapfill",
     "asof_join_last_click",
-    "json_extract_agg",
-    "interval_shift",
     # -- past the 50-slot window: the rest of the r5-green block —
     # -- front these in round 8 --
+    "json_extract_agg",
+    "interval_shift",
     "math_functions",
     "error_branch_classify",
     "month_count",

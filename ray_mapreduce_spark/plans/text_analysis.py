@@ -1234,3 +1234,102 @@ def quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("qr") + F.lit(1e-9), 4).alias("q_min"),
         F.round(F.max("qr") + F.lit(1e-9), 4).alias("q_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram conditional LM scoring: per-doc mean ln P(w_i | w_{i-1}) with
+# Laplace smoothing — the next step up from text_unigram_logprob's
+# bag-of-words perplexity proxy (context-aware fluency signal: word
+# salad scores low even when its unigrams are common).
+@register(
+    "text_bigram_logprob",
+    tags=("text", "quality", "perplexity", "bigram", "window"),
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    adj AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS p
+        FROM t
+      )
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cnt FROM adj GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c_hist FROM bc GROUP BY w1),
+    voc AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bc.cnt + 1) / CAST(h.c_hist + voc.vocab AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM adj a
+    JOIN bc ON bc.w1 = a.w1 AND bc.w2 = a.w2
+    JOIN hist h ON h.w1 = a.w1
+    CROSS JOIN voc
+    GROUP BY a.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the Laplace-smoothed
+    bigram model P(w2|w1) = (c(w1,w2)+1) / (c_hist(w1)+V).
+
+    Scale shape: ONE tokenize+lead lineage produces the doc-level
+    adjacency frame, lazily persisted — its two consumers are
+    dependency-ordered (the corpus bigram aggregate must finish
+    before the scoring join probes it), so the first use materializes
+    the cache for the second (gotcha #9, minhash case). The corpus
+    aggregate bc collapses to observed-bigram granularity and is
+    eager-checkpointed before its three sibling consumers (pair
+    counts, history counts, vocab — differently-aggregated branches
+    never exchange-reuse, gotcha #14). Scoring is two equi-joins of
+    the adjacency frame against vocab-sized tables plus one broadcast
+    scalar; the per-doc mean partial-aggregates map-side. Docs with
+    fewer than 2 tokens have no bigrams and drop out on both
+    engines."""
+    return bigram_logprob_frame(_spread(load_table(spark, sf_dir, "documents")))
+
+
+def bigram_logprob_frame(d: DataFrame) -> DataFrame:
+    """Frame-level bigram-LM scoring core over any (doc_id, text)
+    frame — see ``text_bigram_logprob``."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adjd = tok.select(
+        "doc_id", "t", F.lead("t", 1).over(w).alias("t2")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bc = (
+        adjd.groupBy("t", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = bc.select("t").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    nn = bc.filter(F.col("t2").isNotNull())
+    hist = nn.groupBy("t").agg(F.sum("cnt").cast("bigint").alias("c_hist"))
+    pairs = nn.select(
+        F.col("t").alias("w1"), F.col("t2").alias("w2"), "cnt"
+    )
+    scored = (
+        adjd.filter(F.col("t2").isNotNull())
+        .select("doc_id", F.col("t").alias("w1"), F.col("t2").alias("w2"))
+        .join(pairs, ["w1", "w2"])
+        .join(hist.select(F.col("t").alias("w1"), "c_hist"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log(
+        (F.col("cnt") + 1) / (F.col("c_hist") + F.col("vocab")).cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(logp), 4).alias("avg_logprob"),
+    )

@@ -581,3 +581,34 @@ def test_skew_profile_ranking_consistent(spark, sf_dir):
         ratio = r["skew_vs_avg"] / r["share"]
         ratio0 = rows[0]["skew_vs_avg"] / rows[0]["share"]
         assert abs(ratio - ratio0) / ratio0 < 0.01  # common n_keys factor
+
+
+def test_winsorize_clip_fractions(spark, sf_dir):
+    """Each bound must clip ~1% of its type's rows (exact percentile
+    semantics put at most 1% strictly outside each bound) and the
+    bounds must be ordered."""
+    rows = _rows(spark, sf_dir, "events_winsorize_stats")
+    assert rows
+    for r in rows:
+        assert r["p01"] < r["p99"]
+        assert r["n_below"] <= r["n_events"] * 0.01 + 1
+        assert r["n_above"] <= r["n_events"] * 0.01 + 1
+        assert r["n_below"] >= 1 and r["n_above"] >= 1  # 0.01 quantile interpolates inside the data at these group sizes
+
+
+def test_bigram_logprob_prefers_fluent_docs(spark):
+    """Context-awareness gate: 30 docs repeat the same sentence
+    (every bigram common); one doc uses the SAME vocabulary in
+    scrambled order (every bigram unseen, only smoothing mass). The
+    scrambled doc must score strictly lower — a unigram model cannot
+    make this distinction."""
+    from ray_mapreduce_spark.plans.text_analysis import bigram_logprob_frame
+
+    sent = "the quick brown fox jumps over the lazy dog again"
+    scrambled = "dog the over quick again fox brown lazy jumps the"
+    docs = [(i, sent) for i in range(30)] + [(99, scrambled)]
+    frame = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_frame(frame).collect()}
+    fluent_scores = [got[i] for i in range(30)]
+    assert all(s == fluent_scores[0] for s in fluent_scores)
+    assert got[99] < fluent_scores[0] - 1.0  # decisively lower, not noise

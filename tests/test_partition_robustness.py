@@ -45,6 +45,8 @@ CASES = [
     "quality_calibration_deciles",  # ntile with composite tiebreak (r7)
     "dedup_survivors_quality",      # CC + quality argmax windows (r7)
     "events_key_skew_profile",      # checkpointed counts + TakeOrdered (r7)
+    "events_winsorize_stats",       # holistic percentile + broadcast rejoin (r7)
+    "text_bigram_logprob",          # persisted adjacency + checkpointed bc (r7)
 ]
 
 
