@@ -736,20 +736,25 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd assignment as cluster_kmeans_assign (shared _lloyd_assign /
     _kmeans_cte, so the two oracles cannot drift).
 
-    Scale shape: the pair stage is a SELF-join of one identical
-    assigned frame on the cluster key — AQE runtime exchange-reuse
-    computes the assignment lineage once (gotcha #14, self-join
-    case), and only same-cluster pairs are ever enumerated. With K
-    sized so clusters hold ~10³ vectors, per-cluster work is bounded
-    O(|c|²·dim) regardless of corpus size; cluster count is the
-    parallelism unit (here K_MEANS_K keeps the tiny test corpus in a
-    few tasks — a crawl-scale run raises K, which only widens the
-    broadcast centroid table). Threshold reuses the cosine kernel
-    already hash-verified against DuckDB's list_cosine_similarity in
+    Scale shape: the assigned frame is eager-localCheckpointed before
+    the pair self-join — its two join sides are sibling consumers of
+    an AGGREGATED lineage, and the executed-plan probe showed AQE
+    does NOT exchange-reuse them (0 ReusedExchange; both sides
+    re-ran all Lloyd rounds from the persisted corpus — the gotcha
+    #9 sibling case, NOT the identical-scan self-join case that does
+    reuse in simhash/minhash). The checkpoint is |corpus| rows of
+    (id, cluster, vec) — the same order as the input. Only
+    same-cluster pairs are ever enumerated: with K sized so clusters
+    hold ~10³ vectors, per-cluster work is bounded O(|c|²·dim)
+    regardless of corpus size; cluster count is the parallelism unit
+    (here K_MEANS_K keeps the tiny test corpus in a few tasks — a
+    crawl-scale run raises K, which only widens the broadcast
+    centroid table). Threshold reuses the cosine kernel already
+    hash-verified against DuckDB's list_cosine_similarity in
     dedup_embedding_cosine; the >= compare is on the unrounded
     double both engines build identically."""
     v = _persisted_corpus(spark, sf_dir)
-    assigned = _lloyd_assign(v, K_MEANS_K, K_MEANS_ITERS)
+    assigned = _lloyd_assign(v, K_MEANS_K, K_MEANS_ITERS).localCheckpoint(eager=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
     cos = _dot("a.vec", "b.vec") / (_norm("a.vec") * _norm("b.vec"))

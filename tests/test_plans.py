@@ -253,3 +253,18 @@ def test_ngram_single_scan_and_runtime_exchange_reuse(spark, sf_dir):
     scans = [n for n in nodes if n.startswith("Scan parquet")]
     assert len(scans) == 1, scans
     assert any(n.startswith("ReusedExchange") for n in nodes), nodes
+
+
+def test_semantic_kmeans_assignment_executes_once(spark, sf_dir):
+    """dedup_semantic_kmeans' pair stage self-joins the Lloyd
+    assignment. The executed-plan probe showed AQE does NOT
+    exchange-reuse the two sides of an AGGREGATED sibling lineage
+    (both re-ran every Lloyd round from the persisted corpus: 8
+    cache reads, 14 exchanges) — hence the eager localCheckpoint.
+    Pin: the executed final plan reads NO parquet and NO cache, only
+    the checkpoint RDD (Lloyd ran once, at checkpoint time)."""
+    nodes = _executed_nodes(spark, "dedup_semantic_kmeans", sf_dir)
+    assert [n for n in nodes if n.startswith("Scan parquet")] == [], nodes
+    assert [n for n in nodes if n == "InMemoryTableScan"] == [], nodes
+    rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
+    assert 1 <= len(rdd_scans) <= 2, nodes
