@@ -873,3 +873,89 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("p01") + F.lit(1e-9), 4).alias("p01"),
         F.round(F.min("p99") + F.lit(1e-9), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier profile via median absolute deviation. The z-score
+# outlier pass (events_zscore_outliers) is itself skewed by the
+# outliers it hunts; the MAD modified z-score (Iglewicz & Hoaglin,
+# |0.6745·(x − med)| > 3.5·MAD) is the robust variant production
+# metric pipelines actually deploy. Builds on the r7-verified fact
+# that Spark `percentile` and DuckDB `quantile_cont` agree BIT-EXACTLY
+# on this data (events_winsorize_stats), so both medians feed
+# identical unrounded doubles into the outlier compare.
+MAD_Z_CUT = 3.5
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): scales MAD to σ under normality
+
+
+@register(
+    "events_anomaly_mad",
+    tags=("events", "stats", "robust", "outliers", "percentile"),
+    oracle=f"""
+    WITH m1 AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    r AS (
+      SELECT e.event_type, e.value, m1.med,
+             abs(e.value - m1.med) AS adev
+      FROM events e JOIN m1 USING (event_type)
+    ),
+    m2 AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(r.med) + 1e-9, 4) AS med,
+           round(min(m2.mad) + 1e-9, 4) AS mad,
+           CAST(sum(CASE WHEN {MAD_CONSISTENCY} * r.adev
+                              > {MAD_Z_CUT} * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN {MAD_CONSISTENCY} * r.adev
+                                    > {MAD_Z_CUT} * m2.mad THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 4) AS outlier_rate
+    FROM r JOIN m2 USING (event_type)
+    GROUP BY r.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, med, mad, n_outliers, outlier_rate):
+    robust MAD outlier profile per event_type. Outlier compares run
+    on UNROUNDED engine-identical doubles (|0.6745·dev| > 3.5·MAD —
+    multiply, never divide, so MAD=0 groups safely flag nothing);
+    displayed med/mad/rate carry the +1e-9 half-boundary guard
+    (outlier_rate is a rational — gotcha #13).
+
+    Scale shape (the winsorize two-pass pattern): pass 1 exact median
+    per type (holistic per-group; crawl-scale swap is
+    approx_percentile, same output shape), broadcast the tiny bounds
+    back; pass 2 exact median of deviations; final broadcast join +
+    partial-aggregated counts. No row ever shuffles with its value —
+    only the per-type medians move."""
+    e = load_table(spark, sf_dir, "events")
+    m1 = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    r = e.join(F.broadcast(m1), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    m2 = r.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    out_flag = (
+        F.lit(MAD_CONSISTENCY) * F.col("adev") > F.lit(MAD_Z_CUT) * F.col("mad")
+    ).cast("int")
+    return (
+        r.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("med") + F.lit(1e-9), 4).alias("med"),
+            F.round(F.min("mad") + F.lit(1e-9), 4).alias("mad"),
+            F.sum(out_flag).cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum(out_flag).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+            ).alias("outlier_rate"),
+        )
+    )

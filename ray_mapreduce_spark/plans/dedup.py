@@ -108,11 +108,10 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking on lang keeps the pair space per-language; at 100 TB the
 # blocking key would be an LSH band (see dedup_minhash_pairs) with this
 # exact Jaccard as the verify stage on candidates only.
-@register(
-    "dedup_ngram_jaccard",
-    bench=True,
-    tags=("dedup", "ngram", "jaccard"),
-    oracle=f"""
+# The quadratic oracle is shared verbatim with dedup_jaccard_prefixfilter:
+# two independent Spark plans (inverted index w/ df cap vs AllPairs
+# prefix filtering), ONE ground truth — the oracles cannot drift.
+_NGRAM_JACCARD_ORACLE = f"""
     WITH shingled AS (
       SELECT doc_id, lang,
              list_distinct([
@@ -135,7 +134,14 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 4) AS jaccard
     FROM pairs
     WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    tags=("dedup", "ngram", "jaccard"),
+    oracle=_NGRAM_JACCARD_ORACLE,
 )
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, df_cap: int = DEFAULT_DF_CAP
@@ -1156,4 +1162,113 @@ def survivors_quality(d: DataFrame) -> DataFrame:
             "n_members",
             F.round(F.col("qr") + F.lit(1e-9), 4).alias("quality"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# EXACT Jaccard pairs WITHOUT a df cap: AllPairs/PPJoin prefix
+# filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08). Order each
+# doc's shingles by a global (df asc, hash) order and index only the
+# first |S| − ⌈t·|S|⌉ + 1 of them: any pair with J ≥ t MUST share a
+# prefix shingle (J ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so the intersection
+# cannot hide entirely in the ⌈t·|A|⌉−1 suffix — and symmetrically
+# for B, so the smallest common shingle sits in BOTH prefixes). The
+# inverted-index plan (dedup_ngram_jaccard) buys its scale with a df
+# cap that silently drops boilerplate evidence; this plan is exact at
+# scale because frequent shingles sort LAST and almost never enter a
+# prefix — the candidate join only ever touches each doc's rarest
+# ~(1−t) fraction of shingles.
+_T_FRAC = __import__("fractions").Fraction(JACCARD_THRESHOLD).limit_denominator(10**6)
+
+
+@register(
+    "dedup_jaccard_prefixfilter",
+    tags=("dedup", "ngram", "jaccard", "prefix-filter"),
+    oracle=_NGRAM_JACCARD_ORACLE,
+)
+def dedup_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output contract as dedup_ngram_jaccard (doc_a, doc_b,
+    jaccard ≥ JACCARD_THRESHOLD) from an independent exact plan —
+    both registrations share one oracle string, so DuckDB adjudicates
+    two different distributed algorithms against one ground truth.
+    """
+    return jaccard_prefixfilter_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def jaccard_prefixfilter_pairs(d: DataFrame) -> DataFrame:
+    """Prefix-filtered exact set-similarity self-join over any
+    (doc_id, lang, text) frame.
+
+    Stages: (1) hashed shingle table (persisted — consumed by the
+    prefix stage and twice by the verify stage); (2) df window over
+    (s, lang) + per-doc (df, s) rank window -> keep rank ≤
+    |S| − ⌈t|S|⌉ + 1 (integer-exact via the Fraction form of the
+    threshold — float ceil(0.6·n) could round the prefix short and
+    silently DROP pairs); (3) candidate pairs = equi-join of prefixes
+    on (s, lang); (4) exact common-count verify on candidates only.
+
+    The prefix frame is eager-localCheckpointed: its two self-join
+    sides are SIBLING consumers of a window-aggregated lineage —
+    exactly the shape AQE never runtime-reuses (gotcha #14: identical
+    AGGREGATED subtrees, unlike scan-rooted ones) and lazy persist
+    races (gotcha #9: both sides miss a cold cache concurrently).
+    The checkpoint is tiny — prefix rows only, 8-byte hashes. The
+    checkpoint action also happens to materialize the shingle cache,
+    so the verify stage's sibling reads hit it warm.
+
+    df=1 prefix shingles are dropped AFTER rank assignment: they
+    cannot match (exactness preserved — a qualifying pair's witness
+    shingle has df ≥ 2 by definition), but they must still occupy
+    their rank slot so every doc's prefix stays a prefix of the SAME
+    global order. Scale: candidate volume is Σ_s df_prefix(s)² over
+    rare shingles only; no cap, no dropped evidence, and the verify
+    join moves |candidates|·|S| hashed longs, never text."""
+    from pyspark import StorageLevel
+
+    num, den = _T_FRAC.numerator, _T_FRAC.denominator
+    ex = _with_doc_size(_shingle_hashes(_spread(d))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wdf = Window.partitionBy("s", "lang")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = F.col("n") - F.expr(f"({num}L * n + {den - 1}L) div {den}L") + 1
+    pref = (
+        ex.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("rk", F.row_number().over(wdoc))
+        .filter(F.col("rk") <= prefix_len)
+        .filter(F.col("df") >= 2)
+        .select("doc_id", "lang", "s", "n")
+        .localCheckpoint(eager=True)
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -85,6 +85,12 @@ def register(
 # Past the window: the remaining 41 r5-green names (front these in
 # round 8: json_extract_agg .. array_hof_functions), then the
 # r6-green block by registration order.
+# ROUND 8 MUST ALSO FRONT the post-window r7 additions (no driver row
+# ever; registered after the r7 window was pinned): events_anomaly_mad,
+# text_token_entropy, sample_weighted_priority,
+# dedup_jaccard_prefixfilter, plus any later r7 names — put these
+# FIRST (the sample_split_assign precedent), then the 41 stale
+# r5-green names.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked --
     "sample_split_assign",

@@ -476,3 +476,69 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("id_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement, distributed: the
+# Efraimidis–Spirakis priority trick (Inf. Proc. Letters 97(5), 2006).
+# Each doc draws u ~ Uniform(0,1) and gets priority u^(1/w) — the
+# top-k priorities ARE an exact weighted sample without replacement.
+# Priorities are independent per row, so the global top-k is a
+# TakeOrdered (per-partition heap + driver merge of k·P candidates),
+# never a global sort — THE distributed shape for reservoir-style
+# selection. Determinism: u comes from a sha256 hash of doc_id
+# (engine-identical, partitioning-independent), so the sample is
+# reproducible and growth-stable; we rank by ln(u)/w (monotone in
+# u^(1/w), better-conditioned near u→1).
+SAMPLE_WR_K = 100
+_HASH_SPACE = 16777216  # 2^24: first 6 hex digits of sha256
+
+
+@register(
+    "sample_weighted_priority",
+    tags=("sampling", "weighted", "reservoir", "deterministic"),
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) + 0.5) / {_HASH_SPACE}.0)
+               / n_chars AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(priority, 8) AS priority
+    FROM p
+    ORDER BY priority DESC, doc_id
+    LIMIT {SAMPLE_WR_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-SAMPLE_WR_K docs by Efraimidis–Spirakis priority with
+    weight = n_chars: an exact, deterministic weighted sample without
+    replacement (long docs proportionally more likely, every doc
+    eligible). ln(u)/w is transcendental so the 8dp display round
+    never sits on a boundary; ordering uses the unrounded double with
+    doc_id as the unique LIMIT tiebreak (oracle rule #3).
+
+    Scale shape: zero-shuffle scan-speed projection (hash + ln), then
+    global top-k as TakeOrderedAndProject — k·P candidate rows to the
+    driver, no global sort, no window. Rerunning on an appended
+    corpus re-ranks but never reshuffles history: priorities are
+    pure row-local functions of (doc_id, n_chars)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 6), 16, 10)
+    u = (h.cast("bigint") + F.lit(0.5)) / F.lit(float(_HASH_SPACE))
+    pri = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.col("_pri").desc(), "doc_id")
+        .limit(SAMPLE_WR_K)
+        .select(
+            "doc_id", "lang", "n_chars", F.round("_pri", 8).alias("priority")
+        )
+    )

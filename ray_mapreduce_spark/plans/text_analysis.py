@@ -1333,3 +1333,77 @@ def bigram_logprob_frame(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg(logp), 4).alias("avg_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document token Shannon entropy — the information-density signal
+# quality filters use to kill keyword-stuffed / template pages (low
+# entropy at high length) without a trained model. Computed from
+# integer counts via H = ln(n) − Σc·ln(c)/n so both engines build the
+# identical per-term doubles (c is an exact integer in the double);
+# entropy values are transcendental and never sit on 4dp rounding
+# boundaries (the events_decayed_score precedent), with the +1e-9
+# guard covering the exact-0 single-token-doc case.
+@register(
+    "text_token_entropy",
+    tags=("text", "entropy", "quality"),
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, lang, t, count(*) AS c
+      FROM tok GROUP BY doc_id, lang, t
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(c * ln(c)) AS sclnc
+      FROM tc GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, n_distinct,
+           round(ln(n_tokens) - sclnc / n_tokens + 1e-9, 4) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tokens) - sclnc / n_tokens) / ln(n_distinct)
+                      ELSE 0.0 END + 1e-9, 4) AS norm_entropy
+    FROM s
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, n_distinct, entropy, norm_entropy):
+    exact token-distribution Shannon entropy per document, plus the
+    [0,1]-normalized variant (H / ln(n_distinct); defined 0 for
+    single-token vocabularies).
+
+    Scale shape: explode + two partial-aggregated groupBys — per-term
+    counts land hash-partitioned on (doc_id, lang, t), the per-doc
+    fold reshuffles only the tiny (doc, term-count) rows, never text.
+    Both stages map-side combine; no windows, no holistic aggs, so
+    the plan is embarrassingly parallel at any corpus size."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    tc = tok.groupBy("doc_id", "lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    s = tc.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("sclnc"),
+    )
+    h = F.log("n_tokens") - F.col("sclnc") / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        F.round(h + F.lit(1e-9), 4).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, h / F.log("n_distinct")).otherwise(
+                F.lit(0.0)
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("norm_entropy"),
+    )

@@ -612,3 +612,66 @@ def test_bigram_logprob_prefers_fluent_docs(spark):
     fluent_scores = [got[i] for i in range(30)]
     assert all(s == fluent_scores[0] for s in fluent_scores)
     assert got[99] < fluent_scores[0] - 1.0  # decisively lower, not noise
+
+
+def test_prefixfilter_equals_uncapped_exact(spark):
+    """dedup_jaccard_prefixfilter's AllPairs plan is EXACT with no df
+    cap: on the adversarial corpus it must return the uncapped
+    inverted-index result bit-for-bit — true rare-shingle pairs AND
+    every boilerplate-evidence pair the capped plan drops (7140 of
+    them at n_boiler=120), with identical jaccard values."""
+    from ray_mapreduce_spark.plans.dedup import (
+        jaccard_prefixfilter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _adversarial_corpus(spark, n_boiler=120)
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, df_cap=10**9).collect()
+    }
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefixfilter_pairs(docs).collect()
+    }
+    assert pf == uncapped
+    assert TRUE_PAIRS <= set(pf)
+    assert len(pf) == len(TRUE_PAIRS) + 120 * 119 // 2
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """Information-theoretic invariants at sf: 0 <= H <= ln(n_distinct)
+    (norm_entropy in [0,1]), H == 0 exactly when the doc repeats one
+    token, and n_distinct <= n_tokens."""
+    import math
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    rows = all_queries()["text_token_entropy"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        # 1e-4 tolerance: outputs carry a 4dp display round
+        assert -1e-4 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-4
+        assert -1e-4 <= r["norm_entropy"] <= 1 + 1e-4
+        if r["n_distinct"] == 1:
+            assert abs(r["entropy"]) < 1e-6
+
+
+def test_anomaly_mad_rates_and_median_cover(spark, sf_dir):
+    """MAD profile sanity: rates in [0,1] and consistent with counts;
+    med/mad finite; every event_type present exactly once."""
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = all_queries()["events_anomaly_mad"].builder(spark, sf_dir).collect()
+    types = {r["event_type"] for r in rows}
+    expected = {
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert types == expected
+    for r in rows:
+        assert 0.0 <= r["outlier_rate"] <= 1.0
+        assert abs(r["outlier_rate"] - round(r["n_outliers"] / r["n_events"] + 1e-9, 4)) < 1e-6
+        assert r["mad"] >= 0.0

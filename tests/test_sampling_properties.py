@@ -146,3 +146,36 @@ def test_incremental_merge_admits_disjoint_and_idempotent(spark, sf_dir):
     admitted_hashes = [r["h"] for r in rows if r["doc_id"] in admitted]
     assert not (set(admitted_hashes) & corpus_hashes)
     assert len(admitted_hashes) == len(set(admitted_hashes))
+
+
+def test_weighted_priority_matches_python_replay(spark, sf_dir):
+    """The Efraimidis–Spirakis sample is exactly reproducible outside
+    Spark: recompute every doc's priority (sha256-derived uniform,
+    ln(u)/n_chars) in pure Python and require the identical top-k id
+    set — pins both the hash-to-uniform construction and the claim
+    that the sample is partitioning-independent. Also checks the
+    weighting works: the sample's mean doc length must exceed the
+    corpus mean (long docs are proportionally favored)."""
+    import hashlib
+    import math
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.sampling import SAMPLE_WR_K, _HASH_SPACE
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = all_queries()["sample_weighted_priority"].builder(spark, sf_dir).collect()
+    assert len(rows) == SAMPLE_WR_K
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    pri = {}
+    for r in corpus:
+        h = int(hashlib.sha256(str(r["doc_id"]).encode()).hexdigest()[:6], 16)
+        pri[r["doc_id"]] = math.log((h + 0.5) / _HASH_SPACE) / r["n_chars"]
+    expect = set(
+        sorted(pri, key=lambda d: (-pri[d], d))[:SAMPLE_WR_K]
+    )
+    assert {r["doc_id"] for r in rows} == expect
+
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = sum(r["n_chars"] for r in corpus) / len(corpus)
+    assert sample_mean > corpus_mean
