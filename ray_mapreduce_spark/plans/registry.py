@@ -88,7 +88,9 @@ def register(
 # ROUND 8 MUST ALSO FRONT the post-window r7 additions (no driver row
 # ever; registered after the r7 window was pinned): events_anomaly_mad,
 # text_token_entropy, sample_weighted_priority,
-# dedup_jaccard_prefixfilter, plus any later r7 names — put these
+# dedup_jaccard_prefixfilter, similarity_pq_codes,
+# similarity_pq_adc_topk, similarity_pq_rerank_topk,
+# plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.
 _DRIVER_PRIORITY: tuple[str, ...] = (

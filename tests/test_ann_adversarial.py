@@ -132,3 +132,59 @@ def test_ivf_kmeans_recall_on_clustered_corpus(spark, ann_fixture):
     rows = _Q["similarity_topk_ivf_kmeans"].builder(spark, ann_fixture["path"]).collect()
     rec = _topk_recall(rows, ann_fixture["true_topk"])
     assert rec >= 0.90, rec
+
+
+def test_pq_adc_recall_on_clustered_corpus(spark, ann_fixture):
+    """PQ ADC is an L2 quantizer, so its gate uses exact L2 ground
+    truth (the cosine truth above would conflate metric mismatch with
+    quantization loss). PQ_M=4 x PQ_K=4 gives 256 cells over 10 true
+    clusters — coarse, but cluster structure should keep most true
+    neighbors within the query's cell pattern. Threshold pinned
+    ~10% below measured (see SCALING.md §LSH gates)."""
+    import pandas as pd
+
+    emb = pd.read_parquet(ann_fixture["path"] + "/embeddings.parquet")
+    v = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(emb["vec_id"].to_numpy())
+    v = v[order]
+    true_l2 = {}
+    for q in range(10):
+        d = ((v - v[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        true_l2[q] = set(np.argsort(d)[:TOP_K])
+    rows = _Q["similarity_pq_adc_topk"].builder(spark, ann_fixture["path"]).collect()
+    rec = _topk_recall(rows, true_l2)
+    print(f"PQ ADC recall@{TOP_K} n={ann_fixture['n']}: {rec:.3f}")
+    assert rec >= _PQ_MIN[ann_fixture["n"]], rec
+
+
+# Measured r7 (seed 42): 0.52/0.24 — the honest pure-ADC floor with an
+# 8x16 codebook on clustered data (quantization error ~ within-cluster
+# noise). Pinned ~10% below; the serving-quality number is the rerank
+# gate below, matching how PQ is actually deployed.
+_PQ_MIN = {400: 0.45, 4000: 0.20}
+
+
+def test_pq_rerank_recall_on_clustered_corpus(spark, ann_fixture):
+    """The shortlist+exact-rerank shape recovers what pure ADC loses:
+    measure recall@5 vs exact L2 truth."""
+    import pandas as pd
+
+    emb = pd.read_parquet(ann_fixture["path"] + "/embeddings.parquet")
+    v = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(emb["vec_id"].to_numpy())
+    v = v[order]
+    true_l2 = {}
+    for q in range(10):
+        d = ((v - v[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        true_l2[q] = set(np.argsort(d)[:TOP_K])
+    rows = _Q["similarity_pq_rerank_topk"].builder(spark, ann_fixture["path"]).collect()
+    rec = _topk_recall(rows, true_l2)
+    print(f"PQ rerank recall@{TOP_K} n={ann_fixture['n']}: {rec:.3f}")
+    assert rec >= _PQ_RERANK_MIN[ann_fixture["n"]], rec
+
+
+# Measured r7 (seed 42): 1.00/0.78 at PQ_SHORTLIST=100 (0.68 at 50 —
+# shortlist depth, not codebook quality, is the n=4000 limiter).
+_PQ_RERANK_MIN = {400: 0.90, 4000: 0.70}
