@@ -959,3 +959,82 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend: closed-form simple linear regression of value
+# on time (days since the corpus min timestamp), entirely from
+# algebraic sums — the metric-drift detector that runs as ONE
+# partial-aggregated pass at any scale (six sums per group), where a
+# two-pass centered regression would scan twice. Both engines build
+# the IDENTICAL expression tree over (n, Σx, Σy, Σx², Σy², Σxy), so
+# the only divergence is summation-order ulp, absorbed by the
+# display rounds. x is days (≤ double 2^53 exactness by construction:
+# integer micros / 8.64e10), keeping n·Σx² − (Σx)² far from
+# catastrophic cancellation.
+@register(
+    "events_linreg_trend",
+    tags=("events", "stats", "regression", "trend"),
+    oracle="""
+    WITH a AS (
+      SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) - a.t0) / 86400000000.0 AS x,
+             value AS y
+      FROM events CROSS JOIN a
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 + 1e-9, 4) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) AS r2
+    FROM s
+    """,
+)
+def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, slope, intercept, r2): value-vs-time
+    OLS per event_type. Scale shape: the t0 anchor is a narrow scan
+    agg broadcast onto the rows (events_decayed_score pattern); the
+    six regression sums partial-aggregate map-side, so the one
+    shuffle moves a row per (event_type, partition). No window, no
+    second pass."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    a = e.agg(F.min("us").alias("t0"))
+    x = (F.col("us") - F.col("t0")) / F.lit(86400000000.0)
+    s = (
+        e.crossJoin(F.broadcast(a))
+        .select("event_type", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(slope + F.lit(1e-9), 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") + F.lit(1e-9), 4).alias(
+            "intercept"
+        ),
+        F.round((cov * cov) / (varx * vary) + F.lit(1e-9), 6).alias("r2"),
+    )

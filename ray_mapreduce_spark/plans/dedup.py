@@ -1272,3 +1272,56 @@ def jaccard_prefixfilter_pairs(d: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: for every source pair, how many
+# distinct document HEAD fingerprints (md5 of the first 8 lowercased
+# tokens — the syndicated-lede / mirror-site signal) appear in BOTH.
+# Exact full-text duplication never crosses sources in this corpus
+# below sf0.1, so the head fingerprint is the non-degenerate signal
+# at every sf; at crawl scale the same plan runs on any fingerprint
+# column (simhash, minhash band, md5 of a normalized body).
+# Shuffles 16-byte digests only; the self-join's two sides are the
+# IDENTICAL scan-rooted distinct subtree, the shape AQE
+# runtime-exchange-reuses (gotcha #14: computes the digest set once).
+FP_HEAD_TOKENS = 8
+
+
+@register(
+    "dedup_cross_source_matrix",
+    tags=("dedup", "fingerprint", "source", "matrix"),
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(string_split(lower(text), ' ')[1:{FP_HEAD_TOKENS}],
+                                 ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_heads
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_shared_heads): distinct head
+    fingerprints present in both sources, for every source pair
+    sharing any."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, FP_HEAD_TOKENS))
+    )
+    h = d.select("source", fp.alias("fp")).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_heads"))
+    )

@@ -90,6 +90,7 @@ def register(
 # text_token_entropy, sample_weighted_priority,
 # dedup_jaccard_prefixfilter, similarity_pq_codes,
 # similarity_pq_adc_topk, similarity_pq_rerank_topk,
+# events_linreg_trend, corpus_source_kl, dedup_cross_source_matrix,
 # plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.

@@ -1407,3 +1407,79 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence from the corpus unigram distribution — the
+# domain-shift / source-composition drift detector: a source whose
+# token distribution diverges from the pooled corpus is over- or
+# under-represented content (or contamination). Every per-term KL
+# contribution is built from INTEGER counts inside one ln call
+# ((c_st·N)/(n_s·c_t) — integers exact in BIGINT, one double
+# division), so both engines produce identical term doubles and only
+# summation-order ulp differs.
+@register(
+    "corpus_source_kl",
+    tags=("text", "kl", "composition", "drift"),
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    c AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, t
+    ),
+    s AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+      FROM c GROUP BY source
+    ),
+    g AS (
+      SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t
+      FROM c GROUP BY t
+    ),
+    tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS nn FROM c)
+    SELECT c.source,
+           min(s.n_s) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(sum((CAST(c.c_st AS DOUBLE) / s.n_s)
+                     * ln(CAST(c.c_st * tot.nn AS DOUBLE) / (s.n_s * g.c_t)))
+                 + 1e-9, 6) AS kl_vs_corpus
+    FROM c
+    JOIN s USING (source)
+    JOIN g USING (t)
+    CROSS JOIN tot
+    GROUP BY c.source
+    """,
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, n_distinct, kl_vs_corpus): KL(source ‖
+    corpus) over token unigram distributions, plus size stats.
+
+    Scale shape: one tokenize lineage; per-(source, t) counts land
+    hash-partitioned, then the source total and the corpus term count
+    are WINDOWS over that grouped frame (source / t partitions — no
+    agg-then-rejoin, the r6 reuse rule), the corpus total is a
+    broadcast scalar, and the final per-source fold
+    partial-aggregates. Token text appears only in the first groupBy
+    key; every later stage moves counts."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+    from pyspark.sql.window import Window as _W
+
+    c = c.withColumn("n_s", F.sum("c_st").over(_W.partitionBy("source"))).withColumn(
+        "c_t", F.sum("c_st").over(_W.partitionBy("t"))
+    )
+    tot = c.groupBy().agg(F.sum("c_st").alias("nn"))
+    term = (F.col("c_st").cast("double") / F.col("n_s")) * F.log(
+        (F.col("c_st") * F.col("nn")).cast("double") / (F.col("n_s") * F.col("c_t"))
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.sum(term) + F.lit(1e-9), 6).alias("kl_vs_corpus"),
+        )
+    )

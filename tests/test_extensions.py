@@ -675,3 +675,54 @@ def test_anomaly_mad_rates_and_median_cover(spark, sf_dir):
         assert 0.0 <= r["outlier_rate"] <= 1.0
         assert abs(r["outlier_rate"] - round(r["n_outliers"] / r["n_events"] + 1e-9, 4)) < 1e-6
         assert r["mad"] >= 0.0
+
+
+def test_linreg_trend_invariants(spark, sf_dir):
+    """OLS invariants: r2 in [0,1]; slope/intercept finite; a python
+    replay of the closed-form sums from the raw rows reproduces the
+    slope (pins the anchor/day construction, not just SQL parity)."""
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = all_queries()["events_linreg_trend"].builder(spark, sf_dir).collect()
+    assert rows
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    t0 = min(r["us"] for r in raw)
+    by_type: dict = {}
+    for r in raw:
+        by_type.setdefault(r["event_type"], []).append(
+            ((r["us"] - t0) / 86400000000.0, r["value"])
+        )
+    for r in rows:
+        assert -1e-6 <= r["r2"] <= 1 + 1e-4
+        pts = by_type[r["event_type"]]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(r["slope"] - slope) < 1e-4, (r["event_type"], r["slope"], slope)
+
+
+def test_source_kl_nonnegative_and_sums(spark, sf_dir):
+    """Gibbs' inequality: KL(source || corpus) >= 0 for every source,
+    and the per-source token totals must sum to the corpus total."""
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = all_queries()["corpus_source_kl"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_vs_corpus"] >= -1e-4, r
+        assert r["n_distinct"] <= r["n_tokens"]
+    total = sum(r["n_tokens"] for r in rows)
+    n_corpus = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert total == n_corpus
