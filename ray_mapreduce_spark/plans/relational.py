@@ -760,3 +760,102 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share per ship month — fact ⋈
+# small dim with a conditional aggregate on a dim attribute. The dim
+# broadcasts; the share is two partial-aggregable sums per month.
+@register(
+    "q14_promo_revenue",
+    tags=("join", "aggregate", "tpch", "broadcast"),
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS year_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+             AS promo_share_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(year_month, promo_share_pct, total_revenue): the Q14 shape.
+    Scale: part broadcasts (dim ≪ fact); both sums partial-aggregate
+    map-side so the shuffle carries one row per (month, partition);
+    the share ratio is rational → +1e-9 pre-round bias (gotcha #13)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev) + F.lit(1e-9), 4
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("year_month"),
+            "promo_share_pct",
+            "total_revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+# BOTH join sides — the optimizer stress case: the join key equality
+# must still be extracted from under the OR (otherwise the plan
+# degenerates to a cartesian product), and the per-branch dim
+# predicates should still prune the broadcast build side.
+@register(
+    "q19_disjunctive_revenue",
+    tags=("join", "filter", "tpch", "disjunction"),
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row revenue under an OR-of-ANDs predicate across fact
+    and dim columns. Catalyst keeps the p_partkey = l_partkey
+    equi-key out of the disjunction, so this stays a broadcast hash
+    join with the residual OR as a post-join filter — and the
+    IN-set of brands implied by the OR is pushable to the part scan
+    (verified in EXPLAINS.md: no cartesian, dim side pruned)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

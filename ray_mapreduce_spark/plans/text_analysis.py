@@ -1483,3 +1483,86 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term) + F.lit(1e-9), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters via a Misra-Gries sketch + exact refine. The sketch
+# pass (mapInPandas, MG_K counters per partition, batch-merged with
+# the Agarwal et al. "Mergeable Summaries" subtract-(k+1)th trick)
+# GUARANTEES its candidate union contains every token with frequency
+# > n/MG_K; the refine pass then computes EXACT counts for candidates
+# only and applies the integer threshold count·MG_K > n. The output
+# is therefore exactly the true heavy hitters — an approximate
+# sketch composed into an exact, ORACLE-PAIRED operator. At 100 TB
+# the refine pass touches only |candidates| ≤ partitions·MG_K keys:
+# the full-key groupBy (which a naive exact plan would shuffle) never
+# happens; per-executor memory is MG_K counters regardless of n.
+MG_K = 100
+
+
+@register(
+    "text_heavy_hitters_mg",
+    tags=("text", "sketch", "heavy-hitters", "misra-gries", "pandas-udf"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(100.0 * count(*) / min(tot.n) + 1e-9, 4) AS share_pct
+    FROM tok CROSS JOIN tot
+    GROUP BY token
+    HAVING count(*) * {MG_K} > min(tot.n)
+    """,
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, n_occurrences, share_pct) for every token with
+    frequency > n/MG_K (share > 1%)."""
+    tok = _spread(load_table(spark, sf_dir, "documents")).select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return heavy_hitters_mg(tok, MG_K)
+
+
+def heavy_hitters_mg(tok: DataFrame, k: int) -> DataFrame:
+    """Exact >n/k heavy hitters of ``tok.token`` via MG-sketch
+    candidates + exact refine. Candidate completeness: each
+    partition's summary has error ≤ n_i/(k+1) (per-batch counts are
+    exact; each cross-batch merge subtracts the (k+1)-th largest
+    combined count, and those decrements total ≤ n_i/(k+1)); summed
+    over partitions the union misses only keys with f ≤ n/(k+1) <
+    n/k, so every true heavy hitter is a candidate. Extra candidates
+    are killed by the exact integer threshold — the result is
+    partition-invariant even though the candidate set is not."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from all, drop <=0
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - d for t, c in counters.items() if c > d}
+        yield pd.DataFrame(
+            {"token": list(counters), "lb": list(counters.values())}
+        )
+
+    cand = tok.mapInPandas(mg, "token string, lb long").select("token").distinct()
+    tot = tok.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        tok.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") * k > F.col("n"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(
+                F.lit(100.0) * F.col("n_occurrences") / F.col("n") + F.lit(1e-9), 4
+            ).alias("share_pct"),
+        )
+    )

@@ -726,3 +726,26 @@ def test_source_kl_nonnegative_and_sums(spark, sf_dir):
         .first()[0]
     )
     assert total == n_corpus
+
+
+@pytest.mark.parametrize("k", [3, 5, 10])
+def test_mg_heavy_hitters_exact_under_eviction(spark, k):
+    """Force real sketch evictions (k counters ≪ distinct keys) on a
+    zipf-ish corpus and require the composed sketch+refine output to
+    equal the exact >n/k set — the candidate-completeness guarantee,
+    not just the easy no-eviction path. 3 dominant tokens + 400 rare
+    distinct tokens across 8 partitions."""
+    from ray_mapreduce_spark.plans.text_analysis import heavy_hitters_mg
+
+    rows = (
+        [("alpha",)] * 300 + [("beta",)] * 200 + [("gamma",)] * 120
+        + [(f"rare{i}",) for i in range(400)]
+    )
+    tok = spark.createDataFrame(rows, "token: string").repartition(8)
+    n = len(rows)
+    got = {r["token"]: r["n_occurrences"] for r in heavy_hitters_mg(tok, k).collect()}
+    from collections import Counter
+
+    true_counts = Counter(t for (t,) in rows)
+    expect = {t: c for t, c in true_counts.items() if c * k > n}
+    assert got == expect, (k, got, expect)
