@@ -1325,3 +1325,75 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_heads"))
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: the incremental-crawl reconciliation report. Two
+# corpus snapshots (simulated deterministically from the one table:
+# OLD = doc_id % 5 != 0 — the dedup_incremental_merge standing-corpus
+# convention — NEW = doc_id % 7 != 0, with every doc_id % 11 == 0
+# text refreshed) are full-outer-joined ON doc_id over their content
+# digests, classifying every doc as added / removed / changed /
+# unchanged. Only (doc_id, 64-hex digest) rows ever shuffle — the
+# diff of two 100 TB snapshots moves a few GB of digests.
+@register(
+    "corpus_snapshot_diff",
+    tags=("dedup", "incremental", "diff", "join"),
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(min(doc_id) AS BIGINT) AS id_min,
+           CAST(max(doc_id) AS BIGINT) AS id_max
+    FROM d GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(status, n_docs, id_sum, id_min, id_max) per diff class; the
+    id sum/min/max pin exact membership without per-doc rows through
+    the comparator (the sample_split_assign convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h_old")
+    )
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("h_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.min("doc_id").cast("bigint").alias("id_min"),
+            F.max("doc_id").cast("bigint").alias("id_max"),
+        )
+    )

@@ -1566,3 +1566,84 @@ def heavy_hitters_mg(tok: DataFrame, k: int) -> DataFrame:
             ).alias("share_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage: per language, how many head tokens cover 90%
+# of token mass — the vocab-truncation sizing question every
+# tokenizer build answers. Coverage test uses INTEGER arithmetic
+# (cum·10 ≥ 9·total) so the 90% boundary can never be a float
+# rounding artifact; the running sum is an explicit ROWS frame over
+# the unique (count desc, token) order, identical in both engines.
+@register(
+    "text_vocab_coverage",
+    tags=("text", "vocab", "coverage", "zipf"),
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    c AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, t
+    ),
+    r AS (
+      SELECT lang, t, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS rk,
+             sum(c) OVER (PARTITION BY lang ORDER BY c DESC, t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY lang) AS nl
+      FROM c
+    )
+    SELECT lang,
+           CAST(min(nl) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(min(CASE WHEN cum * 10 >= 9 * nl THEN rk END) AS BIGINT)
+             AS vocab_90,
+           round(CAST(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                 / min(nl) + 1e-9, 4) AS top10_share
+    FROM r GROUP BY lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tokens, n_vocab, vocab_90, top10_share) per language.
+
+    Scale shape: one tokenize lineage; per-(lang, t) counts, then the
+    rank / running-sum / total windows all share ONE sort+exchange on
+    lang (same-partition windows), and the final per-lang fold
+    partial-aggregates. The per-lang window sort is the honest cost —
+    it is a per-language vocab-sized sort (millions of rows at crawl
+    scale, not corpus-sized), the same shape as quality decile
+    calibration."""
+    from pyspark.sql.window import Window as _W
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    order = [F.col("c").desc(), F.col("t")]
+    r = (
+        c.withColumn("rk", F.row_number().over(_W.partitionBy("lang").orderBy(*order)))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                _W.partitionBy("lang")
+                .orderBy(*order)
+                .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            ),
+        )
+        .withColumn("nl", F.sum("c").over(_W.partitionBy("lang")))
+    )
+    return r.groupBy("lang").agg(
+        F.min("nl").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.min(F.when(F.col("cum") * 10 >= 9 * F.col("nl"), F.col("rk")))
+        .cast("bigint")
+        .alias("vocab_90"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.min("nl")
+            + F.lit(1e-9),
+            4,
+        ).alias("top10_share"),
+    )
