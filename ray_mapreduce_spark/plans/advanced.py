@@ -1038,3 +1038,134 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((cov * cov) / (varx * vary) + F.lit(1e-9), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences
+# — the behavioral-model input (and the sequence-sanity check before
+# events feed a sequential model). Ordering inside each user uses the
+# unique (ts, event_id) composite, so lead() is tie-deterministic and
+# partition-invariant on both engines.
+@register(
+    "events_markov_transitions",
+    tags=("events", "markov", "sequence", "window"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n_trans,
+           round(CAST(n_trans AS DOUBLE)
+                 / sum(n_trans) OVER (PARTITION BY from_type) + 1e-9, 4) AS prob
+    FROM t
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n_trans, prob): within-user transition
+    counts and row-normalized probabilities.
+
+    Scale shape: one shuffle on user_id for the lead() window (the
+    sessionize exchange — at crawl scale, pre-bucketing events by
+    user makes it free), then the transition groupBy collapses the
+    stream to |types|² rows, and the row-normalizing window runs on
+    that tiny matrix. The probability is rational → +1e-9 pre-round
+    bias (gotcha #13)."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(wseq).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    wrow = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wrow)
+            + F.lit(1e-9),
+            4,
+        ).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: customers scored into quintiles on recency /
+# frequency / monetary — the classic batch-marketing segmentation,
+# and a three-metric exercise of deterministic ntile discipline
+# (every ORDER BY carries the unique c_custkey tiebreak; segment
+# summary output keeps per-customer rows out of the comparator).
+@register(
+    "events_rfm_segments",
+    tags=("orders", "rfm", "ntile", "segmentation"),
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+             monetary
+      FROM m
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary) + 1e-9, 2) AS total_monetary
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r_score, f_score, m_score, n_customers, total_monetary) per
+    RFM cell. Scale note: the three global ntiles are single-partition
+    sorts over the CUSTOMER aggregate (one row per customer — already
+    3+ orders of magnitude smaller than the fact table); at larger
+    customer counts the swap is approx_percentile boundaries applied
+    map-side, same output shape (the quality_calibration_deciles
+    trade, documented there)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    s = (
+        m.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")),
+        )
+    )
+    return s.groupBy(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary") + F.lit(1e-9), 2).alias("total_monetary"),
+    )

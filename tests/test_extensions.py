@@ -749,3 +749,33 @@ def test_mg_heavy_hitters_exact_under_eviction(spark, k):
     true_counts = Counter(t for (t,) in rows)
     expect = {t: c for t, c in true_counts.items() if c * k > n}
     assert got == expect, (k, got, expect)
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    """Transition probabilities must sum to ~1 per from_type and
+    transition counts must total n_events - n_users (each user
+    contributes len-1 transitions)."""
+    rows = _Q["events_markov_transitions"].builder(spark, sf_dir).collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-2, ft
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_trans"] for r in rows) == n_events - n_users
+
+
+def test_rfm_quintiles_balanced(spark, sf_dir):
+    """Each axis's quintile populations must be balanced to within
+    one customer (ntile contract) and cover all customers."""
+    rows = _Q["events_rfm_segments"].builder(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[axis]] = per.get(r[axis], 0) + r["n_customers"]
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1, (axis, per)
+    assert total == sum(v for v in per.values())
