@@ -992,9 +992,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p GROUP BY event_type
     )
     SELECT event_type, n AS n_events,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) + 0.0
+             AS slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-                 + 1e-9, 4) AS intercept,
+                 + 1e-9, 4) + 0.0 AS intercept,
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) AS r2
     FROM s
@@ -1032,10 +1033,11 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").alias("n_events"),
-        F.round(slope + F.lit(1e-9), 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") + F.lit(1e-9), 4).alias(
-            "intercept"
-        ),
+        (F.round(slope + F.lit(1e-9), 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") + F.lit(1e-9), 4)
+            + F.lit(0.0)  # -0.0 -> 0.0 (signed-zero rule, see embedding_covariance)
+        ).alias("intercept"),
         F.round((cov * cov) / (varx * vary) + F.lit(1e-9), 6).alias("r2"),
     )
 

@@ -157,3 +157,129 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.token FROM _udtf_docs d, LATERAL tokenize_rows(d.text) t"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed covariance (Gram) matrix of the embedding space — the
+# PCA/whitening prep step, and the demonstration of the einsum
+# escape hatch SCALING.md §kernels reserves for hot numeric kernels:
+# each Arrow batch contributes a 64×64 partial Gram via one
+# np.einsum, so the shuffle carries (dims² + dims + 1) partial rows
+# PER BATCH instead of n·dims² exploded products. The quadratic
+# DuckDB oracle (posexplode self-join, ~n·dims² intermediate rows)
+# replays the same sums, so the Python/Arrow path is hash-verified
+# like every JVM path.
+COV_DIM = 64
+
+
+@register(
+    "embedding_covariance",
+    tags=("similarity", "covariance", "pca", "pandas-udf", "einsum"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, i, vec[i] AS xi
+      FROM v, range(1, {COV_DIM + 1}) t(i)
+    ),
+    s AS (
+      SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy
+      FROM x a JOIN x b USING (vec_id)
+      WHERE a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    m AS (SELECT i, sum(xi) AS sx FROM x GROUP BY i),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+    SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+           round(s.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n) + 1e-9, 6) + 0.0
+             AS cov
+    FROM s
+    JOIN m ma ON ma.i = s.i
+    JOIN m mb ON mb.i = s.j
+    CROSS JOIN n
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, cov) upper triangle (1-based dims, i <= j) of the
+    population covariance of the embedding columns.
+
+    Scale shape: mapInPandas folds EACH Arrow batch into one float64
+    einsum Gram + dim sums + count, emitting ~dims² tiny partial rows
+    per batch; the final groupBy(i, j) reduces partials across all
+    batches (dims²·partitions rows total — independent of n), and the
+    covariance closed form is evaluated on the aggregated frame with
+    the same expression shape as the oracle. Summation-order ulp
+    (numpy pairwise vs DuckDB sequential) is absorbed by the 6dp
+    round WITH the +1e-9 pre-round bias — near-zero covariances of
+    independent dims can land within fp noise of a rounding boundary
+    (one did at sf0.01: gotcha #13 in the wild). The final ``+ 0.0``
+    normalizes SIGNED ZERO: rounding a tiny negative yields -0.0 in
+    Spark but 0.0 in DuckDB, numerically equal yet hash-different to
+    the driver (a new oracle-pairing rule discovered by this op)."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = np.einsum("ni,nj->ij", mat, mat)
+            sx = mat.sum(axis=0)
+            iu, ju = np.triu_indices(COV_DIM)
+            out = pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "sxy": g[iu, ju],
+                    "kind": "g",
+                }
+            )
+            sums = pd.DataFrame(
+                {
+                    "i": np.arange(1, COV_DIM + 1, dtype="int64"),
+                    "j": np.zeros(COV_DIM, dtype="int64"),
+                    "sxy": sx,
+                    "kind": "s",
+                }
+            )
+            cnt = pd.DataFrame(
+                {"i": [0], "j": [0], "sxy": [float(len(mat))], "kind": "n"}
+            )
+            yield pd.concat([out, sums, cnt], ignore_index=True)
+
+    partials = d.mapInPandas(gram, "i bigint, j bigint, sxy double, kind string")
+    agg = partials.groupBy("i", "j", "kind").agg(F.sum("sxy").alias("sxy"))
+    g = agg.filter(F.col("kind") == "g").select("i", "j", F.col("sxy").alias("sxy"))
+    sx = agg.filter(F.col("kind") == "s").select(
+        F.col("i").alias("mi"), F.col("sxy").alias("sx")
+    )
+    n = agg.filter(F.col("kind") == "n").select(F.col("sxy").cast("bigint").alias("n"))
+    return (
+        g.join(F.broadcast(sx), g.i == sx.mi)
+        .drop("mi")
+        .withColumnRenamed("sx", "sx_i")
+        .join(
+            F.broadcast(
+                sx.select(F.col("mi").alias("mj"), F.col("sx").alias("sx_j"))
+            ),
+            F.col("j") == F.col("mj"),
+        )
+        .drop("mj")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("sxy") / F.col("n")
+                    - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)  # -0.0 -> 0.0: engines disagree on signed zero
+            ).alias("cov"),
+        )
+    )
