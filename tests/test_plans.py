@@ -268,3 +268,43 @@ def test_semantic_kmeans_assignment_executes_once(spark, sf_dir):
     assert [n for n in nodes if n == "InMemoryTableScan"] == [], nodes
     rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
     assert 1 <= len(rdd_scans) <= 2, nodes
+
+
+def test_prefixfilter_checkpoint_and_cache_shape(spark, sf_dir):
+    """dedup_jaccard_prefixfilter: the prefix frame is an eager
+    localCheckpoint (its self-join sides are aggregated siblings —
+    the no-reuse shape), and the shingle table is persisted for the
+    verify stage. Pin: the executed final plan reads the checkpoint
+    RDD for the candidate join (>=2 reads: both sides) and the cache
+    for the verify rejoins, with NO parquet re-scan of documents
+    (the checkpoint action materialized the cached shingles)."""
+    nodes = _executed_nodes(spark, "dedup_jaccard_prefixfilter", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
+    cache_reads = [n for n in nodes if n == "InMemoryTableScan"]
+    assert scans == [], scans
+    assert len(rdd_scans) >= 2, nodes
+    assert len(cache_reads) >= 2, nodes
+
+
+def test_tfidf_cosine_checkpoint_shape(spark, sf_dir):
+    """similarity_tfidf_cosine_pairs: the unit-weight frame is an
+    eager localCheckpoint consumed by the prefix stage, the candidate
+    join's full side, and both verify rejoins. Pin: no parquet
+    re-scan in the executed final plan and >=3 checkpoint reads."""
+    nodes = _executed_nodes(spark, "similarity_tfidf_cosine_pairs", sf_dir)
+    assert [n for n in nodes if n.startswith("Scan parquet")] == [], nodes
+    rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
+    assert len(rdd_scans) >= 3, nodes
+
+
+def test_pq_codebook_checkpoint_feeds_assignment(spark, sf_dir):
+    """similarity_pq_adc_topk: the trained codebook is an eager
+    localCheckpoint feeding the final assignment AND the ADC lookup
+    table as sibling broadcast builds. Pin: the executed final plan
+    contains checkpoint-RDD reads and the corpus cache reads, but no
+    Lloyd re-run from parquet."""
+    nodes = _executed_nodes(spark, "similarity_pq_adc_topk", sf_dir)
+    assert [n for n in nodes if n.startswith("Scan parquet")] == [], nodes
+    rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
+    assert len(rdd_scans) >= 2, nodes
