@@ -1171,3 +1171,45 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("monetary") + F.lit(1e-9), 2).alias("total_monetary"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day seasonality profile — the traffic-shape diagnostic that
+# sizes streaming capacity and catches clock-skewed sources. Hour
+# extraction must agree across engines on the same micros (both read
+# the parquet NTZ micros; Spark's session-TZ cast round-trips through
+# unix_micros so the hour is computed on identical integers).
+@register(
+    "events_hourly_seasonality",
+    tags=("events", "seasonality", "time"),
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                  AS BIGINT) AS hour_utc,
+             value
+      FROM events
+    )
+    SELECT event_type, hour_utc,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value) + 1e-9, 4) AS avg_value
+    FROM h GROUP BY event_type, hour_utc
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour_utc, n_events, avg_value): 24-hour traffic
+    and value profile per event type. The hour is derived from the
+    raw epoch-micros integer (INTEGER div on both engines — a float
+    quotient's ulp could flip events microseconds from an hour
+    boundary; no timezone/calendar functions in the hash path).
+    Scale: one partial-aggregated groupBy on a 5×24-key space."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr("(unix_micros(ts) div 3600000000) % 24")
+    return (
+        e.select("event_type", hour.alias("hour_utc"), "value")
+        .groupBy("event_type", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
+        )
+    )

@@ -1397,3 +1397,56 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("id_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization-then-digest dedup: exact dedup after case folding,
+# punctuation stripping, and whitespace collapsing — catches the
+# trivial variants (recapitalized titles, doubled spaces, moved
+# commas) byte-exact dedup misses, at exactly the same shuffle cost
+# (the digest is computed on the normalized form at scan speed).
+# Both engines apply the same two regexes; parity of the character
+# classes is part of what the oracle verifies.
+@register(
+    "dedup_exact_normalized",
+    tags=("dedup", "exact", "normalization"),
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                                                '[.,;:!?''"()-]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT sha256(norm)) AS BIGINT) AS n_distinct_norm,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_raw,
+           CAST(count(DISTINCT sha256(text))
+                - count(DISTINCT sha256(norm)) AS BIGINT) AS n_trivial_variants
+    FROM n JOIN documents USING (doc_id)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_distinct_norm, n_distinct_raw, n_trivial_variants):
+    how much duplication only appears after normalization. Scale
+    shape identical to dedup_exact_stats — normalization is a
+    scan-speed projection, the count-distincts shuffle 32-byte
+    digests."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"""[.,;:!?'"()-]""", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        F.sha2(norm, 256).alias("hn"), F.sha2(F.col("text"), 256).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("hn").cast("bigint").alias("n_distinct_norm"),
+        F.countDistinct("hr").cast("bigint").alias("n_distinct_raw"),
+        (F.countDistinct("hr") - F.countDistinct("hn"))
+        .cast("bigint")
+        .alias("n_trivial_variants"),
+    )

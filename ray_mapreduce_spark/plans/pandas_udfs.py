@@ -172,11 +172,12 @@ def udtf_tokenize_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 COV_DIM = 64
 
 
-@register(
-    "embedding_covariance",
-    tags=("similarity", "covariance", "pca", "pandas-udf", "einsum"),
-    oracle=f"""
-    WITH v AS (
+# Shared CTE chain ending in ``cells`` = the rounded upper-triangle
+# covariance — used verbatim by the embedding_covariance oracle AND
+# as the input matrix of the power-iteration oracle, so the two
+# cannot drift.
+_COV_CELLS_CTE = f"""
+    v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
     ),
     x AS (
@@ -190,19 +191,26 @@ COV_DIM = 64
       GROUP BY a.i, b.i
     ),
     m AS (SELECT i, sum(xi) AS sx FROM x GROUP BY i),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
-    SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
-           round(s.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n) + 1e-9, 6) + 0.0
-             AS cov
-    FROM s
-    JOIN m ma ON ma.i = s.i
-    JOIN m mb ON mb.i = s.j
-    CROSS JOIN n
-    """,
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    cells AS (
+      SELECT CAST(s.i AS BIGINT) AS i, CAST(s.j AS BIGINT) AS j,
+             round(s.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n) + 1e-9, 6) + 0.0
+               AS cov
+      FROM s
+      JOIN m ma ON ma.i = s.i
+      JOIN m mb ON mb.i = s.j
+      CROSS JOIN n
+    )"""
+
+
+@register(
+    "embedding_covariance",
+    tags=("similarity", "covariance", "pca", "pandas-udf", "einsum"),
+    oracle=f"WITH {_COV_CELLS_CTE}\nSELECT i, j, cov FROM cells",
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, j, cov) upper triangle (1-based dims, i <= j) of the
-    population covariance of the embedding columns.
+    population covariance of the embedding columns (see _cov_cells).
 
     Scale shape: mapInPandas folds EACH Arrow batch into one float64
     einsum Gram + dim sums + count, emitting ~dims² tiny partial rows
@@ -282,4 +290,97 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)  # -0.0 -> 0.0: engines disagree on signed zero
             ).alias("cov"),
         )
+    )
+
+
+def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded upper-triangle covariance cells (i, j, cov) — the
+    registered embedding_covariance builder, reused as the input
+    matrix of embedding_power_iteration."""
+    return embedding_covariance(spark, sf_dir)
+
+
+PI_ITERS = 3
+
+
+def _power_iteration_oracle(iters: int, dim: int) -> str:
+    parts = [
+        f"WITH {_COV_CELLS_CTE}",
+        """full_m AS (
+      SELECT i, j, cov FROM cells
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM cells WHERE i <> j
+    )""",
+        f"p0 AS (SELECT i AS j, 0.125 AS v FROM range(1, {dim + 1}) t(i))",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"w{k} AS (SELECT f.i, sum(f.cov * p{k - 1}.v) AS w"
+            f" FROM full_m f JOIN p{k - 1} USING (j) GROUP BY f.i)"
+        )
+        parts.append(f"n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k})")
+        parts.append(
+            f"p{k} AS (SELECT i AS j, round(w / n{k}.nrm + 1e-9, 6) + 0.0 AS v"
+            f" FROM w{k} CROSS JOIN n{k})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(p{iters}.j AS BIGINT) AS dim_i, p{iters}.v AS component,
+           round(min(n{iters}.nrm) OVER () + 1e-9, 6) AS eigenvalue
+    FROM p{iters} CROSS JOIN n{iters}
+    """
+    )
+
+
+@register(
+    "embedding_power_iteration",
+    tags=("similarity", "pca", "iterative", "eigenvector", "pandas-udf"),
+    oracle=_power_iteration_oracle(PI_ITERS, COV_DIM),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim_i, component, eigenvalue): the top principal direction of
+    the embedding covariance after PI_ITERS power iterations from the
+    deterministic uniform unit start (vᵢ = 1/8), with the final
+    ‖Cv‖ as the eigenvalue estimate. ITERATIVE linear algebra,
+    oracle-paired end-to-end: the covariance cells are the SAME
+    rounded frame both engines verified in embedding_covariance, and
+    each iteration re-rounds the normalized vector to 6dp (the
+    k-means lockstep discipline), so the unrolled DuckDB CTE chain
+    replays the whole recurrence.
+
+    Scale shape: the corpus appears ONLY in the covariance build
+    (einsum partial Gram, shuffle independent of n — see
+    embedding_covariance); the matrix is eager-checkpointed once
+    (loop-invariant, dims² rows), and each iteration is a dims²⋈dims
+    broadcast join + one partial-aggregated matvec — cluster-trivial
+    at any corpus size, and the same plan runs a dims=10⁴ matrix."""
+    cells = _cov_cells(spark, sf_dir)
+    full_m = cells.union(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    v = spark.range(1, COV_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(0.125).alias("v")
+    )
+    nrm_df = None
+    for _ in range(PI_ITERS):
+        w = (
+            full_m.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+        )
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm_df))
+            .select(
+                F.col("i").alias("j"),
+                (F.round(F.col("w") / F.col("nrm") + F.lit(1e-9), 6) + F.lit(0.0)).alias("v"),
+            )
+        )
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        F.col("j").cast("bigint").alias("dim_i"),
+        F.col("v").alias("component"),
+        (F.round(F.col("nrm") + F.lit(1e-9), 6)).alias("eigenvalue"),
     )

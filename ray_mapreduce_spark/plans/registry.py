@@ -94,7 +94,8 @@ def register(
 # q14_promo_revenue, q19_disjunctive_revenue, text_heavy_hitters_mg,
 # corpus_snapshot_diff, text_vocab_coverage,
 # similarity_tfidf_cosine_pairs, events_markov_transitions,
-# events_rfm_segments, embedding_covariance,
+# events_rfm_segments, embedding_covariance, dedup_exact_normalized,
+# events_hourly_seasonality, embedding_power_iteration,
 # plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.

@@ -779,3 +779,63 @@ def test_rfm_quintiles_balanced(spark, sf_dir):
         assert set(per) == {1, 2, 3, 4, 5}
         assert max(per.values()) - min(per.values()) <= 1, (axis, per)
     assert total == sum(v for v in per.values())
+
+
+def test_power_iteration_rayleigh_bounds(spark, sf_dir):
+    """The driver embeddings are near-isotropic (λ₁/λ₂ ≈ 1.02), so 3
+    power iterations CANNOT align with the top eigenvector — the
+    honest contract is the Rayleigh property: the eigenvalue estimate
+    sits strictly between the mean eigenvalue (trace/dim, where the
+    uniform start begins) and λ_max, and well toward the top
+    (measured est/λ_max 0.77-0.87 across sfs; pinned ≥ 0.6)."""
+    import numpy as np
+
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = _Q["embedding_power_iteration"].builder(spark, sf_dir).collect()
+    assert len(rows) == 64
+    est = rows[0]["eigenvalue"]
+    m = np.vstack(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+        ]
+    ).astype(np.float64)
+    ev = np.linalg.eigvalsh(np.cov(m.T, bias=True))
+    assert ev.mean() < est <= ev[-1] * 1.001, (est, ev.mean(), ev[-1])
+    assert est >= 0.6 * ev[-1], (est, ev[-1])
+    # unit vector (up to the 6dp per-component rounding)
+    nrm = sum(r["component"] ** 2 for r in rows) ** 0.5
+    assert abs(nrm - 1.0) < 1e-3
+
+
+def test_power_iteration_converges_on_spiked_spectrum(spark, tmp_path):
+    """On a gapped spectrum (one planted dominant direction) 3
+    iterations DO converge: alignment with the true top eigenvector
+    ≥ 0.99. This is the convergence-rate contract the isotropic
+    driver data cannot exercise."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    spike = rng.normal(size=64)
+    spike /= np.linalg.norm(spike)
+    m = (
+        np.outer(rng.normal(size=300) * 3.0, spike)
+        + 0.1 * rng.normal(size=(300, 64))
+    ).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(300),
+            "embedding": list(m),
+            "label": np.zeros(300, dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    rows = _Q["embedding_power_iteration"].builder(spark, str(tmp_path)).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim_i"] - 1] = r["component"]
+    ev, evec = np.linalg.eigh(np.cov(m.astype(np.float64).T, bias=True))
+    align = abs(np.dot(v / np.linalg.norm(v), evec[:, -1]))
+    assert align >= 0.99, align
+    assert rows[0]["eigenvalue"] >= 0.9 * ev[-1]
