@@ -1213,3 +1213,89 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel latency: time from a user's FIRST view to their first
+# purchase at-or-after it — the conversion-latency profile product
+# analytics reads next to the funnel counts. Latencies are continuous
+# (micros → hours division), and the percentile legs ride the
+# verified Spark percentile ≡ DuckDB quantile_cont bit-parity.
+@register(
+    "events_funnel_time_to_convert",
+    tags=("events", "funnel", "latency", "percentile"),
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS tv
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT v.user_id,
+             min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tp
+      FROM v JOIN events e
+        ON e.user_id = v.user_id
+       AND e.event_type = 'purchase'
+       AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= v.tv
+      GROUP BY v.user_id
+    ),
+    l AS (
+      SELECT v.user_id, (p.tp - v.tv) / 3600000000.0 AS hours
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+           CAST(count(hours) AS BIGINT) AS n_converted,
+           round(CAST(count(hours) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS conv_rate,
+           round(quantile_cont(hours, 0.5) + 1e-9, 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9) + 1e-9, 4) AS p90_hours
+    FROM l
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_viewed, n_converted, conv_rate, p50_hours, p90_hours):
+    first-view → first-subsequent-purchase latency profile.
+
+    Scale shape: the view anchor is one partial-aggregated groupBy on
+    the pushed-filter view scan; the purchase leg joins the (small)
+    per-user anchor back to the pushed-filter purchase scan on
+    user_id with the time predicate as a residual — never an
+    inequality-only join — and partial-aggregates the min. The
+    latency percentiles are a holistic agg over ≤|users| rows (the
+    winsorize trade: exact here, approx_percentile at crawl scale)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("tv"))
+    )
+    p = (
+        v.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("us").alias("pu")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pu") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("pu").alias("tp"))
+    )
+    latency = (F.col("tp") - F.col("tv")) / F.lit(3600000000.0)
+    return (
+        v.join(p, "user_id", "left")
+        .select(latency.alias("hours"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
+            F.count("hours").cast("bigint").alias("n_converted"),
+            F.round(
+                F.count("hours").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+            ).alias("conv_rate"),
+            F.round(F.expr("percentile(hours, 0.5)") + F.lit(1e-9), 4).alias(
+                "p50_hours"
+            ),
+            F.round(F.expr("percentile(hours, 0.9)") + F.lit(1e-9), 4).alias(
+                "p90_hours"
+            ),
+        )
+    )
