@@ -96,7 +96,7 @@ def register(
 # similarity_tfidf_cosine_pairs, events_markov_transitions,
 # events_rfm_segments, embedding_covariance, dedup_exact_normalized,
 # events_hourly_seasonality, embedding_power_iteration,
-# events_funnel_time_to_convert,
+# events_funnel_time_to_convert, orders_repeat_purchase_rate,
 # plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.

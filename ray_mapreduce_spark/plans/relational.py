@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import register
@@ -858,4 +859,75 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).alias("revenue"),
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase profile per market segment: share of customers who
+# reorder, and the mean days between consecutive orders — the
+# retention headline next to RFM. Gap days are exact integer date
+# differences (epoch-us div 86400e6 on both engines).
+@register(
+    "orders_repeat_purchase_rate",
+    tags=("orders", "retention", "window"),
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS od,
+             row_number() OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey
+             ) AS rn,
+             lag(datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)))
+               OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate, o.o_orderkey) AS prev_od
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_cust AS (
+      SELECT c_mktsegment, o_custkey,
+             CAST(max(rn) AS BIGINT) AS n_orders,
+             avg(od - prev_od) AS mean_gap
+      FROM o GROUP BY c_mktsegment, o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 4) AS repeat_rate,
+           round(avg(mean_gap) + 1e-9, 4) AS avg_gap_days
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_mktsegment, n_customers, n_repeat, repeat_rate,
+    avg_gap_days) per segment. Scale shape: one shuffle on o_custkey
+    serves the order-rank AND the gap lag (shared window sort with a
+    unique (date, orderkey) tiebreak); the customer dim broadcasts;
+    per-customer then per-segment folds partial-aggregate. Gap days
+    are INTEGER calendar datediffs (o_orderdate is NTZ — no epoch
+    or timezone arithmetic); rates are rationals with the +1e-9
+    bias."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    od = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_custkey", "o_orderdate", "o_orderkey", od.alias("od"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_od", F.lag("od").over(w))
+    )
+    per_cust = j.groupBy("c_mktsegment", "o_custkey").agg(
+        F.max("rn").cast("bigint").alias("n_orders"),
+        F.avg(F.col("od") - F.col("prev_od")).alias("mean_gap"),
+    )
+    rep = (F.col("n_orders") >= 2).cast("int")
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(rep).cast("bigint").alias("n_repeat"),
+        F.round(
+            F.sum(rep).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("repeat_rate"),
+        F.round(F.avg("mean_gap") + F.lit(1e-9), 4).alias("avg_gap_days"),
     )
