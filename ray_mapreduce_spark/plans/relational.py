@@ -931,3 +931,65 @@ def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("repeat_rate"),
         F.round(F.avg("mean_gap") + F.lit(1e-9), 4).alias("avg_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape (volume shipping, undated): revenue per (customer
+# nation, supplier nation) pair — the same dimension table joined in
+# TWO ROLES through different fact paths, the shape that catches
+# alias/dedup bugs in join planning. Both nation legs broadcast.
+@register(
+    "q7_nation_trade_matrix",
+    tags=("join", "aggregate", "tpch", "broadcast", "multi-role"),
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def q7_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cust_nation, supp_nation, n_items, revenue): the full trade
+    matrix. Scale shape: ONE fact-fact shuffle (lineitem⋈orders on
+    orderkey — bucketing both on orderkey removes it); customer,
+    supplier, and BOTH nation roles broadcast (nation joined twice
+    under distinct aliases — Catalyst deduplicates attribute ids, a
+    correctness trap for hand-built engines); the matrix agg
+    partial-aggregates to ≤ nations² rows."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            # +1e-6 pre-round bias: at ~1e6 magnitudes the engines'
+            # summation-order divergence is ~1e-7 — far above the 1e-9
+            # bias gotcha #13 uses at 4dp — and a half-cent boundary
+            # hit at sf0.001 rounded opposite ways without it.
+            F.round(F.sum(rev) + F.lit(1e-6), 2).alias("revenue"),
+        )
+    )
