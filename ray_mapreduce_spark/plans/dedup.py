@@ -1450,3 +1450,75 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_trivial_variants"),
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup involvement per source — which sources generate the
+# duplication (mirrors, templated farms) before curation decides
+# where to spend crawl budget. Composes the exact-Jaccard pair set
+# with document metadata; the oracle re-derives the same pairs
+# quadratically, so the composition is hash-verified end-to-end.
+@register(
+    "dedup_rate_by_source",
+    tags=("dedup", "ngram", "source", "diagnostics"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    involved AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b AS doc_id FROM pairs
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(i.doc_id) AS BIGINT) AS n_neardup,
+           round(CAST(count(i.doc_id) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS neardup_rate
+    FROM documents d LEFT JOIN involved i ON i.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_neardup, neardup_rate) per source. Scale
+    shape: the pair set comes from the inverted-index plan (see
+    dedup_ngram_jaccard — candidate generation never quadratic); the
+    involved-doc set is an explode+distinct over the tiny pair list,
+    and the per-source fold is a broadcast-able left-semi style join
+    of that set onto the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d)
+    involved = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(involved), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("hit").cast("bigint").alias("n_neardup"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+            ).alias("neardup_rate"),
+        )
+    )

@@ -97,7 +97,7 @@ def register(
 # events_rfm_segments, embedding_covariance, dedup_exact_normalized,
 # events_hourly_seasonality, embedding_power_iteration,
 # events_funnel_time_to_convert, orders_repeat_purchase_rate,
-# q7_nation_trade_matrix,
+# q7_nation_trade_matrix, dedup_rate_by_source,
 # plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.
