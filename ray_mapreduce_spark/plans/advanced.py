@@ -1299,3 +1299,115 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the value stream per event type — the
+# time-series sanity check (is the metric i.i.d. or drifting?) built
+# from the same six-sum closed form as events_linreg_trend, but over
+# (v_t, v_{t+1}) pairs from one sequence window.
+@register(
+    "events_value_autocorr",
+    tags=("events", "stats", "timeseries", "autocorrelation"),
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value AS x,
+             lead(value) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM seq WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 + 1e-9, 6) + 0.0 AS autocorr_lag1
+    FROM s
+    """,
+)
+def events_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_pairs, autocorr_lag1): Pearson correlation of
+    consecutive values in the per-type time order (unique (ts,
+    event_id) tiebreak). Near-zero correlations can be tiny negative
+    → the signed-zero normalization applies (gotcha #3). Scale: one
+    sequence window per type, then one partial-aggregated six-sum
+    fold — the linreg shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.col("value").alias("x"), F.lead("value").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.round(num / den + F.lit(1e-9), 6) + F.lit(0.0)).alias("autocorr_lag1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration: how much revenue the top decile of customers
+# carries — the 80/20 diagnostic behind customer-tiering decisions.
+# Decile membership uses ntile(10) with the unique custkey tiebreak
+# (deterministic both engines); shares are rationals with the bias.
+@register(
+    "orders_pareto_share",
+    tags=("orders", "pareto", "ntile", "concentration"),
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT o_custkey, monetary,
+             ntile(10) OVER (ORDER BY monetary DESC, o_custkey) AS tile
+      FROM m
+    )
+    SELECT CAST(tile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary) + 1e-6, 2) AS revenue,
+           round(sum(monetary) / (SELECT sum(monetary) FROM m) + 1e-9, 4)
+             AS revenue_share
+    FROM t GROUP BY tile
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_customers, revenue, revenue_share) by customer
+    revenue decile. Scale: customer aggregate first; the single
+    global ntile sorts only that aggregate (calibration-deciles
+    trade); total revenue is a broadcast scalar; money sums carry
+    the magnitude-scaled +1e-6 bias (gotcha #3)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("monetary"))
+    t = m.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")),
+    )
+    tot = m.agg(F.sum("monetary").alias("tot"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("monetary") + F.lit(1e-6), 2).alias("revenue"),
+            F.round(F.sum("monetary") / F.min("tot") + F.lit(1e-9), 4).alias(
+                "revenue_share"
+            ),
+        )
+    )
