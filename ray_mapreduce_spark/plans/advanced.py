@@ -1411,3 +1411,111 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users per day — the WAU curve. Exact distinct
+# over a sliding window is not frame-expressible (count distinct
+# can't stream a frame), and a day-range join is an inequality join;
+# the scale shape is the OFFSET EXPLODE: each (day, user) fact emits
+# its 7 covering window-days, turning the rolling distinct into a
+# plain equi-keyed distinct+count. Fan-out is exactly the window
+# width — shuffle 7·|user-days|, never |events|.
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "events_wau_rolling",
+    tags=("events", "rolling", "distinct", "wau"),
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             user_id
+      FROM events
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+    expanded AS (
+      SELECT du.day + i AS wday, du.user_id
+      FROM du, range(0, {WAU_WINDOW_DAYS}) t(i)
+    )
+    SELECT CAST(wday AS BIGINT) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM expanded CROSS JOIN bounds
+    WHERE wday BETWEEN bounds.d0 AND bounds.d1
+    GROUP BY wday
+    """,
+)
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, wau): distinct users active in the trailing
+    {WAU_WINDOW_DAYS} days, for every observed epoch-day. Days are
+    INTEGER epoch divisions (gotcha: float quotients flip boundary
+    events). Scale shape: distinct user-days first (the only
+    corpus-sized stage, partial-aggregated), then the 7-way offset
+    explode + distinct count per window day — equi-shuffles only."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    b = du.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    expanded = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (WAU_WINDOW_DAYS - 1))
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        expanded.crossJoin(F.broadcast(b))
+        .filter(F.col("wday").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("wday").cast("bigint").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Top behavioral 3-step paths: the most common consecutive
+# event-type trigrams within a user's stream — the path-analysis
+# counterpart of the Markov matrix (which only sees pairs).
+PATHS_TOP_N = 20
+
+
+@register(
+    "events_top_paths",
+    tags=("events", "paths", "sequence", "window"),
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT {PATHS_TOP_N}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(e1, e2, e3, n_paths): the {PATHS_TOP_N} most frequent
+    within-user event-type trigrams. Both leads share ONE window sort
+    (unique (ts, event_id) tiebreak); the LIMIT carries the full
+    (count, path) composite tiebreak (oracle rule #3); top-N is
+    TakeOrdered over the tiny |types|³ aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(PATHS_TOP_N)
+    )
