@@ -1647,3 +1647,84 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top10_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Out-of-vocabulary rate against the corpus top-K vocabulary — the
+# other half of the tokenizer-sizing question (text_vocab_coverage
+# asks "how big must the vocab be"; this asks "what does a fixed
+# budget miss, and where"). The K-th-rank cutoff uses the unique
+# (count desc, token) order so the vocabulary set is deterministic
+# under ties on both engines.
+OOV_VOCAB_K = 1000
+
+
+@register(
+    "text_oov_rate",
+    tags=("text", "vocab", "oov", "coverage"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS rk
+        FROM tok GROUP BY t
+      ) WHERE rk <= {OOV_VOCAB_K}
+    ),
+    per_doc AS (
+      SELECT tok.doc_id, tok.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM tok LEFT JOIN vocab v ON v.t = tok.t
+      GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens) + 1e-9, 4)
+             AS oov_rate
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, n_tokens, n_oov, oov_rate): token mass outside
+    the corpus top-{OOV_VOCAB_K} vocabulary, per language.
+
+    Scale shape: one tokenize lineage; the vocabulary is a global
+    top-K over the term aggregate (TakeOrdered-sized, broadcast back
+    as the join build side); the membership join is broadcast so the
+    token stream never shuffles for it; per-doc then per-lang folds
+    partial-aggregate. The rate is rational → +1e-9 bias."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(OOV_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_tokens") + F.lit(1e-9), 4
+        ).alias("oov_rate"),
+    )
