@@ -99,7 +99,7 @@ def register(
 # events_funnel_time_to_convert, orders_repeat_purchase_rate,
 # q7_nation_trade_matrix, dedup_rate_by_source,
 # events_value_autocorr, orders_pareto_share, events_wau_rolling,
-# events_top_paths, text_oov_rate,
+# events_top_paths, text_oov_rate, text_quality_length_corr,
 # plus any later r7 names — put these
 # FIRST (the sample_split_assign precedent), then the 41 stale
 # r5-green names.

@@ -1728,3 +1728,63 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_oov").cast("double") / F.sum("n_tokens") + F.lit(1e-9), 4
         ).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Is the quality score just measuring length? Pearson correlation of
+# the shared quality closed form against ln(n_chars), per language —
+# the metric-validity check run before a score gates curation. Uses
+# the SAME QUALITY_RAW_SQL / quality_raw_col pair as every other
+# quality consumer (no drift) and the six-sum correlation shape.
+@register(
+    "text_quality_length_corr",
+    tags=("text", "quality", "correlation", "validity"),
+    oracle=f"""
+    WITH q AS (
+      SELECT lang, {QUALITY_RAW_SQL} AS x, ln(CAST(n_chars AS DOUBLE)) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM q GROUP BY lang
+    )
+    SELECT lang, n AS n_docs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 + 1e-9, 6) + 0.0 AS quality_length_corr
+    FROM s
+    """,
+)
+def text_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, quality_length_corr): Pearson r between the
+    quality closed form and log doc length, per language. One
+    partial-aggregated six-sum pass at scan speed (both features are
+    row-local expressions); signed-zero-normalized (gotcha #3) since
+    a well-designed score has near-zero correlation."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        quality_raw_col().alias("x"),
+        F.log(F.col("n_chars").cast("double")).alias("y"),
+    )
+    s = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (F.round(num / den + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "quality_length_corr"
+        ),
+    )
