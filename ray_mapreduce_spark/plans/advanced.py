@@ -923,7 +923,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_events, med, mad, n_outliers, outlier_rate):
     robust MAD outlier profile per event_type. Outlier compares run
     on UNROUNDED engine-identical doubles (|0.6745·dev| > 3.5·MAD —
-    multiply, never divide, so MAD=0 groups safely flag nothing);
+    the multiply form avoids div-by-zero; note a MAD=0 group flags
+    EVERY off-median row, the standard modified-z degenerate case,
+    identically on both engines);
     displayed med/mad/rate carry the +1e-9 half-boundary guard
     (outlier_rate is a rational — gotcha #13).
 
@@ -1109,7 +1111,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (every ORDER BY carries the unique c_custkey tiebreak; segment
 # summary output keeps per-customer rows out of the comparator).
 @register(
-    "events_rfm_segments",
+    "orders_rfm_segments",
     tags=("orders", "rfm", "ntile", "segmentation"),
     oracle="""
     WITH m AS (
@@ -1135,7 +1137,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s GROUP BY r_score, f_score, m_score
     """,
 )
-def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(r_score, f_score, m_score, n_customers, total_monetary) per
     RFM cell. Scale note: the three global ntiles are single-partition
     sorts over the CUSTOMER aggregate (one row per customer — already
@@ -1518,4 +1520,165 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(PATHS_TOP_N)
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: which part pairs ship together in one
+# order, with lift against independence — the classic association
+# mining primitive, and the repo's bounded pair-explosion exercise:
+# pairs per order are C(items,2) with items ≤ 11 (verified), so the
+# self-join output is O(n·items), never O(n²).
+BASKET_TOP_N = 50
+
+
+@register(
+    "orders_market_basket_pairs",
+    tags=("orders", "lineitem", "self-join", "association", "topk"),
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_with
+      FROM op GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_both,
+           round(CAST(n_both AS DOUBLE) * t.n_orders
+                 / (ca.n_orders_with * cb.n_orders_with) + 1e-9, 4) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.l_partkey = part_a
+    JOIN cnt cb ON cb.l_partkey = part_b
+    CROSS JOIN tot t
+    ORDER BY n_both DESC, part_a, part_b
+    LIMIT {BASKET_TOP_N}
+    """,
+)
+def orders_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, n_both, lift): top co-purchased part pairs.
+    Scale shape: the distinct (order, part) frame self-joins on
+    orderkey — identical scan-rooted subtrees, so AQE runtime-reuses
+    ONE exchange for both sides (gotcha #14); per-order fan-out is
+    bounded by order width, the pair agg shuffles on the pair key,
+    the per-part counts join is equi (AQE broadcasts it at small sf),
+    n_orders is a 1-row broadcast scalar, and the top-N rides
+    TakeOrdered. Lift is a ratio of exact integers (+1e-9 bias)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_with")
+    )
+    tot = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ca = cnt.select(F.col("l_partkey").alias("ka"), F.col("n_orders_with").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("kb"), F.col("n_orders_with").alias("nb"))
+    return (
+        pairs.join(ca, pairs.part_a == ca.ka)
+        .join(cb, pairs.part_b == cb.kb)
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb"))
+                + F.lit(1e-9),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap: pairwise Jaccard of the user sets behind each
+# event type — "do purchasers also click?" — the set-similarity
+# primitive expressed as a distinct-pair self-join (the same shape a
+# segment-overlap matrix uses at crawl scale).
+@register(
+    "events_user_overlap",
+    tags=("events", "self-join", "jaccard", "audience"),
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+      FROM du GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           na.nu AS n_a, nb.nu AS n_b,
+           round(CAST(count(*) AS DOUBLE)
+                 / (na.nu + nb.nu - count(*)) + 1e-9, 4) AS jaccard
+    FROM du a
+    JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN n na ON na.event_type = a.event_type
+    JOIN n nb ON nb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, na.nu, nb.nu
+    """,
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_shared, n_a, n_b, jaccard): user-set overlap
+    for every event-type pair. Scale shape: the distinct (type, user)
+    frame is O(users·types) with types small; the self-join on
+    user_id fans out ≤ C(types,2) rows per user and runtime-reuses
+    one exchange (identical subtrees, gotcha #14); per-type sizes are
+    a ≤types-row broadcast; the pair agg is partial-aggregated.
+    Jaccard is a ratio of exact integers (+1e-9 bias)."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a = du.select(F.col("event_type").alias("type_a"), F.col("user_id").alias("ua"))
+    b = du.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("ub"))
+    n = du.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    na = n.select(F.col("event_type").alias("ta"), F.col("nu").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("tb"), F.col("nu").alias("n_b"))
+    shared = (
+        a.join(b, (a.ua == b.ub) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(na), shared.type_a == na.ta)
+        .join(F.broadcast(nb), shared.type_b == nb.tb)
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                + F.lit(1e-9),
+                4,
+            ).alias("jaccard"),
+        )
     )

@@ -63,103 +63,66 @@ def register(
 # array_hof fix (50/50 green); r6 the r6-changed/new plans + the
 # r2-stale tail + the events consumers on micros data + 15 r4
 # non-events (50/50 green incl. 9 rows-only).
-# Round 7 window (least-recently-verified first, per VERDICT r6 #1):
-# (1) sample_split_assign — the ONLY oracle-paired query with no
-#     driver row ever (added after the r6 window was pinned);
-# (2) round-7 additions/changes: 7 NEW oracle-paired queries
-#     (text_unigram_incremental, events_sessionize_gap,
-#     text_bm25_incremental, dedup_repeated_spans,
-#     events_decayed_score, corpus_composition_report,
-#     decontaminate_embedding, plus rows-only
-#     similarity_topk_ivf_kmeans) and dedup_simhash_pairs
-#     (band-saturation guard changed the plan; rows-only), plus the 11
-#     late-round-7 oracle-paired ops (dedup_containment_pairs,
-#     text_quality_classifier, text_bigram_pmi, dedup_semantic_kmeans,
-#     graph_pagerank_neardup, graph_triangle_count,
-#     quality_calibration_deciles, dedup_survivors_quality,
-#     events_key_skew_profile, events_winsorize_stats,
-#     text_bigram_logprob — 11 in all);
-# (3) the 22 deferred r4-green names — 3 rounds stale;
-# (4) 7 slots from the oldest slice of the r5-green block, in the
-#     r5 window's own order (stream_*/timeseries_*/asof onward).
-# Past the window: the remaining 41 r5-green names (front these in
-# round 8: json_extract_agg .. array_hof_functions), then the
-# r6-green block by registration order.
-# ROUND 8 MUST ALSO FRONT the post-window r7 additions (no driver row
-# ever; registered after the r7 window was pinned): events_anomaly_mad,
-# text_token_entropy, sample_weighted_priority,
-# dedup_jaccard_prefixfilter, similarity_pq_codes,
-# similarity_pq_adc_topk, similarity_pq_rerank_topk,
-# events_linreg_trend, corpus_source_kl, dedup_cross_source_matrix,
-# q14_promo_revenue, q19_disjunctive_revenue, text_heavy_hitters_mg,
-# corpus_snapshot_diff, text_vocab_coverage,
-# similarity_tfidf_cosine_pairs, events_markov_transitions,
-# events_rfm_segments, embedding_covariance, dedup_exact_normalized,
-# events_hourly_seasonality, embedding_power_iteration,
-# events_funnel_time_to_convert, orders_repeat_purchase_rate,
-# q7_nation_trade_matrix, dedup_rate_by_source,
-# events_value_autocorr, orders_pareto_share, events_wau_rolling,
-# events_top_paths, text_oov_rate, text_quality_length_corr,
-# plus any later r7 names — put these
-# FIRST (the sample_split_assign precedent), then the 41 stale
-# r5-green names.
+# Round 8 window (per VERDICT r7 #1 — 50 slots):
+# (1) the 32 late-r7 queries with NO driver row ever (registered after
+#     the r7 window was pinned; each carries builder-side 3-SF oracle +
+#     sf0.1 determinism evidence) — first driver rows for all 32
+#     converts 29 SURVEY §2d rows from builder-only to driver-verified;
+# (2) round-8 additions/changes (inserted as they land this round);
+# (3) backfill from the 41 r5-green names gone 3 rounds stale
+#     (json_extract_agg onward, r5-window order) up to slot 50.
+# ROUND 9 PLAN: front any r9 additions/changes + whatever tail of the
+# stale r5 block did not fit the r8 window (the remainder after
+# the backfill below — in_subquery_custkeys .. array_hof_functions if
+# the full 18 fit, more if r8 additions displaced some), then backfill
+# from the oldest r6-green slice (the r6-changed/new dedup-text block
+# first: cluster_kmeans_assign, text_bm25_topdocs,
+# text_unigram_logprob, hybrid_neardup_scores, chunk_documents_overlap;
+# then the r2-refresh tail: text_fingerprint .. stream_interval_join).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-checked --
-    "sample_split_assign",
-    # -- (2) round-7 additions/changes --
-    "text_unigram_incremental",
-    "events_sessionize_gap",
-    "text_bm25_incremental",
-    "dedup_repeated_spans",
-    "events_decayed_score",
-    "corpus_composition_report",
-    "decontaminate_embedding",
-    "similarity_topk_ivf_kmeans",
-    "dedup_simhash_pairs",
-    "dedup_containment_pairs",
-    "text_quality_classifier",
-    "text_bigram_pmi",
-    "dedup_semantic_kmeans",
-    "graph_pagerank_neardup",
-    "graph_triangle_count",
-    "quality_calibration_deciles",
-    "dedup_survivors_quality",
-    "events_key_skew_profile",
-    "events_winsorize_stats",
-    "text_bigram_logprob",
-    # -- (3) deferred r4-green names (3 rounds stale) --
-    "grouping_sets_sql",
-    "unpivot_nation_counts",
-    "explode_outer_long_words",
-    "sql_recursive_month_spine",
-    "listagg_priorities",
-    "nested_case_matrix",
-    "exists_correlated_sql",
-    "udtf_tokenize_lateral",
-    "dedup_incremental_merge",
-    "decontaminate_ngram_overlap",
-    "similarity_topk_brute",
-    "dedup_embedding_cosine",
-    "embedding_centroid_by_bucket",
-    "embedding_norm_stats",
-    "text_quality_score",
-    "text_zipf_head",
-    "text_redact_terms",
-    "multimodal_decode_features",
-    "sample_stratified_capped",
-    "pack_sequences_greedy",
-    "sample_weighted_mixture",
-    "pipeline_training_batch",
-    # -- (4) oldest r5-green slice, r5-window order --
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "timeseries_rollup_hierarchy",
-    "timeseries_ohlc",
-    "timeseries_gapfill",
-    "asof_join_last_click",
-    # -- past the 50-slot window: the rest of the r5-green block —
-    # -- front these in round 8 --
+    # -- (1) never driver-checked: the 32 post-r7-window names --
+    "events_anomaly_mad",
+    "text_token_entropy",
+    "sample_weighted_priority",
+    "dedup_jaccard_prefixfilter",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_pq_rerank_topk",
+    "events_linreg_trend",
+    "corpus_source_kl",
+    "dedup_cross_source_matrix",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "text_heavy_hitters_mg",
+    "corpus_snapshot_diff",
+    "text_vocab_coverage",
+    "similarity_tfidf_cosine_pairs",
+    "events_markov_transitions",
+    "orders_rfm_segments",
+    "embedding_covariance",
+    "dedup_exact_normalized",
+    "events_hourly_seasonality",
+    "embedding_power_iteration",
+    "events_funnel_time_to_convert",
+    "orders_repeat_purchase_rate",
+    "q7_nation_trade_matrix",
+    "dedup_rate_by_source",
+    "events_value_autocorr",
+    "orders_pareto_share",
+    "events_wau_rolling",
+    "events_top_paths",
+    "text_oov_rate",
+    "text_quality_length_corr",
+    # -- (2) round-8 additions (8 new oracle-paired queries) --
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_capital",
+    "orders_market_basket_pairs",
+    "events_user_overlap",
+    "embedding_dim_stats",
+    "text_truncation_loss",
+    # -- (3) stale r5-green backfill (r5-window order) up to slot 50 --
     "json_extract_agg",
     "interval_shift",
     "math_functions",
@@ -170,6 +133,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank_dense",
     "window_running_and_lag",
     "window_moving_avg",
+    # -- past the 50-slot window: remaining stale r5 names (r9 fronts
+    # -- these first) --
     "string_functions",
     "map_functions",
     "regexp_normalize",

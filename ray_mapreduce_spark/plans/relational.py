@@ -993,3 +993,209 @@ def q7_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev) + F.lit(1e-6), 2).alias("revenue"),
         )
     )
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape (order priority checking): EXISTS semi-join from the
+# order table into its lineitems with a NON-equi residual on top of
+# the equi key. The testdata lineitem carries no commit/receipt dates
+# (reference schema: l_shipdate only), so "late" is adapted to
+# "shipped >90 days after the order date" — same plan shape as
+# pristine Q4 (semi join + residual + priority rollup).
+@register(
+    "q4_order_priority",
+    tags=("join", "semi", "aggregate", "tpch"),
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) > 90)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, order_count): orders in a one-year window
+    with at least one line shipped >90 calendar days after the order
+    date. Scale shape: LEFT SEMI join — lineitem never widens the
+    output, duplicates collapse inside the join, and only
+    (l_orderkey, l_shipdate) shuffles from the fact side; the date
+    filter prunes orders at the scan; the lateness bound is an
+    INTEGER calendar datediff (timezone/DST-immune — the
+    orders_repeat_purchase_rate discipline); final agg is ≤5 groups,
+    partial-aggregated map-side."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
+# predicate INSIDE the join condition (not a post-filter — customers
+# whose only orders fail the predicate must still appear with count
+# 0), then a double aggregation: per-customer order count, then the
+# histogram of those counts.
+@register(
+    "q13_customer_distribution",
+    tags=("join", "outer", "aggregate", "tpch", "histogram"),
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_count, custdist): how many customers placed exactly N
+    non-urgent orders (N=0 kept by the outer join — the Q13 trap:
+    moving the priority predicate to a WHERE silently drops them).
+    Scale shape: customer is fact-proportional so carries NO broadcast
+    hint (AQE picks broadcast at small sf, shuffle join at scale); the
+    join leaves both sides hash-partitioned on custkey, so the
+    per-customer count REUSES that partitioning (no second exchange —
+    one shuffle total on the fact side); the histogram agg is ≤
+    max-orders-per-customer rows, partial-aggregated."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+# aggregate — each lineitem compares against the average quantity of
+# ITS OWN part. l_quantity is integral (verified 1..50), so the
+# per-part sum is EXACT in double under any summation order and
+# 0.2*avg is the identical double on both engines — the compare
+# needs no rounding guard.
+@register(
+    "q17_small_quantity_revenue",
+    tags=("join", "correlated", "aggregate", "tpch", "window"),
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(avg_yearly, n_items): revenue locked in small orders of one
+    brand's parts. Scale shape: the brand subset of part broadcasts
+    and prunes lineitem FIRST (at 100 TB the 1/25 brand filter drops
+    96% of the fact before any shuffle); the correlated per-part
+    average is a WINDOW over l_partkey on the pruned rows — ONE
+    shuffle, no agg-then-rejoin (the gotcha #14 rework applied from
+    the start); +1e-6 pre-round bias on the money sum (magnitude-
+    scaled, the q7 rule)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0) + F.lit(1e-6), 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape (global sales opportunity): a global scalar
+# threshold (avg positive balance) + an ANTI join. Adapted to the
+# testdata: every customer has SOME order (verified), so "never
+# ordered" becomes "no order since 2000-07-01"; no phone column, so
+# the rollup key is the customer nation. Money threshold compared in
+# EXACT INTEGER CENTS: c_acctbal is 2-decimal (verified), cents sum
+# exactly in double, and avg(bigint) is the identical correctly-
+# rounded double on both engines — no summation-order boundary risk.
+@register(
+    "q22_idle_capital",
+    tags=("join", "anti", "aggregate", "tpch", "scalar-subquery"),
+    oracle="""
+    WITH thresh AS (
+      SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT)) AS t_cents
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal) + 1e-6, 2) AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > (SELECT t_cents FROM thresh)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, numcust, totacctbal): above-average-balance customers
+    with no recent order, by nation. Scale shape: the threshold is a
+    1-row broadcast scalar (never a single-partition window); the
+    recent-orders side is date-pruned at the scan THEN reduced to
+    distinct custkeys before the LEFT ANTI join; nation broadcasts;
+    final agg ≤ nations rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(cents).alias("t_cents"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(cents > F.col("t_cents"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal") + F.lit(1e-6), 2).alias("totacctbal"),
+        )
+    )

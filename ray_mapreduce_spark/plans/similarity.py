@@ -1376,8 +1376,6 @@ def similarity_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     the difference between quadratic and near-linear; the next
     pruning level beyond it is L2AP-style cumulative bounds
     (Anastasiu & Karypis, ICDE'14)."""
-    from pyspark import StorageLevel  # noqa: F401  (persist via checkpoint)
-
     d = _spread(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
@@ -1439,4 +1437,56 @@ def similarity_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         cos.filter(F.col("cos") >= TFIDF_COS_THRESHOLD)
         .select("doc_a", "doc_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension feature statistics over the embedding column — the
+# feature-scaling / drift-monitoring primitive (z-normalization needs
+# exactly these four numbers per dimension). Std is computed from
+# explicit (sum, sumsq, n) on BOTH engines — never var_pop/stddev,
+# whose internal algorithms (Welford vs naive) differ cross-engine.
+@register(
+    "embedding_dim_stats",
+    tags=("embeddings", "stats", "posexplode", "pipeline"),
+    oracle="""
+    WITH x AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(val) / count(*) + 1e-9, 6) + 0.0 AS mean,
+           round(sqrt(sum(val * val) / count(*)
+                      - (sum(val) / count(*)) * (sum(val) / count(*)))
+                 + 1e-9, 6) + 0.0 AS std,
+           round(min(val), 6) + 0.0 AS min_val,
+           round(max(val), 6) + 0.0 AS max_val
+    FROM x GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n, mean, std, min_val, max_val) per embedding dimension.
+    Scale shape: posexplode is narrow (n·dim rows at scan speed);
+    the per-dim agg partial-aggregates map-side so the ONE shuffle
+    carries ≤ dims×partitions rows — independent of corpus size.
+    Near-isotropic embeddings put every mean near 0: the +1e-9
+    pre-round bias AND the `+ 0.0` signed-zero normalization are both
+    load-bearing (gotcha #3); std from explicit moment sums keeps the
+    two engines on identical arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "fval")).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("val") / n
+    var = F.sum(F.col("val") * F.col("val")) / n - mean * mean
+    return x.groupBy("dim").agg(
+        n.cast("bigint").alias("n"),
+        (F.round(mean + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.sqrt(var) + F.lit(1e-9), 6) + F.lit(0.0)).alias("std"),
+        (F.round(F.min("val"), 6) + F.lit(0.0)).alias("min_val"),
+        (F.round(F.max("val"), 6) + F.lit(0.0)).alias("max_val"),
     )

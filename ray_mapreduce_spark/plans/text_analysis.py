@@ -1788,3 +1788,61 @@ def text_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_length_corr"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Truncation-loss profile: what a fixed max-sequence-length costs per
+# source — the first question a pretraining pipeline asks before
+# picking a context length. Token counts are whitespace tokens (the
+# corpus convention); the cap is 64 so the sf0.001 corpus (p50=56,
+# max=99 tokens) exercises both branches.
+TRUNCATION_MAX_TOKENS = 64
+
+
+@register(
+    "text_truncation_loss",
+    tags=("documents", "tokens", "truncation", "pipeline"),
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > {TRUNCATION_MAX_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(n_tok - {TRUNCATION_MAX_TOKENS}, 0))
+                AS BIGINT) AS tokens_lost,
+           round(CAST(sum(greatest(n_tok - {TRUNCATION_MAX_TOKENS}, 0))
+                      AS DOUBLE) / sum(n_tok) + 1e-9, 4) AS loss_rate
+    FROM t GROUP BY source
+    """,
+)
+def text_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_truncated, total_tokens, tokens_lost,
+    loss_rate): per-source token mass dropped by truncating every
+    document at TRUNCATION_MAX_TOKENS. Scale shape: zero joins — one
+    narrow scan computes per-doc token counts at scan speed, then ONE
+    partial-aggregated shuffle of ≤ sources rows; all counters are
+    exact integers, only the final rate is rational (+1e-9 pre-round
+    bias, gotcha #13)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    lost = F.greatest(n_tok - F.lit(TRUNCATION_MAX_TOKENS), F.lit(0).cast("bigint"))
+    return (
+        d.select("source", n_tok.alias("n_tok"), lost.alias("lost"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_tok") > TRUNCATION_MAX_TOKENS).cast("int"))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("lost").cast("bigint").alias("tokens_lost"),
+            F.round(
+                F.sum("lost").cast("double") / F.sum("n_tok") + F.lit(1e-9), 4
+            ).alias("loss_rate"),
+        )
+    )

@@ -770,7 +770,7 @@ def test_markov_rows_normalize(spark, sf_dir):
 def test_rfm_quintiles_balanced(spark, sf_dir):
     """Each axis's quintile populations must be balanced to within
     one customer (ntile contract) and cover all customers."""
-    rows = _Q["events_rfm_segments"].builder(spark, sf_dir).collect()
+    rows = _Q["orders_rfm_segments"].builder(spark, sf_dir).collect()
     total = sum(r["n_customers"] for r in rows)
     for axis in ("r_score", "f_score", "m_score"):
         per = {}
@@ -839,3 +839,132 @@ def test_power_iteration_converges_on_spiked_spectrum(spark, tmp_path):
     align = abs(np.dot(v / np.linalg.norm(v), evec[:, -1]))
     assert align >= 0.99, align
     assert rows[0]["eigenvalue"] >= 0.9 * ev[-1]
+
+
+# ---------------------------------------------------------------- r8 ops
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    """The Q13 trap: the priority predicate lives in the JOIN
+    condition, so customers whose only orders are urgent must appear
+    in the c_count=0 bucket — and every customer must be counted
+    exactly once across the histogram."""
+    rows = _rows(spark, sf_dir, "q13_customer_distribution")
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_customers
+    by_count = {r["c_count"]: r["custdist"] for r in rows}
+    # urgent-only customers exist in the synthetic data at every sf
+    only_urgent = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_orderpriority") != "1-URGENT").cast("int")).alias(
+                "non_urgent"
+            )
+        )
+        .filter(F.col("non_urgent") == 0)
+        .count()
+    )
+    assert by_count.get(0, 0) == only_urgent
+
+
+def test_q4_semi_join_counts_orders_once(spark, sf_dir):
+    """An order with five late lines must count once (left-semi, not
+    inner): total across priorities == distinct qualifying orders."""
+    rows = _rows(spark, sf_dir, "q4_order_priority")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["order_count"] for r in rows) == qualifying
+
+
+def test_q22_threshold_and_anti_join(spark, sf_dir):
+    """Every reported customer group sits above the positive-balance
+    average and none of its members ordered on/after the cutoff."""
+    rows = _rows(spark, sf_dir, "q22_idle_capital")
+    assert rows and all(r["numcust"] > 0 for r in rows)
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    # totals are sums over customers strictly above the average
+    for r in rows:
+        assert r["totacctbal"] / r["numcust"] > avg_bal
+
+
+def test_market_basket_pair_explosion_bounded(spark, sf_dir):
+    """Pairs per order are C(width, 2): the self-join output over the
+    whole corpus must equal the exact per-order sum — no pair lost,
+    no pair double-counted (a < b ordering)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    expected_pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.sum(F.col("w") * (F.col("w") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    total_pairs = a.join(
+        b, (a.ok == b.ok2) & (F.col("pa") < F.col("pb"))
+    ).count()
+    assert total_pairs == int(expected_pairs)
+    rows = _rows(spark, sf_dir, "orders_market_basket_pairs")
+    assert all(r["part_a"] < r["part_b"] and r["lift"] > 0 for r in rows)
+    counts = [r["n_both"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_user_overlap_jaccard_bounds(spark, sf_dir):
+    """Jaccard in (0, 1]; shared <= min(set sizes); all C(types,2)
+    pairs present (the synthetic users hit every type at any sf)."""
+    rows = _rows(spark, sf_dir, "events_user_overlap")
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        assert 0 < r["jaccard"] <= 1.0001
+        assert r["n_shared"] <= min(r["n_a"], r["n_b"])
+        assert r["type_a"] < r["type_b"]
+
+
+def test_dim_stats_cover_all_dims(spark, sf_dir):
+    """One row per dimension, every row covering the whole corpus;
+    min <= mean <= max and std >= 0."""
+    rows = _rows(spark, sf_dir, "embedding_dim_stats")
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 64
+    assert {r["dim"] for r in rows} == set(range(64))
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["min_val"] <= r["mean"] <= r["max_val"]
+        assert r["std"] >= 0.0
+
+
+def test_truncation_loss_consistency(spark, sf_dir):
+    """tokens_lost <= total and the loss rate matches the integer
+    counters; truncated docs exist at every sf (cap 64 < max 99)."""
+    rows = _rows(spark, sf_dir, "text_truncation_loss")
+    assert rows
+    assert any(r["n_truncated"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["tokens_lost"] <= r["total_tokens"]
+        assert r["n_truncated"] <= r["n_docs"]
+        expect = r["tokens_lost"] / r["total_tokens"]
+        assert abs(r["loss_rate"] - expect) < 5e-4
