@@ -1,6 +1,7 @@
 from .windows import (
     events_stream,
     session_counts,
+    sessionize_gap_stream,
     sliding_counts,
     stateful_running_counts,
     stream_dedup,
@@ -13,6 +14,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_counts",
+    "sessionize_gap_stream",
     "stateful_running_counts",
     "stream_dedup",
     "stream_stream_purchase_click_join",

@@ -141,6 +141,39 @@ def session_counts(
     )
 
 
+def sessionize_gap_stream(
+    events: DataFrame, gap: str = "4 hours", watermark: str = "8 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``events_sessionize_gap`` query:
+    per (user, session) event count, span, and value sum via
+    ``session_window``. Output start/end are unix MICROS of the first
+    and last event (win.end minus the gap recovers the last event
+    time — Spark extends every session window ``gap`` past its final
+    event), matching the batch columns exactly.
+
+    Boundary note: session_window merges on STRICT overlap
+    (diff < gap) while the batch lag-form keeps diff == gap in-session
+    (diff > gap breaks). The two agree on every non-degenerate corpus;
+    the parity test asserts the fixture has no exact-gap pair, so a
+    regenerated testdata that ever hits the boundary fails loudly
+    instead of silently diverging."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("win.start").alias("start_us"),
+            F.unix_micros(F.expr(f"win.end - INTERVAL {gap}")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_stream_purchase_click_join(
     events: DataFrame, events2: DataFrame, horizon: str = "1 hour"
 ) -> DataFrame:

@@ -308,3 +308,65 @@ def test_pq_codebook_checkpoint_feeds_assignment(spark, sf_dir):
     assert [n for n in nodes if n.startswith("Scan parquet")] == [], nodes
     rdd_scans = [n for n in nodes if n == "Scan ExistingRDD"]
     assert len(rdd_scans) >= 2, nodes
+
+
+def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
+    """The 100×-scale assumption behind the TPC-H shapes: unhinted
+    small-side joins (q3's customer leg, q13's outer join, q22's anti
+    join) broadcast only because AQE CHOOSES to at test sizes. When
+    the side no longer fits (simulated: autoBroadcastJoinThreshold
+    -1), the plan must degrade to a shuffled join — never a cartesian
+    or nested-loop — and produce identical results. Explicitly
+    F.broadcast-hinted dims (q5/q7/q14/q19) keep their hints by
+    design (they are bounded at ANY sf), so they are asserted only
+    cartesian-free + correct."""
+    unhinted = ["q3_shipping_priority", "q13_customer_distribution"]
+    # q22 mixes both: hinted 1-row scalar (a deliberate
+    # BroadcastNestedLoopJoin with a single-row build side) + hinted
+    # nation dim + an UNHINTED anti join that must degrade shuffled.
+    hinted = ["q5_local_supplier_revenue", "q7_nation_trade_matrix",
+              "q14_promo_revenue", "q19_disjunctive_revenue",
+              "q17_small_quantity_revenue", "q22_idle_capital"]
+    qs = all_queries()
+
+    def rows(name):
+        return sorted(
+            map(tuple, qs[name].builder(spark, sf_dir).collect())
+        )
+
+    baseline = {n: rows(n) for n in unhinted + hinted}
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for n in unhinted + hinted:
+            nodes = _executed_nodes(spark, n, sf_dir)
+            joined = " ".join(nodes)
+            assert "CartesianProduct" not in joined, n
+            bnlj = sum(x == "BroadcastNestedLoopJoin" for x in nodes)
+            # only q22's 1-row scalar-threshold join may nested-loop
+            assert bnlj == (1 if n == "q22_idle_capital" else 0), n
+            assert rows(n) == baseline[n], f"{n}: fallback changed results"
+            if n == "q22_idle_capital":
+                assert any(
+                    x in ("SortMergeJoin", "ShuffledHashJoin") for x in nodes
+                ), "q22: anti join did not degrade to a shuffled join"
+        for n in unhinted:
+            nodes = _executed_nodes(spark, n, sf_dir)
+            assert any(
+                x in ("SortMergeJoin", "ShuffledHashJoin") for x in nodes
+            ), f"{n}: no shuffled join appeared under threshold -1"
+            assert "BroadcastHashJoin" not in nodes, (
+                f"{n}: unhinted join still broadcast with threshold -1"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )

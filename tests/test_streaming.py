@@ -215,3 +215,49 @@ def test_events_stream_ts_guard_rejects_unknown_dtype(spark, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     with _pytest.raises(TypeError, match="unexpected dtype 'string'"):
         events_stream(spark, str(tmp_path))
+
+
+def test_sessionize_gap_stream_equals_batch(spark, sf_dir):
+    """The r7 batch sessionizer (`events_sessionize_gap`, lag +
+    running-sum windows) and the Structured Streaming twin
+    (`session_window`) must produce IDENTICAL sessions — same
+    (user, start, end) spans, same event counts, same value sums.
+    session_no is a batch-side ordinal the stream can't know, so the
+    comparison keys sessions by their span instead."""
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.streaming import sessionize_gap_stream
+    from ray_mapreduce_spark.plans.advanced import SESSION_GAP_US
+
+    # honesty guard for the strict-vs-inclusive gap boundary (see the
+    # sessionize_gap_stream docstring): regenerated testdata with an
+    # exact-gap adjacent pair must fail HERE, not silently diverge.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    exact_gap = (
+        e.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap") == SESSION_GAP_US)
+        .count()
+    )
+    assert exact_gap == 0, "fixture hit the session-gap boundary"
+
+    batch = {
+        (r["user_id"], r["start_us"], r["end_us"]): (r["n_events"], r["sum_value"])
+        for r in all_queries()["events_sessionize_gap"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    stream_rows = _run_stream(
+        spark,
+        sessionize_gap_stream(events_stream(spark, sf_dir)),
+        "t_sessionize_parity",
+    )
+    stream = {
+        (r["user_id"], r["start_us"], r["end_us"]): (r["n_events"], r["sum_value"])
+        for r in stream_rows
+    }
+    assert len(stream) == len(stream_rows)  # spans unique per user
+    assert stream == batch
