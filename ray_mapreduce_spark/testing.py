@@ -118,3 +118,29 @@ def compare_query(
                     f"spark={sv!r} oracle={ov!r}",
                 )
     return CompareResult(name, True, len(spark_rows), len(oracle_rows))
+
+
+def storage_bytes(spark: SparkSession) -> tuple[int, int]:
+    """(memory_bytes, disk_bytes) currently held by cached/checkpointed
+    RDD blocks — the sweep-session storage telemetry behind the
+    release_caches hook."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    mem = sum(i.memSize() for i in infos)
+    disk = sum(i.diskSize() for i in infos)
+    return mem, disk
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every persisted DataFrame fragment (the deliberately
+    long-lived `_persisted_corpus` / shingle / band caches included).
+
+    Individual builders can NOT unpersist for themselves — their
+    returned frame reads the cache lazily, so dropping it before the
+    caller's action would re-execute the lineage the persist exists to
+    protect (see _persisted_corpus docstring). A multi-query sweep
+    session, however, knows when a query is DONE; calling this between
+    queries keeps peak cached storage at one query's footprint instead
+    of the whole registry's. localCheckpoint blocks are freed by JVM
+    GC of their RDD handles, not by clearCache — that release happens
+    when the frame goes out of scope on the Python side."""
+    spark.catalog.clearCache()

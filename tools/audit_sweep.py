@@ -2,8 +2,8 @@
 """Round-audit sweeps beyond the driver's gate (CLAUDE.md gotcha #13).
 
 Usage:
-    python tools/audit_sweep.py oracle [SF_DIR]      # full oracle sweep
-    python tools/audit_sweep.py determinism [SF_DIR] # partition-determinism
+    python tools/audit_sweep.py oracle [SF_DIR] [--changed-only]
+    python tools/audit_sweep.py determinism [SF_DIR] [--changed-only]
 
 - ``oracle``: compare every oracle-paired query against DuckDB at
   SF_DIR (default sf0.1 — 10x the driver's scale; ties and rounding
@@ -13,6 +13,18 @@ Usage:
   (catches min_by-style ties, unordered limits, partition-id leaks).
 
 Both print one summary line; non-empty failure lists exit 1.
+
+``--changed-only`` skips queries whose plan hash (sha256 of the
+builder's WHOLE MODULE source + the oracle SQL) already passed this
+mode+SF in ``tools/.sweep_cache.json``. Conservative within a module
+(any module edit re-runs all its queries) but BLIND to cross-module
+helper changes (sources/ loaders, operators/) — so the once-per-round
+closing sweep must still run without the flag.
+
+Both sweeps release persisted caches between queries
+(testing.release_caches) and report the peak cached-block footprint —
+without the release, a full-registry session accumulates every
+query's persisted corpus until LRU eviction.
 """
 
 from __future__ import annotations
@@ -25,6 +37,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sweep_cache.json")
+
+
+def _plan_hashes() -> dict:
+    """name -> sha256 over (builder module source, oracle SQL)."""
+    import hashlib
+    import inspect
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    out = {}
+    for name, spec in all_queries().items():
+        mod_src = inspect.getsource(sys.modules[spec.builder.__module__])
+        h = hashlib.sha256()
+        h.update(mod_src.encode())
+        h.update((spec.oracle or "").encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _cache_load() -> dict:
+    import json
+
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _cache_store(cache: dict) -> None:
+    import json
+
+    with open(_CACHE_PATH, "w") as f:
+        json.dump(cache, f, indent=0, sort_keys=True)
+
+
+class _Hygiene:
+    """Between-query cache release + peak-storage telemetry."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.peak_mem = 0
+        self.peak_disk = 0
+
+    def after_query(self):
+        from ray_mapreduce_spark.testing import release_caches, storage_bytes
+
+        mem, disk = storage_bytes(self.spark)
+        self.peak_mem = max(self.peak_mem, mem)
+        self.peak_disk = max(self.peak_disk, disk)
+        release_caches(self.spark)
+
+    def report(self) -> str:
+        return (
+            f"peak cached storage {self.peak_mem/1e6:.0f} MB mem"
+            f" / {self.peak_disk/1e6:.0f} MB disk (released per query)"
+        )
+
 
 def _spark():
     s = (
@@ -36,44 +107,74 @@ def _spark():
     return s
 
 
-def oracle_sweep(sf_dir: str) -> int:
+def oracle_sweep(sf_dir: str, changed_only: bool = False) -> int:
     import __spark_entry__ as mod
     from ray_mapreduce_spark.testing import compare_query
 
     spark = _spark()
     q, o = mod.queries(), mod.oracle_sql()
+    hashes = _plan_hashes()
+    cache = _cache_load()
+    ckey = f"oracle@{sf_dir}"
+    done = cache.get(ckey, {})
     bad = []
+    skipped = 0
+    hyg = _Hygiene(spark)
     t0 = time.time()
     for n in sorted(o):
+        if changed_only and done.get(n) == hashes[n]:
+            skipped += 1
+            continue
         r = compare_query(spark, n, q[n], o[n], sf_dir)
         if not r.ok:
             bad.append((n, r.detail[:150]))
+            done.pop(n, None)
+        else:
+            done[n] = hashes[n]
         print(f"# {n}: {'ok' if r.ok else 'MISMATCH'}", file=sys.stderr)
+        hyg.after_query()
+        cache[ckey] = done
+        _cache_store(cache)
     print(
-        f"oracle sweep @ {sf_dir}: {len(o)} queries, "
-        f"mismatches: {bad or 'none'}, {time.time()-t0:.0f}s"
+        f"oracle sweep @ {sf_dir}: {len(o)} queries ({skipped} unchanged-skipped), "
+        f"mismatches: {bad or 'none'}, {time.time()-t0:.0f}s; {hyg.report()}"
     )
     return 1 if bad else 0
 
 
-def determinism_sweep(sf_dir: str) -> int:
+def determinism_sweep(sf_dir: str, changed_only: bool = False) -> int:
     import __spark_entry__ as mod
 
     spark = _spark()
     q = mod.queries()
+    hashes = _plan_hashes()
+    cache = _cache_load()
+    ckey = f"determinism@{sf_dir}"
+    done = cache.get(ckey, {})
     bad = []
+    skipped = 0
+    hyg = _Hygiene(spark)
     t0 = time.time()
     for n in sorted(q):
+        if changed_only and done.get(n) == hashes[n]:
+            skipped += 1
+            continue
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         a = sorted(map(tuple, q[n](spark, sf_dir).collect()))
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         b = sorted(map(tuple, q[n](spark, sf_dir).collect()))
         if a != b:
             bad.append(n)
+            done.pop(n, None)
+        else:
+            done[n] = hashes[n]
         print(f"# {n}: {'ok' if a == b else 'NONDETERMINISTIC'}", file=sys.stderr)
+        hyg.after_query()
+        cache[ckey] = done
+        _cache_store(cache)
     print(
-        f"determinism sweep @ {sf_dir}: {len(q)} queries, "
-        f"nondeterministic: {bad or 'none'}, {time.time()-t0:.0f}s"
+        f"determinism sweep @ {sf_dir}: {len(q)} queries ({skipped} unchanged-skipped), "
+        f"nondeterministic: {bad or 'none'}, {time.time()-t0:.0f}s; {hyg.report()}"
     )
     return 1 if bad else 0
 
@@ -98,7 +199,11 @@ def recall_sweep(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "oracle"
-    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    fns = {"oracle": oracle_sweep, "determinism": determinism_sweep, "recall": recall_sweep}
-    sys.exit(fns[mode](sf))
+    args = [a for a in sys.argv[1:] if a != "--changed-only"]
+    changed_only = "--changed-only" in sys.argv[1:]
+    mode = args[0] if args else "oracle"
+    sf = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    if mode == "recall":
+        sys.exit(recall_sweep(sf))
+    fns = {"oracle": oracle_sweep, "determinism": determinism_sweep}
+    sys.exit(fns[mode](sf, changed_only))
