@@ -607,10 +607,10 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h, ~30% of adjacent pairs merge
 
 
-@register(
-    "events_sessionize_gap",
-    tags=("events", "sessionization", "window"),
-    oracle=f"""
+# The session CTE is SHARED between events_sessionize_gap and
+# events_session_length_stats (the dedup-family discipline: one
+# ground-truth definition, consumers cannot drift).
+_SESSION_AGG_CTE = f"""
     WITH e AS (
       SELECT user_id, event_id, value,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -632,32 +632,23 @@ SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h, ~30% of adjacent pairs merge
                ROWS UNBOUNDED PRECEDING
              ) AS session_no
       FROM flagged
+    ),
+    sess_agg AS (
+      SELECT user_id,
+             CAST(session_no AS BIGINT) AS session_no,
+             CAST(count(*) AS BIGINT)   AS n_events,
+             CAST(min(us) AS BIGINT)    AS start_us,
+             CAST(max(us) AS BIGINT)    AS end_us,
+             round(sum(value), 2)       AS sum_value
+      FROM sess
+      GROUP BY user_id, session_no
     )
-    SELECT user_id,
-           CAST(session_no AS BIGINT) AS session_no,
-           CAST(count(*) AS BIGINT)   AS n_events,
-           CAST(min(us) AS BIGINT)    AS start_us,
-           CAST(max(us) AS BIGINT)    AS end_us,
-           round(sum(value), 2)       AS sum_value
-    FROM sess
-    GROUP BY user_id, session_no
-    """,
-)
-def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (user, session): event count, span, value sum.
+    """
 
-    Scale shape: ONE shuffle on user_id serves everything — the lag
-    window and the running-sum session counter share the same
-    (user_id, ts, event_id) sort, so Spark plans a single exchange +
-    single sort with both window functions in it, and the final
-    groupBy(user_id, session_no) needs no further exchange because
-    hash-partitioning on user_id already clusters the composite key
-    (partial agg still runs map-side). No global window, no driver
-    state; (ts, event_id) ordering makes session numbering
-    deterministic under any partitioning. At 100 TB the same plan
-    holds — sessionization cost is one sort per user partition, and
-    skewed mega-users degrade one partition, not the stage (AQE skew
-    handling applies to the exchange)."""
+
+def _session_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(user, session) aggregate frame both session consumers
+    build on — Spark twin of the shared ``_SESSION_AGG_CTE``."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
     )
@@ -678,6 +669,82 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("bigint").alias("start_us"),
         F.max("us").cast("bigint").alias("end_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize_gap",
+    tags=("events", "sessionization", "window"),
+    oracle=_SESSION_AGG_CTE
+    + """
+    SELECT user_id, session_no, n_events, start_us, end_us, sum_value
+    FROM sess_agg
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (user, session): event count, span, value sum.
+
+    Scale shape: ONE shuffle on user_id serves everything — the lag
+    window and the running-sum session counter share the same
+    (user_id, ts, event_id) sort, so Spark plans a single exchange +
+    single sort with both window functions in it, and the final
+    groupBy(user_id, session_no) needs no further exchange because
+    hash-partitioning on user_id already clusters the composite key
+    (partial agg still runs map-side). No global window, no driver
+    state; (ts, event_id) ordering makes session numbering
+    deterministic under any partitioning. At 100 TB the same plan
+    holds — sessionization cost is one sort per user partition, and
+    skewed mega-users degrade one partition, not the stage (AQE skew
+    handling applies to the exchange; the monster-user escalation is
+    the hierarchical (user, day) split documented in SCALING.md §Skew).
+    Session definition + plan live in `_session_aggs`, shared with
+    events_session_length_stats."""
+    return _session_aggs(spark, sf_dir)
+
+
+@register(
+    "events_session_length_stats",
+    tags=("events", "sessionization", "stats", "percentile"),
+    oracle=_SESSION_AGG_CTE
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS mean_events,
+           round(quantile_cont(end_us - start_us, 0.5) + 1e-9, 2)
+             AS p50_duration_us,
+           round(quantile_cont(end_us - start_us, 0.9) + 1e-9, 2)
+             AS p90_duration_us
+    FROM sess_agg
+    """,
+)
+def events_session_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_sessions, n_single, mean_events, p50/p90_duration_us): the
+    corpus-level session-shape profile (bounce rate = n_single /
+    n_sessions; duration percentiles size streaming session state).
+    Composes on the SHARED `_session_aggs` frame — one definition for
+    both consumers. Spark `percentile` == DuckDB `quantile_cont`
+    BIT-EXACT on integer inputs (verified by events_winsorize_stats);
+    the exact percentile runs over the per-session aggregate (≤ one
+    row per user-session — already 10³× smaller than events), the
+    approx_percentile swap is the crawl-scale variant."""
+    dur = (F.col("end_us") - F.col("start_us")).alias("dur")
+    sa = _session_aggs(spark, sf_dir).select("n_events", dur)
+    return sa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_single"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("mean_events"),
+        F.round(F.expr("percentile(dur, 0.5)") + F.lit(1e-9), 2).alias(
+            "p50_duration_us"
+        ),
+        F.round(F.expr("percentile(dur, 0.9)") + F.lit(1e-9), 2).alias(
+            "p90_duration_us"
+        ),
     )
 
 

@@ -1522,3 +1522,62 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neardup_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty: what fraction of each document's shingles appears
+# here FIRST (by doc_id ingestion order)? The dataset-growth
+# diagnostic — a shrinking novelty curve says the crawl is re-reading
+# itself; near-zero novelty flags a doc as pure recombination.
+@register(
+    "text_ngram_novelty",
+    tags=("documents", "dedup", "novelty", "shingle"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    s AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    first AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 4) AS novelty_rate
+    FROM s JOIN first f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_rate): per-doc fraction
+    of distinct 3-shingles whose global first occurrence (min doc_id
+    over the whole corpus, cross-lang) is this document.
+
+    Scale shape: rides `_shingle_hashes` — shingles travel as 8-byte
+    longs (collision odds argued there, none observed vs this string
+    oracle at any sf); first-occurrence attribution is a min() WINDOW
+    over the shingle hash (one exchange on s — NOT an agg+rejoin,
+    gotcha #14), and the per-doc fold reuses nothing heavier than a
+    partial-aggregated groupBy(doc_id). In a dated corpus swap
+    min(doc_id) for min(ingest_ts, doc_id) — same plan."""
+    sh = _shingle_hashes(_spread(load_table(spark, sf_dir, "documents"))).select(
+        "doc_id", "s"
+    )
+    w = Window.partitionBy("s")
+    nov = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return nov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum(novel).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("novelty_rate"),
+    )

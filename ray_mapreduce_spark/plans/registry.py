@@ -122,19 +122,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_overlap",
     "embedding_dim_stats",
     "text_truncation_loss",
+    "q2_best_supplier_per_part",
+    "text_ngram_novelty",
+    "events_session_length_stats",
+    "sample_temperature_mixture",
+    "embedding_znorm_outliers",
     # -- (3) stale r5-green backfill (r5-window order) up to slot 50 --
     "json_extract_agg",
     "interval_shift",
     "math_functions",
     "error_branch_classify",
     "month_count",
+    # -- past the 50-slot window: remaining stale r5 names (r9 fronts
+    # -- these first) --
     "date_functions",
     "sort_limit_top100",
     "window_rank_dense",
     "window_running_and_lag",
     "window_moving_avg",
-    # -- past the 50-slot window: remaining stale r5 names (r9 fronts
-    # -- these first) --
     "string_functions",
     "map_functions",
     "regexp_normalize",

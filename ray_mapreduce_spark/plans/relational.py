@@ -1199,3 +1199,78 @@ def q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal") + F.lit(1e-6), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape (best supplier per part): groupwise argmax with a
+# deterministic tiebreak. The testdata has no partsupp/supplycost
+# table, so "best" is adapted to the best-capitalized supplier among
+# those who have actually shipped the part (distinct (part, supp)
+# pairs from lineitem stand in for partsupp) — the plan shape
+# (correlated groupwise extreme + dim joins + ordered limit) is Q2's.
+@register(
+    "q2_best_supplier_per_part",
+    tags=("join", "window", "argmax", "tpch", "topk"),
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    j AS (
+      SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, s.s_nationkey
+      FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_partkey ORDER BY s_acctbal DESC, s_suppkey
+      ) AS rn FROM j
+    )
+    SELECT r.l_partkey AS p_partkey, p.p_name, r.s_name,
+           round(r.s_acctbal, 2) AS s_acctbal, n.n_name AS nation
+    FROM r
+    JOIN part p   ON p.p_partkey = r.l_partkey
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    WHERE rn = 1
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, p_name, s_name, s_acctbal, nation): for the first
+    100 parts, the richest supplier that ships them. Scale shape:
+    distinct (part, supp) reduces the fact to its key pairs before
+    anything else; supplier broadcasts; the groupwise argmax is a
+    row_number window over l_partkey with the (acctbal DESC, suppkey)
+    composite ordering — the min_by tie discipline (gotcha #13: ties
+    WILL occur at volume; the unique suppkey makes rank 1 unique);
+    WindowGroupLimit pushes the rn=1 filter into the sort; part joins
+    AFTER the argmax (100× fewer rows), nation broadcasts; the limit
+    rides TakeOrdered on the unique p_partkey."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    best = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )

@@ -542,3 +542,76 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "n_chars", F.round("_pri", 8).alias("priority")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled language mixture: keep probability per language
+# ∝ n_lang^α / n_lang with α = 0.5 — the standard multilingual
+# rebalancing (upsample the tail, downsample the head) at half the
+# corpus budget. α = 0.5 is deliberately sqrt: IEEE requires sqrt to
+# be CORRECTLY ROUNDED, so both engines derive the identical rate
+# table (pow() is not so guaranteed — an α = 0.3 variant would need
+# rate rounding on both sides).
+TEMPERATURE_BUDGET = 0.5  # target fraction of the corpus
+_TEMP_RES = 1_000_000  # hash-bucket resolution for the keep compare
+
+
+@register(
+    "sample_temperature_mixture",
+    tags=("sampling", "mixture", "temperature", "deterministic"),
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    z AS (
+      SELECT sum(sqrt(n)) AS z, CAST(sum(n) AS BIGINT) AS total FROM counts
+    ),
+    thr AS (
+      SELECT c.lang,
+             CAST(floor({TEMPERATURE_BUDGET} * z.total * sqrt(c.n)
+                        / (z.z * c.n) * {_TEMP_RES}) AS BIGINT) AS keep_thr
+      FROM counts c CROSS JOIN z
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr t ON t.lang = d.lang
+    WHERE (d.doc_id * {_KNUTH}) % {_MOD} % {_TEMP_RES} < t.keep_thr
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang): the documents kept by a temperature-α=0.5
+    language rebalance at a 50% corpus budget — tail languages keep a
+    larger share than head languages (keep_prob ∝ 1/sqrt(n_lang)).
+
+    Scale shape: unlike sample_weighted_mixture (fixed recipe), the
+    rate table is DERIVED from corpus stats — one column-pruned
+    partial-aggregated count per lang, one 1-row normalizer, both
+    broadcast back onto the scan; the keep decision is then a
+    map-side integer-threshold hash compare with ZERO shuffle of
+    corpus rows. Deterministic + monotone under budget increases
+    (same arithmetic-hash argument as sample_weighted_mixture);
+    rank-free, so no per-lang global sort anywhere. The float
+    threshold is floored to an integer bucket count once per lang —
+    cross-engine it can differ only if Σ√n̄ summation order shifts
+    the rate by ~1 ulp EXACTLY at an integer boundary (measure-zero;
+    sqrt itself is correctly rounded by IEEE)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    z = counts.agg(
+        F.sum(F.sqrt("n")).alias("z"), F.sum("n").cast("bigint").alias("total")
+    )
+    thr = counts.join(F.broadcast(z)).select(
+        "lang",
+        F.floor(
+            F.lit(TEMPERATURE_BUDGET)
+            * F.col("total")
+            * F.sqrt("n")
+            / (F.col("z") * F.col("n"))
+            * F.lit(_TEMP_RES)
+        )
+        .cast("bigint")
+        .alias("keep_thr"),
+    )
+    keep = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD) % F.lit(
+        _TEMP_RES
+    ) < F.col("keep_thr")
+    return d.join(F.broadcast(thr), "lang").filter(keep).select("doc_id", "lang")

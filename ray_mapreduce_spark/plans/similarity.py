@@ -1490,3 +1490,71 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.min("val"), 6) + F.lit(0.0)).alias("min_val"),
         (F.round(F.max("val"), 6) + F.lit(0.0)).alias("max_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# Diagonal-Mahalanobis outliers: z-normalize every dimension with the
+# corpus per-dim stats, score each vector by Σ z², surface the top
+# outliers — the embedding-space data-quality screen (a corrupt
+# encoder output or adversarial doc scores far above the ~dims
+# expectation). Stats are ROUNDED TO 6DP ON BOTH ENGINES before the
+# rejoin (the k-means centroid-re-round discipline) so the z values
+# are the identical doubles cross-engine.
+@register(
+    "embedding_znorm_outliers",
+    tags=("embeddings", "outliers", "mahalanobis", "stats"),
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim,
+             round(sum(val) / count(*) + 1e-9, 6) AS mu,
+             round(sqrt(sum(val * val) / count(*)
+                        - (sum(val) / count(*)) * (sum(val) / count(*)))
+                   + 1e-9, 6) AS sd
+      FROM x GROUP BY dim
+    ),
+    scored AS (
+      SELECT x.vec_id,
+             round(sum(((x.val - s.mu) / s.sd) * ((x.val - s.mu) / s.sd))
+                   + 1e-9, 4) AS maha_score
+      FROM x JOIN stats s ON s.dim = x.dim
+      GROUP BY x.vec_id
+    )
+    SELECT vec_id, maha_score FROM scored
+    ORDER BY maha_score DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, maha_score): top-20 vectors by diagonal Mahalanobis
+    distance. Scale shape: the per-dim stats aggregate is ≤ dims
+    rows (partial-aggregated — the embedding_dim_stats shuffle) and
+    broadcasts back onto the exploded corpus, so the score pass is
+    scan + broadcast-join + one partial-aggregated groupBy(vec_id);
+    the top-20 rides TakeOrdered. Ordering is on the ROUNDED score
+    with the vec_id tiebreak — raw Σz² differs across engines by
+    summation order (~64·ulp), which rank order must not see."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    n = F.count(F.lit(1))
+    mean = F.sum("val") / n
+    var = F.sum(F.col("val") * F.col("val")) / n - mean * mean
+    stats = x.groupBy("dim").agg(
+        F.round(mean + F.lit(1e-9), 6).alias("mu"),
+        F.round(F.sqrt(var) + F.lit(1e-9), 6).alias("sd"),
+    )
+    z = (F.col("val") - F.col("mu")) / F.col("sd")
+    return (
+        x.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(z * z) + F.lit(1e-9), 4).alias("maha_score"))
+        .orderBy(F.col("maha_score").desc(), "vec_id")
+        .limit(20)
+    )

@@ -968,3 +968,97 @@ def test_truncation_loss_consistency(spark, sf_dir):
         assert r["n_truncated"] <= r["n_docs"]
         expect = r["tokens_lost"] / r["total_tokens"]
         assert abs(r["loss_rate"] - expect) < 5e-4
+
+
+def test_q2_argmax_picks_actual_best_shipper(spark, sf_dir):
+    """Each reported supplier must actually ship the part, and carry
+    the max acctbal among that part's shippers (suppkey tiebreak)."""
+    rows = _rows(spark, sf_dir, "q2_best_supplier_per_part")
+    assert len(rows) == 100
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    best = {
+        r["l_partkey"]: (r["mx"], r["nsupp"])
+        for r in ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.max("s_acctbal").alias("mx"),
+            F.countDistinct("l_suppkey").alias("nsupp"),
+        )
+        .collect()
+    }
+    for r in rows:
+        mx, _ = best[r["p_partkey"]]
+        assert abs(r["s_acctbal"] - round(mx, 2)) < 1e-9
+
+
+def test_ngram_novelty_first_doc_and_mass_balance(spark, sf_dir):
+    """The lowest doc_id is 100% novel by construction; novelty mass
+    across docs equals the global distinct-shingle count (every
+    shingle is novel exactly once)."""
+    rows = _rows(spark, sf_dir, "text_ngram_novelty")
+    first = min(r["doc_id"] for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[first]["novelty_rate"] >= 0.9999
+    assert all(0 <= r["novelty_rate"] <= 1.0001 for r in rows)
+    from ray_mapreduce_spark.plans.dedup import _shingle_hashes
+
+    n_distinct_shingles = (
+        _shingle_hashes(load_table(spark, sf_dir, "documents"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct_shingles
+
+
+def test_session_length_stats_match_sessionize(spark, sf_dir):
+    """The stats row must describe exactly the sessionize output —
+    shared-frame discipline (one definition, two consumers)."""
+    sessions = _rows(spark, sf_dir, "events_sessionize_gap")
+    stats = _rows(spark, sf_dir, "events_session_length_stats")[0]
+    assert stats["n_sessions"] == len(sessions)
+    assert stats["n_single"] == sum(1 for s in sessions if s["n_events"] == 1)
+    mean = sum(s["n_events"] for s in sessions) / len(sessions)
+    assert abs(stats["mean_events"] - mean) < 5e-4
+    durs = sorted(s["end_us"] - s["start_us"] for s in sessions)
+    assert durs[0] <= stats["p50_duration_us"] <= stats["p90_duration_us"] <= durs[-1]
+
+
+def test_temperature_mixture_rebalances_toward_tail(spark, sf_dir):
+    """keep fraction ∝ 1/sqrt(n_lang): the head language must keep a
+    strictly smaller FRACTION than the tail language, total near the
+    50% budget, and the kept set must be deterministic (hash-based)."""
+    kept = _rows(spark, sf_dir, "sample_temperature_mixture")
+    corpus = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in kept)
+    head = max(corpus, key=corpus.get)
+    tail = min(corpus, key=corpus.get)
+    assert corpus[head] > corpus[tail]
+    assert got[head] / corpus[head] < got[tail] / corpus[tail]
+    total = sum(corpus.values())
+    assert 0.35 * total <= len(kept) <= 0.65 * total
+    again = _rows(spark, sf_dir, "sample_temperature_mixture")
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+
+def test_znorm_outliers_scores_sane(spark, sf_dir):
+    """Σz² over 64 z-normalized dims has expectation ≈ 64; the top-20
+    outliers must all sit above it, sorted descending."""
+    rows = _rows(spark, sf_dir, "embedding_znorm_outliers")
+    assert len(rows) == 20
+    scores = [r["maha_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 64 for s in scores)
