@@ -1749,3 +1749,284 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection: per event type, the day where the
+# cumulative deviation of (6dp-rounded) daily means from their
+# overall mean peaks — the classic level-shift detector a metrics
+# pipeline runs on every KPI. Rounding choreography: daily means are
+# re-rounded on BOTH engines before any cross-day arithmetic (the
+# k-means lockstep discipline), the running sum then adds IDENTICAL
+# doubles in the IDENTICAL day order, so the argmax needs no
+# tolerance at all.
+@register(
+    "events_cusum_changepoint",
+    tags=("events", "changepoint", "cusum", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             round(avg(value) + 1e-9, 6) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    target AS (
+      SELECT event_type, round(sum(m) / count(*) + 1e-9, 6) AS t,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.day, g.n_days,
+             sum(d.m - g.t) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+             ) AS c
+      FROM daily d JOIN target g ON g.event_type = d.event_type
+    ),
+    ranked AS (
+      SELECT event_type, day, n_days, c,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(c) DESC, day
+             ) AS rn
+      FROM cusum
+    )
+    SELECT event_type, day AS change_day, n_days,
+           round(abs(c) + 1e-9, 6) AS cusum_peak
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, change_day, n_days, cusum_peak): the most likely
+    level-shift day per event type. Scale shape: ONE partial-
+    aggregated shuffle builds the (type, day) daily means — from
+    there everything runs on the ≤ types×days aggregate: the target
+    join broadcasts (≤ types rows), the CUSUM is a per-type running
+    window, the argmax a row_number with the day tiebreak
+    (WindowGroupLimit pushes rn=1 into the sort). Integer epoch-div
+    day buckets (the hourly_seasonality discipline — float day
+    quotients flip boundary events)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("m"))
+    )
+    target = daily.groupBy("event_type").agg(
+        F.round(F.sum("m") / F.count(F.lit(1)) + F.lit(1e-9), 6).alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("day")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), "day"
+    )
+    return (
+        daily.join(F.broadcast(target), "event_type")
+        .withColumn("c", F.sum(F.col("m") - F.col("t")).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "n_days",
+            F.round(F.abs("c") + F.lit(1e-9), 6).alias("cusum_peak"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Monthly revenue momentum: MoM growth + trailing-3-month average —
+# the KPI decomposition every revenue dashboard runs. All derived
+# numbers compute from the ALREADY-ROUNDED monthly revenues, so both
+# engines do identical arithmetic on identical inputs.
+@register(
+    "orders_revenue_momentum",
+    tags=("orders", "timeseries", "window", "momentum"),
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             round(sum(o_totalprice) + 1e-6, 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(m, '%Y-%m') AS month, revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY m))
+                 / lag(revenue) OVER (ORDER BY m) + 1e-9, 4) + 0.0
+             AS mom_growth,
+           round(avg(revenue) OVER (
+                   ORDER BY m ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 ) + 1e-9, 2) AS trailing3_avg
+    FROM monthly
+    """,
+)
+def orders_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, revenue, mom_growth, trailing3_avg); first month's
+    growth is NULL on both engines. Scale shape: one partial-
+    aggregated shuffle to ≤ months rows; the lag/trailing windows run
+    on that tiny frame (a single ordered partition of ~dozens of
+    rows — the grouped-frame-global-window justification from
+    corpus_composition_report). Money sums carry the magnitude-scaled
+    +1e-6 bias (gotcha #3); growth can round to -0.0 → `+ 0.0`."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("revenue"))
+    )
+    w = Window.orderBy("m")
+    w3 = w.rowsBetween(-2, 0)
+    return monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "revenue",
+        (
+            F.round(
+                (F.col("revenue") - F.lag("revenue").over(w))
+                / F.lag("revenue").over(w)
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mom_growth"),
+        F.round(F.avg("revenue").over(w3) + F.lit(1e-9), 2).alias(
+            "trailing3_avg"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of per-user activity: the single-number inequality
+# summary behind "do 1% of users generate 90% of traffic?". Computed
+# from the exact rank-weighted integer sum — ties contribute the same
+# Σi·x regardless of rank order among equals, so no tiebreak ambiguity
+# can reach the result.
+@register(
+    "events_user_gini",
+    tags=("events", "gini", "inequality", "rank"),
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n, user_id) AS BIGINT) AS i
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(2.0 * sum(i * n) / (count(*) * sum(n))
+                 - (count(*) + 1.0) / count(*) + 1e-9, 6) + 0.0 AS gini
+    FROM r
+    """,
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_users, n_events, gini): activity concentration in [0, 1).
+    Scale shape: the corpus collapses to one row per user first
+    (partial-aggregated); the global rank runs over THAT aggregate —
+    the RFM/calibration trade applies (swap to approx-percentile
+    binned Gini at extreme user counts, same output shape). The
+    rank-weighted sum is exact integer arithmetic (~1e12 ≪ 2^53);
+    only the final ratio is floating (+1e-9 bias, `+ 0.0` for the
+    perfectly-uniform gini=0 corpus)."""
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r = u.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "user_id")).cast("bigint").alias("i"),
+    )
+    cnt = F.count(F.lit(1))
+    tot = F.sum("n")
+    return r.agg(
+        cnt.cast("bigint").alias("n_users"),
+        tot.cast("bigint").alias("n_events"),
+        (
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("n")) / (cnt * tot)
+                - (cnt + F.lit(1.0)) / cnt
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Priority-mix drift: per-month chi-square distance of the order-
+# priority composition against the all-time mix — the composition
+# drift monitor a data pipeline points at any categorical column.
+# Expected cells derive from EXACT INTEGER counts (n_p/N is the
+# identical double on both engines), so only the 5-term chi-square
+# sum is subject to summation order (+1e-9 pre-round bias).
+@register(
+    "orders_priority_drift",
+    tags=("orders", "drift", "chi-square", "composition"),
+    oracle="""
+    WITH mp AS (
+      SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority AS p,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT p, CAST(sum(obs) AS BIGINT) AS n_p FROM mp GROUP BY p
+    ),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM mp),
+    mm AS (
+      SELECT m, CAST(sum(obs) AS BIGINT) AS m_total FROM mp GROUP BY m
+    )
+    SELECT strftime(mp.m, '%Y-%m') AS month,
+           min(mm.m_total) AS n_orders,
+           round(sum(
+             (mp.obs - mm.m_total * (CAST(tot.n_p AS DOUBLE) / n.total))
+             * (mp.obs - mm.m_total * (CAST(tot.n_p AS DOUBLE) / n.total))
+             / (mm.m_total * (CAST(tot.n_p AS DOUBLE) / n.total))
+           )
+           + (min(mm.m_total)
+              - sum(mm.m_total * (CAST(tot.n_p AS DOUBLE) / n.total)))
+           + 1e-9, 4) AS chi2
+    FROM mp
+    JOIN tot ON tot.p = mp.p
+    JOIN mm  ON mm.m = mp.m
+    CROSS JOIN n
+    GROUP BY mp.m
+    """,
+)
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, n_orders, chi2): how far each month's priority mix
+    drifts from the all-time composition. Scale shape: one partial-
+    aggregated shuffle to the ≤ months×priorities contingency table;
+    the three marginals are windows/aggregates OVER THAT TINY FRAME
+    (per-priority and per-month sums broadcast back); the chi-square
+    fold partial-aggregates per month. Missing (month, priority)
+    cells (obs=0 — sparse months DO occur at small sf) contribute
+    their full expected mass: for obs=0 the χ² term IS exp, and
+    Σ_missing exp = m_total − Σ_observed exp, so the COMPLETE
+    statistic computes from observed cells only — no zero-fill join
+    (pinned by the behavior test's python replay over all cells)."""
+    o = load_table(spark, sf_dir, "orders")
+    mp = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    tot = mp.groupBy("p").agg(F.sum("obs").cast("bigint").alias("n_p"))
+    n = mp.agg(F.sum("obs").cast("bigint").alias("total"))
+    mm = mp.groupBy("m").agg(F.sum("obs").cast("bigint").alias("m_total"))
+    exp = F.col("m_total") * (F.col("n_p").cast("double") / F.col("total"))
+    return (
+        mp.join(F.broadcast(tot), "p")
+        .join(F.broadcast(mm), "m")
+        .join(F.broadcast(n))
+        .groupBy("m")
+        .agg(
+            F.min("m_total").alias("n_orders"),
+            F.round(
+                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp)
+                + (F.min("m_total") - F.sum(exp))
+                + F.lit(1e-9),
+                4,
+            ).alias("chi2"),
+        )
+        .select(F.date_format("m", "yyyy-MM").alias("month"), "n_orders", "chi2")
+    )

@@ -68,15 +68,18 @@ def register(
 #     the r7 window was pinned; each carries builder-side 3-SF oracle +
 #     sf0.1 determinism evidence) — first driver rows for all 32
 #     converts 29 SURVEY §2d rows from builder-only to driver-verified;
-# (2) round-8 additions/changes (inserted as they land this round);
-# (3) backfill from the 41 r5-green names gone 3 rounds stale
-#     (json_extract_agg onward, r5-window order) up to slot 50.
-# ROUND 9 PLAN: front any r9 additions/changes + whatever tail of the
-# stale r5 block did not fit the r8 window (the remainder after
-# the backfill below — in_subquery_custkeys .. array_hof_functions if
-# the full 18 fit, more if r8 additions displaced some), then backfill
-# from the oldest r6-green slice (the r6-changed/new dedup-text block
-# first: cluster_kmeans_assign, text_bm25_topdocs,
+# (2) the 18 round-8 additions (all oracle-paired; each verified vs
+#     DuckDB at sf0.001+sf0.01+sf0.1 in-round) — new queries outrank
+#     stale re-verification (the sample_split_assign precedent), so
+#     the planned r5 backfill was fully displaced (window = exactly
+#     32 + 18).
+# ROUND 9 PLAN: (a) CORRECTNESS_r08 red rows first (fix + keep in
+# window), then (b) r9 additions/changes, then (c) the 41 stale
+# r5-green names IN THE ORDER LISTED BELOW (json_extract_agg ..
+# array_hof_functions — 4 rounds stale by r9; plans unchanged and
+# re-proven by the r8 sf0.1 sweeps, but they need fresh driver rows),
+# then (d) backfill from the oldest r6-green slice (the r6-changed/new
+# dedup-text block first: cluster_kmeans_assign, text_bm25_topdocs,
 # text_unigram_logprob, hybrid_neardup_scores, chunk_documents_overlap;
 # then the r2-refresh tail: text_fingerprint .. stream_interval_join).
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -113,7 +116,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_top_paths",
     "text_oov_rate",
     "text_quality_length_corr",
-    # -- (2) round-8 additions (8 new oracle-paired queries) --
+    # -- (2) the 18 round-8 additions (all oracle-paired) --
     "q4_order_priority",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
@@ -127,14 +130,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_session_length_stats",
     "sample_temperature_mixture",
     "embedding_znorm_outliers",
-    # -- (3) stale r5-green backfill (r5-window order) up to slot 50 --
+    "events_cusum_changepoint",
+    "orders_revenue_momentum",
+    "events_user_gini",
+    "orders_priority_drift",
+    "text_length_weighted_quantiles",
+    # -- past the 50-slot window (r8 additions filled all 18 backfill
+    # -- slots): ALL 41 stale r5-green names — r9 MUST front these --
     "json_extract_agg",
     "interval_shift",
     "math_functions",
     "error_branch_classify",
     "month_count",
-    # -- past the 50-slot window: remaining stale r5 names (r9 fronts
-    # -- these first) --
     "date_functions",
     "sort_limit_top100",
     "window_rank_dense",

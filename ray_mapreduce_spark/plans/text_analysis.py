@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.scale import spread as _spread
 from ..sources import load_table
@@ -1845,4 +1846,85 @@ def text_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("lost").cast("double") / F.sum("n_tok") + F.lit(1e-9), 4
             ).alias("loss_rate"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-weighted length quantiles: "half the TOKENS live in documents
+# shorter than X" — the number that actually sizes packing and
+# context-length decisions (the doc-count median is misleading when
+# long docs carry the mass). Pure integer threshold crossings (the
+# vocab_coverage discipline: 2·cum ≥ total, never a float quotient).
+@register(
+    "text_length_weighted_quantiles",
+    tags=("documents", "tokens", "quantiles", "pipeline"),
+    oracle="""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS L FROM documents
+    ),
+    per AS (
+      SELECT L, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(L) AS BIGINT) AS toks
+      FROM d GROUP BY L
+    ),
+    cum AS (
+      SELECT L,
+             sum(docs) OVER (ORDER BY L) AS cum_docs,
+             sum(toks) OVER (ORDER BY L) AS cum_toks,
+             (SELECT sum(docs) FROM per) AS tot_docs,
+             (SELECT sum(toks) FROM per) AS tot_toks
+      FROM per
+    )
+    SELECT CAST(min(tot_docs) AS BIGINT) AS n_docs,
+           CAST(min(tot_toks) AS BIGINT) AS total_tokens,
+           CAST(min(CASE WHEN 2 * cum_docs >= tot_docs THEN L END)
+                AS BIGINT) AS doc_median_len,
+           CAST(min(CASE WHEN 2 * cum_toks >= tot_toks THEN L END)
+                AS BIGINT) AS tok_weighted_median_len,
+           CAST(min(CASE WHEN 10 * cum_toks >= 9 * tot_toks THEN L END)
+                AS BIGINT) AS tok_weighted_p90_len
+    FROM cum
+    """,
+)
+def text_length_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, total_tokens, doc_median_len, tok_weighted_median_len,
+    tok_weighted_p90_len): length quantiles under doc-count vs
+    token-mass weighting. Scale shape: the corpus collapses to one
+    row per DISTINCT LENGTH (partial-aggregated — ≤ max-doc-length
+    rows); the cumulative windows and threshold scans run entirely on
+    that tiny frame (single ordered partition of ≤10³ rows — the
+    grouped-frame justification); thresholds are exact integer
+    inequalities, immune to rounding and summation order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("L")
+    )
+    per = d.groupBy("L").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("L").cast("bigint").alias("toks"),
+    )
+    w = Window.orderBy("L").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "L",
+        F.sum("docs").over(w).alias("cum_docs"),
+        F.sum("toks").over(w).alias("cum_toks"),
+        F.sum("docs").over(wall).alias("tot_docs"),
+        F.sum("toks").over(wall).alias("tot_toks"),
+    )
+    return cum.agg(
+        F.min("tot_docs").cast("bigint").alias("n_docs"),
+        F.min("tot_toks").cast("bigint").alias("total_tokens"),
+        F.min(F.when(2 * F.col("cum_docs") >= F.col("tot_docs"), F.col("L")))
+        .cast("bigint")
+        .alias("doc_median_len"),
+        F.min(F.when(2 * F.col("cum_toks") >= F.col("tot_toks"), F.col("L")))
+        .cast("bigint")
+        .alias("tok_weighted_median_len"),
+        F.min(
+            F.when(10 * F.col("cum_toks") >= 9 * F.col("tot_toks"), F.col("L"))
+        )
+        .cast("bigint")
+        .alias("tok_weighted_p90_len"),
     )

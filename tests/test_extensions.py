@@ -1062,3 +1062,118 @@ def test_znorm_outliers_scores_sane(spark, sf_dir):
     scores = [r["maha_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 64 for s in scores)
+
+
+def test_cusum_peak_bounds_and_days(spark, sf_dir):
+    """change_day must be inside the observed day range and the peak
+    must equal the max |running deviation| recomputed in python."""
+    rows = _rows(spark, sf_dir, "events_cusum_changepoint")
+    assert len(rows) == 5
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("m"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["m"]))
+    for r in rows:
+        pts = sorted(series[r["event_type"]])
+        assert r["n_days"] == len(pts)
+        t = round(sum(m for _, m in pts) / len(pts) + 1e-9, 6)
+        c, best_day, best = 0.0, None, -1.0
+        for day, m in pts:
+            c += m - t
+            if abs(c) > best:
+                best, best_day = abs(c), day
+        assert r["change_day"] == best_day
+        assert abs(r["cusum_peak"] - best) < 5e-6
+
+
+def test_momentum_growth_consistent(spark, sf_dir):
+    """Growth recomputes from the reported revenues; trailing3 is the
+    mean of the last ≤3 reported revenues; months are contiguous."""
+    rows = sorted(_rows(spark, sf_dir, "orders_revenue_momentum"),
+                  key=lambda r: r["month"])
+    assert rows[0]["mom_growth"] is None
+    for i, r in enumerate(rows):
+        lo = max(0, i - 2)
+        t3 = sum(x["revenue"] for x in rows[lo : i + 1]) / (i + 1 - lo)
+        assert abs(r["trailing3_avg"] - t3) < 0.02
+        if i:
+            g = (r["revenue"] - rows[i - 1]["revenue"]) / rows[i - 1]["revenue"]
+            assert abs(r["mom_growth"] - g) < 5e-4
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "events_user_gini")[0]
+    counts = sorted(
+        r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n, tot = len(counts), sum(counts)
+    wsum = sum((i + 1) * x for i, x in enumerate(counts))
+    g = 2.0 * wsum / (n * tot) - (n + 1.0) / n
+    assert rows["n_users"] == n and rows["n_events"] == tot
+    assert abs(rows["gini"] - g) < 5e-6
+    assert 0.0 <= rows["gini"] < 1.0
+
+
+def test_priority_drift_full_replay_including_missing_cells(spark, sf_dir):
+    """Python replay of the COMPLETE chi-square over every
+    (month, priority) cell — including obs=0 cells absent from the
+    observed aggregate — must match the missing-cell-corrected
+    closed form the query computes from observed cells only."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"),
+            "o_orderpriority",
+        )
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    obs, m_tot, p_tot = defaultdict(int), defaultdict(int), defaultdict(int)
+    for r in cells:
+        obs[(r["m"], r["o_orderpriority"])] = r["count"]
+        m_tot[r["m"]] += r["count"]
+        p_tot[r["o_orderpriority"]] += r["count"]
+    total = sum(m_tot.values())
+    rows = _rows(spark, sf_dir, "orders_priority_drift")
+    assert len(rows) == len(m_tot)
+    for r in rows:
+        chi2 = sum(
+            (obs.get((r["month"], p), 0) - m_tot[r["month"]] * (np / total)) ** 2
+            / (m_tot[r["month"]] * (np / total))
+            for p, np in p_tot.items()
+        )
+        assert abs(r["chi2"] - chi2) < 5e-4, r["month"]
+        assert r["chi2"] >= 0
+    assert any(r["chi2"] > 0.5 for r in rows)
+
+
+def test_weighted_length_quantiles_ordering(spark, sf_dir):
+    """Token weighting can only move quantiles RIGHT (long docs carry
+    more mass): doc median ≤ token-weighted median ≤ token p90."""
+    r = _rows(spark, sf_dir, "text_length_weighted_quantiles")[0]
+    assert r["doc_median_len"] <= r["tok_weighted_median_len"]
+    assert r["tok_weighted_median_len"] <= r["tok_weighted_p90_len"]
+    d = load_table(spark, sf_dir, "documents")
+    assert r["n_docs"] == d.count()
+    tot = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert r["total_tokens"] == tot
