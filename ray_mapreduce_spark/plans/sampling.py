@@ -595,7 +595,15 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rate by ~1 ulp EXACTLY at an integer boundary (measure-zero;
     sqrt itself is correctly rounded by IEEE)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # ≤ languages rows, but TWO consumers (normalizer + rate table) —
+    # differently-pruned sibling aggregates never exchange-reuse
+    # (gotcha #14), so without the checkpoint the corpus is scanned
+    # three times instead of twice (pinned by the plan test).
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     z = counts.agg(
         F.sum(F.sqrt("n")).alias("z"), F.sum("n").cast("bigint").alias("total")
     )

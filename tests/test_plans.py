@@ -370,3 +370,64 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+def test_market_basket_self_join_runtime_reuses_exchange(spark, sf_dir):
+    """orders_market_basket_pairs self-joins the identical distinct
+    (order, part) scan-rooted subtree — the gotcha #14 reuse class.
+    Pin: at least one ReusedExchange in the executed final plan and
+    no cartesian anywhere."""
+    nodes = _executed_nodes(spark, "orders_market_basket_pairs", sf_dir)
+    assert any(n.startswith("ReusedExchange") for n in nodes), nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_user_overlap_self_join_runtime_reuses_exchange(spark, sf_dir):
+    """events_user_overlap: same reuse class — the distinct
+    (type, user) frame's self-join sides are identical subtrees."""
+    nodes = _executed_nodes(spark, "events_user_overlap", sf_dir)
+    assert any(n.startswith("ReusedExchange") for n in nodes), nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_ngram_novelty_single_scan(spark, sf_dir):
+    """text_ngram_novelty is one linear lineage (shingle -> window ->
+    fold): exactly one documents scan, no joins at all."""
+    nodes = _executed_nodes(spark, "text_ngram_novelty", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_temperature_mixture_is_broadcast_scan_filter(spark, sf_dir):
+    """The keep decision must stay a map-side broadcast filter. The
+    per-lang counts frame is eager-checkpointed (two differently-
+    pruned consumers — gotcha #14 said three documents scans without
+    it): the executed final plan reads parquet exactly ONCE (the kept
+    path), reads the checkpoint RDD for the rate table, and contains
+    no shuffled join of corpus rows."""
+    nodes = _executed_nodes(spark, "sample_temperature_mixture", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) == 1, nodes
+    assert any(n == "Scan ExistingRDD" for n in nodes), nodes
+    assert "SortMergeJoin" not in nodes and "ShuffledHashJoin" not in nodes, nodes
+
+
+def test_q13_one_fact_shuffle_under_smj(spark, sf_dir):
+    """q13's docstring claim, pinned: under a disabled broadcast
+    threshold the outer join sort-merges and the per-customer count
+    REUSES the join's custkey partitioning — exactly the two
+    join-input exchanges, none added for the aggregation."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        nodes = _executed_nodes(spark, "q13_customer_distribution", sf_dir)
+        assert "SortMergeJoin" in nodes, nodes
+        exchanges = [n for n in nodes if n == "Exchange"]
+        # 2 join inputs + the tiny final histogram agg exchange; the
+        # per-customer count must NOT add a custkey exchange.
+        assert len(exchanges) <= 3, nodes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
