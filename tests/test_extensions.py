@@ -853,10 +853,11 @@ def test_q13_keeps_zero_order_customers(spark, sf_dir):
     n_customers = load_table(spark, sf_dir, "customer").count()
     assert sum(r["custdist"] for r in rows) == n_customers
     by_count = {r["c_count"]: r["custdist"] for r in rows}
-    # urgent-only customers exist in the synthetic data at every sf
+    # the zero bucket = urgent-only customers PLUS customers with no
+    # orders at all (none at sf0.001, present at sf0.1)
+    o = load_table(spark, sf_dir, "orders")
     only_urgent = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
+        o.groupBy("o_custkey")
         .agg(
             F.sum((F.col("o_orderpriority") != "1-URGENT").cast("int")).alias(
                 "non_urgent"
@@ -865,7 +866,13 @@ def test_q13_keeps_zero_order_customers(spark, sf_dir):
         .filter(F.col("non_urgent") == 0)
         .count()
     )
-    assert by_count.get(0, 0) == only_urgent
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    no_orders = c.join(
+        o.select("o_custkey").distinct(),
+        c.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).count()
+    assert by_count.get(0, 0) == only_urgent + no_orders
 
 
 def test_q4_semi_join_counts_orders_once(spark, sf_dir):
