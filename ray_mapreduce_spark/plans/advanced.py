@@ -2030,3 +2030,204 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.date_format("m", "yyyy-MM").alias("month"), "n_orders", "chi2")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per first-order-month cohort
+# by months since acquisition — THE subscription/retention economics
+# table. Month offsets are exact integer (year*12 + month) diffs;
+# cumulative sums add already-rounded monthly revenues in cohort-month
+# order (identical doubles, identical order on both engines).
+@register(
+    "orders_cohort_ltv",
+    tags=("orders", "cohort", "ltv", "window"),
+    oracle="""
+    WITH cu AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+      SELECT o.o_custkey, cu.cohort, o.o_totalprice,
+             (CAST(year(o.o_orderdate) AS BIGINT) * 12
+              + month(o.o_orderdate))
+             - (CAST(year(cu.cohort) AS BIGINT) * 12 + month(cu.cohort))
+               AS since
+      FROM orders o JOIN cu ON cu.o_custkey = o.o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM cu GROUP BY cohort
+    ),
+    agg AS (
+      SELECT cohort, CAST(since AS BIGINT) AS since,
+             round(sum(o_totalprice) + 1e-6, 2) AS revenue,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers
+      FROM base GROUP BY cohort, since
+    )
+    SELECT strftime(a.cohort, '%Y-%m') AS cohort_month, a.since,
+           s.cohort_size, a.active_customers, a.revenue,
+           round(sum(a.revenue) OVER (
+                   PARTITION BY a.cohort ORDER BY a.since
+                 ) / s.cohort_size + 1e-9, 4) AS cum_ltv_per_customer
+    FROM agg a JOIN sizes s ON s.cohort = a.cohort
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_month, since, cohort_size, active_customers, revenue,
+    cum_ltv_per_customer): the acquisition-cohort LTV matrix.
+
+    Scale shape: the per-customer cohort map is ONE partial-aggregated
+    shuffle, then eager-localCheckpointed (~1 row per customer — the
+    funnel-stage justification; it feeds both the cohort sizes and
+    the fact join, differently-pruned siblings otherwise, gotcha
+    #14); the fact join is equi on custkey (AQE chooses broadcast vs
+    shuffle by size); the LTV matrix is ≤ cohorts×offsets rows, the
+    running sum a per-cohort window on that tiny frame, adding
+    already-rounded revenues in deterministic order."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = (
+        o.groupBy("o_custkey")
+        .agg(F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = cu.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    months = lambda c: F.year(c).cast("bigint") * 12 + F.month(c)  # noqa: E731
+    base = o.join(cu.withColumnRenamed("o_custkey", "ck"), o.o_custkey == F.col("ck"))
+    agg = (
+        base.withColumn(
+            "since",
+            (months(F.col("o_orderdate")) - months(F.col("cohort"))).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("cohort", "since")
+        .agg(
+            F.round(F.sum("o_totalprice") + F.lit(1e-6), 2).alias("revenue"),
+            F.countDistinct("o_custkey").cast("bigint").alias(
+                "active_customers"
+            ),
+        )
+    )
+    wc = Window.partitionBy("cohort").orderBy("since")
+    return (
+        agg.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "since",
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            F.round(
+                F.sum("revenue").over(wc) / F.col("cohort_size") + F.lit(1e-9),
+                4,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bot-likeness heuristic: per-user activity features + a regularity
+# flag. Machine traffic is REGULAR — the coefficient of variation of
+# inter-event gaps collapses toward 0 — and voluminous. Gaps are
+# integer MINUTES so every moment sum stays exact (micros²·n
+# overflows 2^53; minute sums don't), making the CV the identical
+# double on both engines.
+BOT_CV_MAX = 0.5
+BOT_MIN_EVENTS = 50
+
+
+@register(
+    "events_bot_score",
+    tags=("events", "bot", "features", "window"),
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                )) // 60000000 AS gap_min
+      FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT day) AS BIGINT) AS days_active,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS type_diversity,
+             CAST(count(gap_min) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_min) AS BIGINT) AS s1,
+             CAST(sum(gap_min * gap_min) AS BIGINT) AS s2
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_events, days_active, type_diversity,
+           round(CAST(n_events AS DOUBLE) / days_active + 1e-9, 4)
+             AS events_per_day,
+           round(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                      - (CAST(s1 AS DOUBLE) / n_gaps)
+                        * (CAST(s1 AS DOUBLE) / n_gaps))
+                 / (CAST(s1 AS DOUBLE) / n_gaps) + 1e-9, 4) AS gap_cv,
+           CAST(CASE WHEN sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                               - (CAST(s1 AS DOUBLE) / n_gaps)
+                                 * (CAST(s1 AS DOUBLE) / n_gaps))
+                          / (CAST(s1 AS DOUBLE) / n_gaps) < {BOT_CV_MAX}
+                      AND n_events >= {BOT_MIN_EVENTS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+    FROM f
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, days_active, type_diversity,
+    events_per_day, gap_cv, bot_flag): per-user behavioral features
+    with a regularity flag (CV of inter-event gaps < 0.5 at volume).
+
+    Scale shape: ONE user-keyed window sort computes the gaps (shared
+    with every other per-user sequence op); the feature fold is a
+    partial-aggregated groupBy(user_id) on the SAME partitioning —
+    no second exchange; the flag compare is sqrt-irrational vs a
+    rational constant (no boundary risk). Integer-minute gaps keep
+    every moment sum ≪ 2^53 (micros² would overflow double
+    precision — the same class of bug as the nanos float division,
+    gotcha #1)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id",
+        "event_type",
+        (F.col("us") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
+        ((F.col("us") - F.lag("us").over(w)) / F.lit(60_000_000))
+        .cast("bigint")
+        .alias("gap_min"),
+    )
+    f = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("days_active"),
+        F.countDistinct("event_type").cast("bigint").alias("type_diversity"),
+        F.count("gap_min").cast("bigint").alias("n_gaps"),
+        F.sum("gap_min").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).cast("bigint").alias("s2"),
+    )
+    mean_gap = F.col("s1").cast("double") / F.col("n_gaps")
+    cv = (
+        F.sqrt(F.col("s2").cast("double") / F.col("n_gaps") - mean_gap * mean_gap)
+        / mean_gap
+    )
+    return f.select(
+        "user_id",
+        "n_events",
+        "days_active",
+        "type_diversity",
+        F.round(
+            F.col("n_events").cast("double") / F.col("days_active") + F.lit(1e-9),
+            4,
+        ).alias("events_per_day"),
+        F.round(cv + F.lit(1e-9), 4).alias("gap_cv"),
+        ((cv < BOT_CV_MAX) & (F.col("n_events") >= BOT_MIN_EVENTS))
+        .cast("bigint")
+        .alias("bot_flag"),
+    )

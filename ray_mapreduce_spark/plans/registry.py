@@ -74,8 +74,11 @@ def register(
 #     the planned r5 backfill was fully displaced (window = exactly
 #     32 + 18).
 # ROUND 9 PLAN: (a) CORRECTNESS_r08 red rows first (fix + keep in
-# window), then (b) r9 additions/changes, then (c) the 41 stale
-# r5-green names IN THE ORDER LISTED BELOW (json_extract_agg ..
+# window), then (b) r9 additions/changes PLUS the 3 late-r8 ops with
+# no driver row (text_distinctive_terms, orders_cohort_ltv,
+# events_bot_score — each builder-verified at sf0.001/0.01/0.1 +
+# sf0.1-deterministic), then (c) the 41 stale r5-green names IN THE
+# ORDER LISTED BELOW (json_extract_agg ..
 # array_hof_functions — 4 rounds stale by r9; plans unchanged and
 # re-proven by the r8 sf0.1 sweeps, but they need fresh driver rows),
 # then (d) backfill from the oldest r6-green slice (the r6-changed/new
@@ -135,8 +138,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_gini",
     "orders_priority_drift",
     "text_length_weighted_quantiles",
-    # -- past the 50-slot window (r8 additions filled all 18 backfill
-    # -- slots): ALL 41 stale r5-green names — r9 MUST front these --
+    # -- past the 50-slot window. r9 MUST front, in order: (i) the 3
+    # -- late-r8 ops below (builder-verified at 3 SFs + sf0.1
+    # -- determinism, no driver row), (ii) ALL 41 stale r5-green names
+    # -- (json_extract_agg .. array_hof_functions) --
+    "text_distinctive_terms",
+    "orders_cohort_ltv",
+    "events_bot_score",
     "json_extract_agg",
     "interval_shift",
     "math_functions",

@@ -1928,3 +1928,109 @@ def text_length_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("tok_weighted_p90_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms per source: smoothed log-odds of each token's
+# rate inside a source vs the rest of the corpus — "what vocabulary
+# makes src3 src3" (the comparative-corpus analytic behind domain
+# tagging). All inputs are exact integer counts, so the log-odds is
+# the identical double on both engines; only display rounding runs.
+LOGODDS_ALPHA = 0.5
+LOGODDS_MIN_COUNT = 5
+LOGODDS_TOP_N = 5
+
+
+@register(
+    "text_distinctive_terms",
+    tags=("documents", "log-odds", "comparative", "topk"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, t
+    ),
+    m AS (
+      SELECT source, t, c_st,
+             sum(c_st) OVER (PARTITION BY source) AS n_s,
+             sum(c_st) OVER (PARTITION BY t) AS c_t,
+             sum(c_st) OVER () AS n_total
+      FROM st
+    ),
+    scored AS (
+      SELECT source, t, c_st,
+             round(ln((c_st + {LOGODDS_ALPHA})
+                      / (n_s - c_st + {LOGODDS_ALPHA}))
+                   - ln((c_t - c_st + {LOGODDS_ALPHA})
+                        / (n_total - n_s - (c_t - c_st) + {LOGODDS_ALPHA}))
+                   + 1e-9, 4) AS log_odds
+      FROM m WHERE c_st >= {LOGODDS_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT source, t, c_st, log_odds,
+             row_number() OVER (
+               PARTITION BY source ORDER BY log_odds DESC, t
+             ) AS rn
+      FROM scored
+    )
+    SELECT source, t AS term, c_st AS n_in_source, log_odds
+    FROM ranked WHERE rn <= {LOGODDS_TOP_N}
+    """,
+)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, term, n_in_source, log_odds): top distinctive terms
+    per source by smoothed log-odds vs the rest of the corpus.
+
+    Scale shape: ONE tokenize lineage folds to the (source, term)
+    count table; that aggregate is eager-localCheckpointed (the
+    bigram_pmi pattern — its three marginal windows would otherwise
+    canonicalize as differently-pruned siblings and re-tokenize,
+    gotcha #14); the source/term marginals are windows on the
+    checkpointed table. The global-total window runs on the same
+    bounded vocab×sources frame (at crawl vocab swap it for a
+    broadcast scalar agg). Top-N per source is a row_number with the
+    term tiebreak on the ROUNDED score (WindowGroupLimit pushes
+    rn≤N into the sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    a = F.lit(LOGODDS_ALPHA)
+    m = (
+        st.withColumn("n_s", F.sum("c_st").over(Window.partitionBy("source")))
+        .withColumn("c_t", F.sum("c_st").over(Window.partitionBy("t")))
+        .withColumn("n_total", F.sum("c_st").over(Window.partitionBy()))
+    )
+    log_odds = F.round(
+        F.log((F.col("c_st") + a) / (F.col("n_s") - F.col("c_st") + a))
+        - F.log(
+            (F.col("c_t") - F.col("c_st") + a)
+            / (
+                F.col("n_total")
+                - F.col("n_s")
+                - (F.col("c_t") - F.col("c_st"))
+                + a
+            )
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("log_odds").desc(), "t")
+    return (
+        m.filter(F.col("c_st") >= LOGODDS_MIN_COUNT)
+        .withColumn("log_odds", log_odds)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= LOGODDS_TOP_N)
+        .select(
+            "source",
+            F.col("t").alias("term"),
+            F.col("c_st").alias("n_in_source"),
+            "log_odds",
+        )
+    )

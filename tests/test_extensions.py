@@ -1184,3 +1184,87 @@ def test_weighted_length_quantiles_ordering(spark, sf_dir):
     assert r["n_docs"] == d.count()
     tot = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
     assert r["total_tokens"] == tot
+
+
+def test_distinctive_terms_actually_distinctive(spark, sf_dir):
+    """Every reported term must be RELATIVELY more frequent inside
+    its source than outside it (the log-odds sign check, recomputed
+    from raw counts), 5 rows per source."""
+    rows = _rows(spark, sf_dir, "text_distinctive_terms")
+    from collections import Counter
+
+    per_source = Counter(r["source"] for r in rows)
+    assert all(v == 5 for v in per_source.values())
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("source", "t")
+        .count()
+        .collect()
+    )
+    c_st = {(r["source"], r["t"]): r["count"] for r in tok}
+    n_s = Counter()
+    c_t = Counter()
+    for (s, t), c in c_st.items():
+        n_s[s] += c
+        c_t[t] += c
+    n = sum(n_s.values())
+    for r in rows:
+        ins = c_st[(r["source"], r["term"])]
+        assert ins == r["n_in_source"] >= 5
+        rate_in = ins / n_s[r["source"]]
+        rate_out = (c_t[r["term"]] - ins) / (n - n_s[r["source"]])
+        if r["log_odds"] > 0:
+            assert rate_in > rate_out, (r, rate_in, rate_out)
+
+
+def test_cohort_ltv_monotone_and_mass_balance(spark, sf_dir):
+    """Cumulative LTV never decreases within a cohort; revenue across
+    all cells equals total order revenue; offsets are sane."""
+    rows = _rows(spark, sf_dir, "orders_cohort_ltv")
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r["since"] >= 0
+        assert r["active_customers"] <= r["cohort_size"]
+        by_cohort[r["cohort_month"]].append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["since"])
+        ltvs = [r["cum_ltv_per_customer"] for r in rs]
+        assert ltvs == sorted(ltvs)
+        assert rs[0]["since"] == 0  # acquisition month always present
+    total = sum(r["revenue"] for r in rows)
+    expect = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert abs(total - expect) < 0.02 * len(rows)
+
+
+def test_bot_score_python_replay(spark, sf_dir):
+    """Replay one user's features in python from raw events; flag
+    semantics (volume AND regularity) hold for every row."""
+    rows = _rows(spark, sf_dir, "events_bot_score")
+    for r in rows:
+        assert (r["bot_flag"] == 1) == (
+            r["gap_cv"] is not None
+            and r["gap_cv"] < 0.5001
+            and r["n_events"] >= 50
+        ) or r["gap_cv"] is None
+    target = max(rows, key=lambda r: r["n_events"])
+    ev = sorted(
+        (r["us"], r["event_id"]) for r in
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == target["user_id"])
+        .select(F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    gaps = [(b[0] - a[0]) // 60_000_000 for a, b in zip(ev, ev[1:])]
+    import math
+
+    mean = sum(gaps) / len(gaps)
+    cv = math.sqrt(sum(g * g for g in gaps) / len(gaps) - mean * mean) / mean
+    assert target["n_events"] == len(ev)
+    assert abs(target["gap_cv"] - cv) < 5e-4
