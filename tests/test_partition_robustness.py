@@ -47,6 +47,12 @@ CASES = [
     "events_key_skew_profile",      # checkpointed counts + TakeOrdered (r7)
     "events_winsorize_stats",       # holistic percentile + broadcast rejoin (r7)
     "text_bigram_logprob",          # persisted adjacency + checkpointed bc (r7)
+    "q2_best_supplier_per_part",    # argmax window + ordered limit (r8)
+    "text_ngram_novelty",           # min() window over shingle hash (r8)
+    "orders_market_basket_pairs",   # self-join + ranked limit + lift ties (r8)
+    "text_distinctive_terms",       # checkpointed counts + rank on rounded score (r8)
+    "events_cusum_changepoint",     # running-sum order + argmax tiebreak (r8)
+    "sample_temperature_mixture",   # checkpointed rates + hash threshold (r8)
 ]
 
 
