@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""10x data-densification stress (SCALING.md 'Empirical 10x stress'):
+replicate sf0.1 tables 10x with shifted keys into a temp dir, then
+time selected operators on both corpora. Not a correctness gate (the
+oracle sweeps own that) — a wall-clock scaling probe for operators
+whose cost model claims linearity.
+
+Run: python tools/stress10x.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ray_mapreduce_spark.plans import all_queries  # noqa: E402
+from ray_mapreduce_spark.session import get_spark  # noqa: E402
+from ray_mapreduce_spark.sources import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT = ["text_ngram_novelty", "text_distinctive_terms", "orders_market_basket_pairs"]
+
+SHIFT = {
+    "documents": ("doc_id", 1_000_000),
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 100_000_000),
+}
+
+
+def build_10x(spark, out_dir: str) -> None:
+    for table, (key, shift) in SHIFT.items():
+        base = load_table(spark, SF_DIR, table)
+        parts = [base.withColumn(key, F.col(key) + F.lit(i * shift)) for i in range(10)]
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+    for table in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        src = os.path.join(SF_DIR, f"{table}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_dir, f"{table}.parquet"))
+
+
+def main(names: list[str]) -> None:
+    spark = get_spark()
+    qs = all_queries()
+    tmp = tempfile.mkdtemp(prefix="stress10x_")
+    try:
+        t0 = time.time()
+        build_10x(spark, tmp)
+        print(f"# built 10x corpus in {time.time()-t0:.1f}s at {tmp}")
+        for n in names:
+            for label, d in (("1x", SF_DIR), ("10x", tmp)):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                cnt = qs[n].builder(spark, d).count()
+                print(f"{n} @ {label}: {time.time()-t0:.2f}s ({cnt} rows)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or DEFAULT)
