@@ -76,8 +76,8 @@ def register(
 # ROUND 9 PLAN: (a) CORRECTNESS_r08 red rows first (fix + keep in
 # window), then (b) r9 additions/changes PLUS the 3 late-r8 ops with
 # no driver row (text_distinctive_terms, orders_cohort_ltv,
-# events_bot_score — each builder-verified at sf0.001/0.01/0.1 +
-# sf0.1-deterministic), then (c) the 41 stale r5-green names IN THE
+# events_bot_score, q8_national_market_share — each builder-verified
+# at sf0.001/0.01/0.1 + sf0.1-deterministic), then (c) the 41 stale r5-green names IN THE
 # ORDER LISTED BELOW (json_extract_agg ..
 # array_hof_functions — 4 rounds stale by r9; plans unchanged and
 # re-proven by the r8 sf0.1 sweeps, but they need fresh driver rows),
@@ -138,13 +138,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_gini",
     "orders_priority_drift",
     "text_length_weighted_quantiles",
-    # -- past the 50-slot window. r9 MUST front, in order: (i) the 3
+    # -- past the 50-slot window. r9 MUST front, in order: (i) the 4
     # -- late-r8 ops below (builder-verified at 3 SFs + sf0.1
     # -- determinism, no driver row), (ii) ALL 41 stale r5-green names
     # -- (json_extract_agg .. array_hof_functions) --
     "text_distinctive_terms",
     "orders_cohort_ltv",
     "events_bot_score",
+    "q8_national_market_share",
     "json_extract_agg",
     "interval_shift",
     "math_functions",

@@ -1274,3 +1274,97 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape (national market share): the deepest dim chain in
+# the schema — lineitem⋈part⋈orders⋈customer⋈nation⋈region on the
+# demand side and supplier⋈nation on the supply side — folded to a
+# conditional share per year. Exercises region pruning through two
+# join hops plus the two-role nation join under a per-group ratio.
+Q8_REGION = "EUROPE"
+Q8_PART_TYPE = "STANDARD"
+Q8_SHARE_NATION = "GERMANY"
+
+
+@register(
+    "q8_national_market_share",
+    tags=("join", "tpch", "share", "multi-role", "broadcast"),
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = '{Q8_SHARE_NATION}'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+             AS mkt_share,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2)
+             AS region_revenue
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_type = '{Q8_PART_TYPE}' AND r.r_name = '{Q8_REGION}'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_year, mkt_share, region_revenue): one supplier nation's
+    share of a region's spend on one part type, by year. Scale shape:
+    the part-type filter broadcasts and prunes lineitem FIRST (1/6 of
+    the fact survives); the demand-side chain
+    customer→nation→region collapses to a broadcast customer-key
+    filter (region prunes nations before customers — dims join dims
+    first); ONE fact-fact shuffle (lineitem⋈orders); supplier + both
+    nation roles broadcast; the share is two partial-aggregable
+    conditional sums per year (≤ years rows). Integer year buckets;
+    the share ratio carries +1e-9, the money sum the magnitude-scaled
+    +1e-6 (gotcha #3)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_PART_TYPE)
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    # dims join dims first: region prunes the customer-side nations
+    cn = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_in_region = c.join(F.broadcast(cn), c.c_nationkey == F.col("cn_key")).select(
+        "c_custkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_rev = F.when(F.col("supp_nation") == Q8_SHARE_NATION, rev).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c_in_region), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(share_rev) / F.sum(rev) + F.lit(1e-9), 4).alias(
+                "mkt_share"
+            ),
+            F.round(F.sum(rev) + F.lit(1e-6), 2).alias("region_revenue"),
+        )
+    )

@@ -1268,3 +1268,47 @@ def test_bot_score_python_replay(spark, sf_dir):
     cv = math.sqrt(sum(g * g for g in gaps) / len(gaps) - mean * mean) / mean
     assert target["n_events"] == len(ev)
     assert abs(target["gap_cv"] - cv) < 5e-4
+
+
+def test_q8_market_share_bounds_and_replay(spark, sf_dir):
+    """Shares live in [0, 1]; the German share recomputes from the raw
+    joined frame for every year."""
+    rows = _rows(spark, sf_dir, "q8_national_market_share")
+    assert rows and all(0.0 <= r["mkt_share"] <= 1.0 for r in rows)
+    from ray_mapreduce_spark.plans.relational import (
+        Q8_PART_TYPE,
+        Q8_REGION,
+        Q8_SHARE_NATION,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PART_TYPE)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    s = load_table(spark, sf_dir, "supplier")
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.join(r_, n.n_regionkey == r_.r_regionkey).select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cnk"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == Q8_SHARE_NATION, rev)).alias("g"),
+            F.sum(rev).alias("t"),
+        )
+        .collect()
+    )
+    expect = {r["y"]: (r["g"] or 0.0) / r["t"] for r in base}
+    for r in rows:
+        assert abs(r["mkt_share"] - expect[r["o_year"]]) < 5e-4

@@ -326,7 +326,8 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
     # nation dim + an UNHINTED anti join that must degrade shuffled.
     hinted = ["q5_local_supplier_revenue", "q7_nation_trade_matrix",
               "q14_promo_revenue", "q19_disjunctive_revenue",
-              "q17_small_quantity_revenue", "q22_idle_capital"]
+              "q17_small_quantity_revenue", "q22_idle_capital",
+              "q8_national_market_share"]
     qs = all_queries()
 
     def rows(name):
