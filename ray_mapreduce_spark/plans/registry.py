@@ -85,6 +85,10 @@ def register(
 # dedup-text block first: cluster_kmeans_assign, text_bm25_topdocs,
 # text_unigram_logprob, hybrid_neardup_scores, chunk_documents_overlap;
 # then the r2-refresh tail: text_fingerprint .. stream_interval_join).
+# ARITHMETIC: if r9 adds NOTHING, the window is exactly 4 late-r8 +
+# 41 stale-r5 + the 5-name r6 dedup-text block = 50 — i.e. reorder
+# _DRIVER_PRIORITY to (those 50) and the rotation is done; every r9
+# addition displaces one name off the tail (displaced names lead r10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (1) never driver-checked: the 32 post-r7-window names --
     "events_anomaly_mad",
