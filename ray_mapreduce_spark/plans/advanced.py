@@ -1808,9 +1808,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.select(
             "event_type",
-            (F.unix_micros("ts") / F.lit(86_400_000_000))
-            .cast("bigint")
-            .alias("day"),
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
             "value",
         )
         .groupBy("event_type", "day")
@@ -2196,13 +2194,11 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    g = e.select(
+    g = e.withColumn("lag_us", F.lag("us").over(w)).select(
         "user_id",
         "event_type",
-        (F.col("us") / F.lit(86_400_000_000)).cast("bigint").alias("day"),
-        ((F.col("us") - F.lag("us").over(w)) / F.lit(60_000_000))
-        .cast("bigint")
-        .alias("gap_min"),
+        F.expr("us div 86400000000").alias("day"),
+        F.expr("(us - lag_us) div 60000000").alias("gap_min"),
     )
     f = g.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

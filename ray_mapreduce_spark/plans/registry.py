@@ -74,7 +74,7 @@ def register(
 #     the planned r5 backfill was fully displaced (window = exactly
 #     32 + 18).
 # ROUND 9 PLAN: (a) CORRECTNESS_r08 red rows first (fix + keep in
-# window), then (b) r9 additions/changes PLUS the 3 late-r8 ops with
+# window), then (b) r9 additions/changes PLUS the 4 late-r8 ops with
 # no driver row (text_distinctive_terms, orders_cohort_ltv,
 # events_bot_score, q8_national_market_share — each builder-verified
 # at sf0.001/0.01/0.1 + sf0.1-deterministic), then (c) the 41 stale r5-green names IN THE

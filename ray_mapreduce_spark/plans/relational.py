@@ -150,10 +150,13 @@ def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # TPC-H Q5-shaped multi-join: region -> nation -> customer -> orders ->
 # lineitem -> supplier with the "local supplier" constraint
-# (c_nationkey = s_nationkey). Scale shape: three broadcast joins
-# (region, nation, supplier are O(100) rows at any sf) + one
-# fact-fact shuffle join (orders x lineitem on orderkey); revenue agg
-# is algebraic (partial agg).
+# (c_nationkey = s_nationkey). Scale shape: two broadcast joins
+# (region, nation are O(100) rows at any sf) + one fact-fact shuffle
+# join (orders x lineitem on orderkey); customer AND supplier are
+# fact-proportional (1:10 / 1:150 with orders at every TPC-H sf) so
+# neither carries a hint — AQE broadcasts them at small sf and
+# degrades to SMJ past the ceiling; revenue agg is algebraic
+# (partial agg).
 @register(
     "q5_local_supplier_revenue",
     bench=True,
@@ -190,8 +193,11 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)  # fact-fact shuffle join
         # customer is fact-proportional: no broadcast hint, AQE decides
         .join(c, o.o_custkey == c.c_custkey)
+        # supplier is sf-proportional too (1:15 with customer): no
+        # hint — AQE picks broadcast while it fits, SMJ past the
+        # ceiling (pinned by the fallback test).
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -903,7 +909,9 @@ def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_mktsegment, n_customers, n_repeat, repeat_rate,
     avg_gap_days) per segment. Scale shape: one shuffle on o_custkey
     serves the order-rank AND the gap lag (shared window sort with a
-    unique (date, orderkey) tiebreak); the customer dim broadcasts;
+    unique (date, orderkey) tiebreak); customer is fact-proportional
+    so its join carries NO hint — AQE broadcasts it at small sf and
+    sort-merges past the ceiling (pinned by the fallback test);
     per-customer then per-segment folds partial-aggregate. Gap days
     are INTEGER calendar datediffs (o_orderdate is NTZ — no epoch
     or timezone arithmetic); rates are rationals with the +1e-9
@@ -913,7 +921,7 @@ def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_custkey", "o_orderdate", "o_orderkey", od.alias("od"))
         .withColumn("rn", F.row_number().over(w))
         .withColumn("prev_od", F.lag("od").over(w))
@@ -958,11 +966,13 @@ def orders_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cust_nation, supp_nation, n_items, revenue): the full trade
     matrix. Scale shape: ONE fact-fact shuffle (lineitem⋈orders on
-    orderkey — bucketing both on orderkey removes it); customer,
-    supplier, and BOTH nation roles broadcast (nation joined twice
-    under distinct aliases — Catalyst deduplicates attribute ids, a
-    correctness trap for hand-built engines); the matrix agg
-    partial-aggregates to ≤ nations² rows."""
+    orderkey — bucketing both on orderkey removes it); BOTH nation
+    roles broadcast (nation joined twice under distinct aliases —
+    Catalyst deduplicates attribute ids, a correctness trap for
+    hand-built engines); customer and supplier are fact-proportional
+    so they carry NO hint — AQE broadcasts them at small sf and
+    degrades to SMJ past the ceiling (pinned by the fallback test);
+    the matrix agg partial-aggregates to ≤ nations² rows."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -979,9 +989,9 @@ def q7_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy("cust_nation", "supp_nation")
         .agg(
@@ -1236,7 +1246,9 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(p_partkey, p_name, s_name, s_acctbal, nation): for the first
     100 parts, the richest supplier that ships them. Scale shape:
     distinct (part, supp) reduces the fact to its key pairs before
-    anything else; supplier broadcasts; the groupwise argmax is a
+    anything else; supplier is fact-proportional so its join carries
+    NO hint (AQE broadcasts at small sf, SMJ past the ceiling —
+    pinned by the fallback test); the groupwise argmax is a
     row_number window over l_partkey with the (acctbal DESC, suppkey)
     composite ordering — the min_by tie discipline (gotcha #13: ties
     WILL occur at volume; the unique suppkey makes rank 1 unique);
@@ -1255,7 +1267,7 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(), "s_suppkey"
     )
     best = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -1315,11 +1327,14 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(o_year, mkt_share, region_revenue): one supplier nation's
     share of a region's spend on one part type, by year. Scale shape:
     the part-type filter broadcasts and prunes lineitem FIRST (1/6 of
-    the fact survives); the demand-side chain
-    customer→nation→region collapses to a broadcast customer-key
-    filter (region prunes nations before customers — dims join dims
-    first); ONE fact-fact shuffle (lineitem⋈orders); supplier + both
-    nation roles broadcast; the share is two partial-aggregable
+    the fact survives); the demand-side chain collapses via dims-
+    join-dims-first (region prunes nations to a broadcast key set
+    BEFORE touching customer), but the region-filtered customer-key
+    frame is still ~1/5 of a fact-proportional table, so its join —
+    like supplier's — carries NO hint: AQE broadcasts both at small
+    sf and sort-merges past the ceiling (pinned by the fallback
+    test); ONE fact-fact shuffle (lineitem⋈orders); both nation
+    roles broadcast; the share is two partial-aggregable
     conditional sums per year (≤ years rows). Integer year buckets;
     the share ratio carries +1e-9, the money sum the magnitude-scaled
     +1e-6 (gotcha #3)."""
@@ -1357,8 +1372,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c_in_region), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c_in_region, o.o_custkey == F.col("c_custkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(

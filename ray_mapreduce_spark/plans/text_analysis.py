@@ -1986,14 +1986,15 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE tokenize lineage folds to the (source, term)
     count table; that aggregate is eager-localCheckpointed (the
-    bigram_pmi pattern — its three marginal windows would otherwise
+    bigram_pmi pattern — its marginal consumers would otherwise
     canonicalize as differently-pruned siblings and re-tokenize,
     gotcha #14); the source/term marginals are windows on the
-    checkpointed table. The global-total window runs on the same
-    bounded vocab×sources frame (at crawl vocab swap it for a
-    broadcast scalar agg). Top-N per source is a row_number with the
-    term tiebreak on the ROUNDED score (WindowGroupLimit pushes
-    rn≤N into the sort)."""
+    checkpointed table, and the global total is a broadcast SCALAR
+    agg over the checkpoint (r9, VERDICT r8 — a Window.partitionBy()
+    would funnel the whole vocab×sources frame through one
+    partition). Top-N per source is a row_number with the term
+    tiebreak on the ROUNDED score (WindowGroupLimit pushes rn≤N
+    into the sort)."""
     d = load_table(spark, sf_dir, "documents")
     st = (
         d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
@@ -2002,10 +2003,11 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = F.lit(LOGODDS_ALPHA)
+    total = st.agg(F.sum("c_st").cast("bigint").alias("n_total"))
     m = (
         st.withColumn("n_s", F.sum("c_st").over(Window.partitionBy("source")))
         .withColumn("c_t", F.sum("c_st").over(Window.partitionBy("t")))
-        .withColumn("n_total", F.sum("c_st").over(Window.partitionBy()))
+        .crossJoin(F.broadcast(total))
     )
     log_odds = F.round(
         F.log((F.col("c_st") + a) / (F.col("n_s") - F.col("c_st") + a))

@@ -107,21 +107,30 @@ def test_streaming_batch_aggs_are_partial(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # map-side partial counts
 
 
-def test_no_customer_broadcast_hint_at_scale(spark, sf_dir):
-    """customer is fact-proportional: its joins must carry no explicit
-    broadcast HINT (AQE may still choose broadcast at test sf — that's
-    the point). Checked on the optimized logical plan: ResolvedHint
-    nodes would appear there."""
+def test_no_fact_proportional_broadcast_hint(spark, sf_dir):
+    """customer AND supplier are fact-proportional: their joins must
+    carry no explicit broadcast HINT (AQE may still choose broadcast
+    at test sf — that's the point; a hint would remove the SMJ
+    fallback and fail outright past the 8 GB ceiling). Checked on the
+    optimized logical plan: ResolvedHint nodes would appear there."""
     from ray_mapreduce_spark.plans import all_queries
 
     for name in ("q3_shipping_priority", "q5_local_supplier_revenue",
-                 "q10_returned_item_revenue", "above_segment_avg_orders"):
+                 "q10_returned_item_revenue", "above_segment_avg_orders",
+                 "q7_nation_trade_matrix", "q8_national_market_share",
+                 "q2_best_supplier_per_part", "orders_repeat_purchase_rate"):
         df = all_queries()[name].builder(spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
-        # region/nation/supplier hints are fine; none may reference customer
+        # region/nation/filtered-part hints are fine; none may
+        # reference customer or supplier key columns
         for line in logical.splitlines():
-            if "broadcast" in line.lower() and "c_custkey" in line:
-                raise AssertionError(f"{name}: broadcast hint on customer:\n{line}")
+            low = line.lower()
+            if "broadcast" in low and (
+                "c_custkey" in line or "s_suppkey" in line
+            ):
+                raise AssertionError(
+                    f"{name}: broadcast hint on a fact-proportional side:\n{line}"
+                )
 
 
 def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
@@ -316,18 +325,24 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
     join) broadcast only because AQE CHOOSES to at test sizes. When
     the side no longer fits (simulated: autoBroadcastJoinThreshold
     -1), the plan must degrade to a shuffled join — never a cartesian
-    or nested-loop — and produce identical results. Explicitly
-    F.broadcast-hinted dims (q5/q7/q14/q19) keep their hints by
-    design (they are bounded at ANY sf), so they are asserted only
-    cartesian-free + correct."""
-    unhinted = ["q3_shipping_priority", "q13_customer_distribution"]
+    or nested-loop — and produce identical results. Hint discipline
+    (SCALING.md): explicit F.broadcast ONLY on frames bounded at ANY
+    sf (region/nation, filter-derived scalars, brand/type-filtered
+    part). customer and supplier are fact-proportional, so r9 dropped
+    their hints everywhere (q2/q5/q7/q8/repeat-purchase) — those
+    plans are `mixed`: bounded dims keep hints (BroadcastHashJoin
+    allowed under threshold -1), but the fact-proportional side must
+    degrade to a shuffled join."""
+    unhinted = ["q3_shipping_priority", "q13_customer_distribution",
+                "orders_repeat_purchase_rate"]
+    # fact-side unhinted + bounded-dim hints kept:
+    mixed = ["q5_local_supplier_revenue", "q7_nation_trade_matrix",
+             "q8_national_market_share", "q2_best_supplier_per_part"]
     # q22 mixes both: hinted 1-row scalar (a deliberate
     # BroadcastNestedLoopJoin with a single-row build side) + hinted
     # nation dim + an UNHINTED anti join that must degrade shuffled.
-    hinted = ["q5_local_supplier_revenue", "q7_nation_trade_matrix",
-              "q14_promo_revenue", "q19_disjunctive_revenue",
-              "q17_small_quantity_revenue", "q22_idle_capital",
-              "q8_national_market_share"]
+    hinted = ["q14_promo_revenue", "q19_disjunctive_revenue",
+              "q17_small_quantity_revenue", "q22_idle_capital"]
     qs = all_queries()
 
     def rows(name):
@@ -335,7 +350,7 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
             map(tuple, qs[name].builder(spark, sf_dir).collect())
         )
 
-    baseline = {n: rows(n) for n in unhinted + hinted}
+    baseline = {n: rows(n) for n in unhinted + mixed + hinted}
     old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_aqe = spark.conf.get(
         "spark.sql.adaptive.autoBroadcastJoinThreshold", None
@@ -343,7 +358,7 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        for n in unhinted + hinted:
+        for n in unhinted + mixed + hinted:
             nodes = _executed_nodes(spark, n, sf_dir)
             joined = " ".join(nodes)
             assert "CartesianProduct" not in joined, n
@@ -355,14 +370,15 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
                 assert any(
                     x in ("SortMergeJoin", "ShuffledHashJoin") for x in nodes
                 ), "q22: anti join did not degrade to a shuffled join"
-        for n in unhinted:
+        for n in unhinted + mixed:
             nodes = _executed_nodes(spark, n, sf_dir)
             assert any(
                 x in ("SortMergeJoin", "ShuffledHashJoin") for x in nodes
             ), f"{n}: no shuffled join appeared under threshold -1"
-            assert "BroadcastHashJoin" not in nodes, (
-                f"{n}: unhinted join still broadcast with threshold -1"
-            )
+            if n in unhinted:
+                assert "BroadcastHashJoin" not in nodes, (
+                    f"{n}: unhinted join still broadcast with threshold -1"
+                )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
         if old_aqe is None:
@@ -371,6 +387,25 @@ def test_broadcast_fallback_degrades_to_smj_not_cartesian(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+def test_distinctive_terms_total_is_broadcast_scalar(spark, sf_dir):
+    """text_distinctive_terms (r9, VERDICT r8 #5): the corpus total
+    must be a 1-row broadcast scalar, never a Window.partitionBy()
+    that funnels the vocab×sources frame through one partition. Pin:
+    every Window node in the executed plan carries a partition key,
+    and the scalar lands via a broadcast join."""
+    qs = all_queries()
+    df = qs["text_distinctive_terms"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("*:+- (0123456789)")
+        if stripped.startswith("Window ["):
+            assert "], [" in stripped and "#" in stripped.split("], [")[1], (
+                f"unpartitioned window:\n{line}"
+            )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_market_basket_self_join_runtime_reuses_exchange(spark, sf_dir):
