@@ -14,12 +14,14 @@ Usage:
 
 Both print one summary line; non-empty failure lists exit 1.
 
-``--changed-only`` skips queries whose plan hash (sha256 of the
-builder's WHOLE MODULE source + the oracle SQL) already passed this
-mode+SF in ``tools/.sweep_cache.json``. Conservative within a module
-(any module edit re-runs all its queries) but BLIND to cross-module
-helper changes (sources/ loaders, operators/) — so the once-per-round
-closing sweep must still run without the flag.
+``--changed-only`` skips queries whose plan hash already passed this
+mode+SF in ``tools/.sweep_cache.json``. Since r9 the hash covers the
+builder's whole module PLUS its transitive `from .X import` sibling
+plans modules PLUS a shared digest over every non-plans package
+module (sources/, operators/, functions/, streaming/, ...), so
+loader/helper edits invalidate dependents and closing sweeps may use
+the flag. Still conservative: any module edit re-runs all its
+dependent queries.
 
 Both sweeps release persisted caches between queries
 (testing.release_caches) and report the peak cached-block footprint —
@@ -40,18 +42,67 @@ from pyspark.sql import SparkSession  # noqa: E402
 _CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sweep_cache.json")
 
 
-def _plan_hashes() -> dict:
-    """name -> sha256 over (builder module source, oracle SQL)."""
+def _plan_hashes(source_overrides: dict | None = None) -> dict:
+    """name -> sha256 over (every non-plans package module, the
+    builder's plans module + its TRANSITIVE sibling plans imports,
+    oracle SQL).
+
+    r9 (VERDICT r8 #4): the r8 key hashed only the builder module +
+    oracle, blind to sources//operators//functions//streaming/ helper
+    edits AND to cross-plans-module helpers (dedup pulls
+    QUALITY_RAW_SQL from text_analysis; graph->similarity->dedup).
+    Now a shared digest over all non-plans modules is mixed into
+    every key and `from .X import` sibling edges are followed
+    transitively, so a helper edit invalidates its dependents and
+    closing sweeps may use --changed-only safely.
+
+    ``source_overrides`` maps package-relative paths (e.g.
+    ``sources/__init__.py``) to replacement source — test hook."""
     import hashlib
-    import inspect
+    import pathlib
+    import re
 
     from ray_mapreduce_spark.plans import all_queries
 
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "ray_mapreduce_spark"
+    srcs = {
+        p.relative_to(pkg).as_posix(): p.read_text()
+        for p in sorted(pkg.rglob("*.py"))
+    }
+    if source_overrides:
+        srcs.update(source_overrides)
+
+    shared = hashlib.sha256()
+    for rel in sorted(srcs):
+        if not rel.startswith("plans/"):
+            shared.update(rel.encode())
+            shared.update(srcs[rel].encode())
+    shared_digest = shared.digest()
+
+    sib = {
+        rel: set(re.findall(r"from \.(\w+) import", srcs[rel]))
+        for rel in srcs
+        if rel.startswith("plans/")
+    }
+
+    def closure(base: str) -> list:
+        seen: set = set()
+        todo = {base}
+        while todo:
+            m = todo.pop()
+            if m in seen:
+                continue
+            seen.add(m)
+            todo |= sib.get(f"plans/{m}.py", set())
+        return sorted(seen)
+
     out = {}
     for name, spec in all_queries().items():
-        mod_src = inspect.getsource(sys.modules[spec.builder.__module__])
+        base = spec.builder.__module__.rsplit(".", 1)[-1]
         h = hashlib.sha256()
-        h.update(mod_src.encode())
+        h.update(shared_digest)
+        for m in closure(base):
+            h.update(srcs.get(f"plans/{m}.py", "").encode())
         h.update((spec.oracle or "").encode())
         out[name] = h.hexdigest()
     return out
