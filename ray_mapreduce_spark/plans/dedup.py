@@ -1581,3 +1581,246 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(novel).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("novelty_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# ORACLE-PAIRED MinHash: the estimator math itself, hash-verified.
+# dedup_minhash_pairs stays rows-only because its xxhash64 seeded
+# permutations are engine-specific; this query swaps the permutation
+# family for a cross-engine hash (sha256 prefix — the
+# text_quality_classifier mechanism) so DuckDB replays the EXACT
+# signatures, and pairs the k=16 estimate with the exact Jaccard on
+# the same pairs. That turns "LSH internals" into driver-hash
+# evidence: the estimator's per-pair error is itself verified.
+EST_SEEDS = 16
+EST_MIN_JACCARD = 0.3
+
+
+def _est_sig_exprs_spark() -> list:
+    # per-seed value = first 15 hex chars (60 bits, bigint-safe) of
+    # sha256("<seed>|<shingle string>") — identical text both engines
+    return [
+        F.expr(
+            f"min(cast(conv(substring(sha2(concat('{i}|', g), 256), 1, 15), 16, 10)"
+            f" as bigint)) AS m{i}"
+        )
+        for i in range(EST_SEEDS)
+    ]
+
+
+def _est_sig_exprs_duckdb() -> str:
+    return ",\n             ".join(
+        f"min(CAST(concat('0x', substr(sha256('{i}|' || sh), 1, 15)) AS BIGINT))"
+        f" AS m{i}"
+        for i in range(EST_SEEDS)
+    )
+
+
+@register(
+    "dedup_minhash_estimate_pairs",
+    tags=("dedup", "minhash", "estimator", "jaccard"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))
+            >= {EST_MIN_JACCARD}
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    sig AS (
+      SELECT doc_id,
+             {{SIG_EXPRS}}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.n_common AS DOUBLE)
+                 / (p.n_a + p.n_b - p.n_common), 4) AS jaccard,
+           CAST({" + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(EST_SEEDS))}
+                AS BIGINT) AS n_match,
+           round(CAST({" + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(EST_SEEDS))}
+                      AS DOUBLE) / {EST_SEEDS}, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """.replace("{SIG_EXPRS}", _est_sig_exprs_duckdb()),
+)
+def dedup_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard, n_match, est_jaccard): for every
+    same-lang pair with exact Jaccard >= 0.3, the k=16 MinHash
+    estimate next to the truth — the sketch-accuracy audit a pipeline
+    runs before trusting banding thresholds at crawl scale.
+
+    Scale shape: the pair source is the shared inverted-index core
+    (no quadratic term — that lives only in the DuckDB oracle); the
+    expensive cross-engine sha256 signatures are computed ONLY for
+    pair-involved docs (semi-join first — at crawl scale that's
+    |candidates| docs, not the corpus); signature build is ONE
+    groupBy(doc_id) with 16 algebraic min() aggregates over codegen'd
+    expressions (min is duplicate-insensitive, so no distinct needed;
+    partial-aggregates map-side to one 16-long row per doc per map
+    partition — the _signatures_from_shingles shape). The pair frame
+    has dependency-ordered consumers (ids feed the signature stage
+    the final join also needs) — lazy persist per gotcha #9.
+    est_jaccard = n_match/16 values are exact binary fractions
+    (k·2⁻⁴), so the 4dp round is boundary-free on both engines."""
+    from pyspark import StorageLevel
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    common = _ngram_common_counts(d)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    pairs = (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= EST_MIN_JACCARD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand_ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+
+    # shingle STRINGS (not xxhash64 longs): the cross-engine hash must
+    # see identical text; built with the _shingle_hashes lead-chain
+    # but combining token strings, only for candidate docs
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    ).join(cand_ids, "doc_id", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.withColumn("t1", F.lead("t", 1).over(w))
+        .withColumn("t2", F.lead("t", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("g"))
+    )
+    sig = sh.groupBy("doc_id").agg(*_est_sig_exprs_spark())
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(EST_SEEDS)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(EST_SEEDS)]
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(EST_SEEDS)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_match.cast("bigint").alias("n_match"),
+            F.round(n_match.cast("double") / EST_SEEDS, 4).alias("est_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring decontamination at span granularity: the
+# industry-standard "n-gram collision" benchmark screen (GPT-3 used
+# 13-gram overlap) — a train doc is contaminated when any SPAN_K-token
+# window of it appears verbatim in a benchmark doc. Complements
+# decontaminate_ngram_overlap (3-shingle mass, fuzzy) and
+# decontaminate_embedding (semantic): this is the exact-match tier.
+@register(
+    "decontaminate_substring_spans",
+    tags=("dedup", "decontamination", "spans", "substring"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ')
+                     FOR i IN range(1, greatest(len(toks) - {SPAN_K - 2}, 1))]) AS g
+      FROM t
+      WHERE len(toks) >= {SPAN_K}
+    ),
+    bench AS (SELECT DISTINCT g FROM s WHERE doc_id % 7 = 0),
+    train AS (SELECT doc_id, g FROM s WHERE doc_id % 7 <> 0),
+    hits AS (
+      SELECT tr.doc_id,
+             count(*)                                    AS n_spans,
+             sum(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS n_hit
+      FROM train tr LEFT JOIN bench b ON b.g = tr.g
+      GROUP BY tr.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_spans, 4) AS hit_frac
+    FROM hits WHERE n_hit >= 1
+    """,
+)
+def decontaminate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, n_hit, hit_frac) for train docs sharing at
+    least one verbatim SPAN_K-token span with the benchmark split
+    (doc_id % 7 == 0 — the decontaminate_ngram_overlap convention).
+
+    Scale shape: spans travel as 8-byte xxhash64 longs built by the
+    dedup_repeated_spans lead-chain (one doc_id-sorted window, spans
+    never shuffle as text; collision odds ~1e-15 vs the string
+    oracle); per-doc DISTINCT spans (the benchmark is a set — hit
+    counts must not inflate on internal repetition); the span table
+    feeds BOTH the benchmark-distinct branch and the train branch
+    (differently-pruned siblings never exchange-reuse, gotcha #14) so
+    it is eager-localCheckpointed once. The contamination test is a
+    LEFT equi-join on the span hash — the benchmark side collapses to
+    a distinct hash set (in production: built once per benchmark
+    release, broadcast or bucketed); per-doc counts partial-aggregate.
+    hit_frac is int/int in identical IEEE order on both engines."""
+    return substring_span_hits(load_table(spark, sf_dir, "documents"))
+
+
+def substring_span_hits(d: DataFrame) -> DataFrame:
+    """Core span-collision decontamination over any (doc_id, text)
+    frame — see ``decontaminate_substring_spans`` for plan notes."""
+    d = _spread(d)
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h = tok.select("doc_id", "pos", F.xxhash64("t").alias("h0"))
+    for i in range(1, SPAN_K):
+        h = h.withColumn(f"h{i}", F.lead("h0", i).over(w))
+    spans = (
+        h.filter(F.col(f"h{SPAN_K - 1}").isNotNull())
+        .select("doc_id", F.xxhash64(*[f"h{i}" for i in range(SPAN_K)]).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bench = (
+        spans.filter(F.pmod("doc_id", F.lit(7)) == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = spans.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    return (
+        train.join(bench, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 4
+            ).alias("hit_frac"),
+        )
+        .filter(F.col("n_hit") >= 1)
+    )

@@ -73,83 +73,40 @@ def register(
 #     stale re-verification (the sample_split_assign precedent), so
 #     the planned r5 backfill was fully displaced (window = exactly
 #     32 + 18).
-# ROUND 9 PLAN: (a) CORRECTNESS_r08 red rows first (fix + keep in
-# window), then (b) r9 additions/changes PLUS the 4 late-r8 ops with
-# no driver row (text_distinctive_terms, orders_cohort_ltv,
-# events_bot_score, q8_national_market_share — each builder-verified
-# at sf0.001/0.01/0.1 + sf0.1-deterministic), then (c) the 41 stale r5-green names IN THE
-# ORDER LISTED BELOW (json_extract_agg ..
-# array_hof_functions — 4 rounds stale by r9; plans unchanged and
-# re-proven by the r8 sf0.1 sweeps, but they need fresh driver rows),
-# then (d) backfill from the oldest r6-green slice (the r6-changed/new
-# dedup-text block first: cluster_kmeans_assign, text_bm25_topdocs,
-# text_unigram_logprob, hybrid_neardup_scores, chunk_documents_overlap;
-# then the r2-refresh tail: text_fingerprint .. stream_interval_join).
-# ARITHMETIC: if r9 adds NOTHING, the window is exactly 4 late-r8 +
-# 41 stale-r5 + the 5-name r6 dedup-text block = 50 — i.e. reorder
-# _DRIVER_PRIORITY to (those 50) and the rotation is done; every r9
-# addition displaces one name off the tail (displaced names lead r10).
+# ROUND 9 WINDOW (executed per VERDICT r8 #1): CORRECTNESS_r08 had
+# ZERO red rows, so the window = (1) the 4 late-r8 ops that never got
+# a driver row + (2) the 5 r9 additions (each oracle-green at
+# sf0.001/0.01/0.1 AND sf0.1-partition-deterministic in-round) +
+# (3) ALL 41 stale r5-green names (4 rounds stale; plans unchanged,
+# re-proven by the r8/r9 sweeps, but they need fresh driver rows)
+# = exactly 50. The planned 5-name r6 dedup-text block was displaced
+# by the 5 additions (new > stale — the sample_split_assign
+# precedent) and now LEADS ROUND 10.
+# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) r10
+# additions/changes, then (c) the displaced r6 dedup-text block
+# (cluster_kmeans_assign, text_bm25_topdocs, text_unigram_logprob,
+# hybrid_neardup_scores, chunk_documents_overlap — listed first past
+# the window below), then (d) the 8 rows-only names whose driver rows
+# are stuck at r6 (agg_approx_count_distinct, approx_percentiles,
+# dedup_minhash_pairs, dedup_clusters, pipeline_clean_corpus,
+# similarity_topk_lsh, dedup_embedding_lsh, similarity_topk_ivf —
+# listed second past the window; VERDICT r8 #6 asked for this
+# reservation in writing), then (e) the r2-refresh tail
+# (text_fingerprint .. stream_interval_join). Every r10 addition
+# displaces from the tail of (c)+(d) — displaced names lead r11.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (1) never driver-checked: the 32 post-r7-window names --
-    "events_anomaly_mad",
-    "text_token_entropy",
-    "sample_weighted_priority",
-    "dedup_jaccard_prefixfilter",
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "similarity_pq_rerank_topk",
-    "events_linreg_trend",
-    "corpus_source_kl",
-    "dedup_cross_source_matrix",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "text_heavy_hitters_mg",
-    "corpus_snapshot_diff",
-    "text_vocab_coverage",
-    "similarity_tfidf_cosine_pairs",
-    "events_markov_transitions",
-    "orders_rfm_segments",
-    "embedding_covariance",
-    "dedup_exact_normalized",
-    "events_hourly_seasonality",
-    "embedding_power_iteration",
-    "events_funnel_time_to_convert",
-    "orders_repeat_purchase_rate",
-    "q7_nation_trade_matrix",
-    "dedup_rate_by_source",
-    "events_value_autocorr",
-    "orders_pareto_share",
-    "events_wau_rolling",
-    "events_top_paths",
-    "text_oov_rate",
-    "text_quality_length_corr",
-    # -- (2) the 18 round-8 additions (all oracle-paired) --
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_idle_capital",
-    "orders_market_basket_pairs",
-    "events_user_overlap",
-    "embedding_dim_stats",
-    "text_truncation_loss",
-    "q2_best_supplier_per_part",
-    "text_ngram_novelty",
-    "events_session_length_stats",
-    "sample_temperature_mixture",
-    "embedding_znorm_outliers",
-    "events_cusum_changepoint",
-    "orders_revenue_momentum",
-    "events_user_gini",
-    "orders_priority_drift",
-    "text_length_weighted_quantiles",
-    # -- past the 50-slot window. r9 MUST front, in order: (i) the 4
-    # -- late-r8 ops below (builder-verified at 3 SFs + sf0.1
-    # -- determinism, no driver row), (ii) ALL 41 stale r5-green names
-    # -- (json_extract_agg .. array_hof_functions) --
+    # -- (1) the 4 late-r8 ops: first-ever driver rows --
     "text_distinctive_terms",
     "orders_cohort_ltv",
     "events_bot_score",
     "q8_national_market_share",
+    # -- (2) the 5 round-9 additions --
+    "q16_part_supplier_variety",
+    "q21_late_sole_suppliers",
+    "dedup_minhash_estimate_pairs",
+    "decontaminate_substring_spans",
+    "sample_epoch_mixture_plan",
+    # -- (3) the 41 stale r5-green names, r5-window order --
     "json_extract_agg",
     "interval_shift",
     "math_functions",
@@ -185,13 +142,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_scalar_log_value",
     "dedup_exact",
     "dedup_exact_stats",
-    "dedup_ngram_jaccard",
     "dedup_survivors_window",
     "text_token_stats",
     "text_token_count_regex",
     "text_lang_id",
     "text_top_bigrams",
     "array_hof_functions",
+    # ---- past the 50-slot window: r10 leads, in order ----
+    # (c) the r6-green dedup-text block (incl. dedup_ngram_jaccard,
+    #     which prior notes miscounted into the "stale r5" 41 — its
+    #     newest green row is r6, see CORRECTNESS_r06)
+    "dedup_ngram_jaccard",
+    "cluster_kmeans_assign",
+    "text_bm25_topdocs",
+    "text_unigram_logprob",
+    "hybrid_neardup_scores",
+    "chunk_documents_overlap",
+    # (d) the 8 rows-only names stuck at r6 driver rows
+    "agg_approx_count_distinct",
+    "approx_percentiles",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "pipeline_clean_corpus",
+    "similarity_topk_lsh",
+    "dedup_embedding_lsh",
+    "similarity_topk_ivf",
 )
 
 

@@ -1383,3 +1383,174 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev) + F.lit(1e-6), 2).alias("region_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+# variety per part attribute bucket with a NOT-IN exclusion subquery.
+# The testdata has no partsupp table or supplier comments (reference
+# schema: mapreduce_unittest.py exercises only text records), so the
+# supplier-part relation is the DISTINCT (l_partkey, l_suppkey) pairs
+# actually shipped, and the "complaint" exclusion is adapted to
+# deadbeat suppliers (s_acctbal < 0) — same plan shape as pristine
+# Q16: anti join + distinct-count rollup.
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE = "PROMO"
+Q16_MAX_SIZE = 25
+
+
+@register(
+    "q16_part_supplier_variety",
+    tags=("join", "anti-join", "distinct", "tpch"),
+    oracle=f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type <> '{Q16_EXCL_TYPE}'
+      AND p.p_size <= {Q16_MAX_SIZE}
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt): how many distinct
+    eligible suppliers ship each surviving part bucket. Scale shape:
+    distinct (partkey, suppkey) collapses the fact FIRST (the only
+    fact-sized shuffle); the NOT-IN exclusion is a LEFT ANTI join
+    against the filtered supplier keys — a frame bounded by the
+    FILTER's selectivity, but still supplier-derived, so it carries
+    no broadcast hint (AQE broadcasts it at any realistic sf — a
+    negative-balance subset — and would degrade if it didn't fit);
+    part's attribute filters push to the scan and the dim join prunes
+    before the distinct-count rollup, which is two-phase (partial
+    distinct map-side). Every group emits (no LIMIT), so no tiebreak
+    discipline is needed."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & (F.col("p_size") <= Q16_MAX_SIZE)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers kept waiting): the double-correlated
+# EXISTS / NOT-EXISTS query — for finished orders, suppliers whose
+# line shipped late while EVERY other supplier on the same
+# multi-supplier order shipped on time. lineitem has no
+# commit/receipt dates (see q4), so "late" is adapted to shipping
+# more than Q21_LATE_DAYS after the order date.
+Q21_LATE_DAYS = 60
+Q21_TOP_N = 20
+
+
+@register(
+    "q21_late_sole_suppliers",
+    tags=("join", "window", "exists", "tpch", "topk"),
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE))
+                           > {Q21_LATE_DAYS}
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    w AS (
+      SELECT l_orderkey, l_suppkey, late,
+             count(*) OVER (PARTITION BY l_orderkey)  AS n_supp,
+             sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM j
+    ),
+    q AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      FROM w
+      WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation, q.numwait
+    FROM q
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    ORDER BY q.numwait DESC, s.s_name
+    LIMIT {Q21_TOP_N}
+    """,
+)
+def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, nation, numwait): suppliers most often the SOLE late
+    shipper on a finished multi-supplier order. Scale shape: the
+    EXISTS ('some other supplier') and NOT-EXISTS ('no other late
+    supplier') correlations never run as subqueries — one fact-fact
+    join (lineitem⋈orders, status filter pushed to the orders scan)
+    folds to (orderkey, suppkey, late) granularity, then BOTH
+    correlated conditions become two windows over ONE orderkey
+    partition (count and sum share a single Sort). At the 100 TB
+    regime this whole chain costs ONE exchange: the sort-merge join
+    leaves the data hashpartitioned on orderkey, which satisfies the
+    composite-key aggregate (subset-clustering rule) AND the windows,
+    so neither adds a shuffle; only at broadcast-join sf does Spark
+    insert the two small post-join exchanges instead. The
+    per-supplier count rejoins supplier unhinted (fact-proportional,
+    no hint — and the count side is tiny, so AQE broadcasts THAT
+    side); nation broadcasts; the top-N rides TakeOrdered with the
+    unique s_name tiebreak (gotcha #13)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > Q21_LATE_DAYS
+    ).cast("int")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    wo = Window.partitionBy("l_orderkey")
+    q = (
+        j.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("late").over(wo))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        q.join(s, q.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"), "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(Q21_TOP_N)
+    )

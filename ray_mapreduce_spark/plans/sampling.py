@@ -623,3 +623,94 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TEMP_RES
     ) < F.col("keep_thr")
     return d.join(F.broadcast(thr), "lang").filter(keep).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Epoch/repetition planning for a token-budget training mix: given a
+# total token budget (a multiple of the corpus) and temperature-α=0.5
+# source weights, how many epochs of each source does the mix imply,
+# and how much of the target is unreachable under a max-epoch cap
+# (the "repeat up to ~4 epochs" data-constrained scaling rule)?
+# This is the planning table a data-mixing pipeline materializes
+# before sampling; sample_temperature_mixture is the corresponding
+# row-level filter.
+EPOCH_BUDGET_MULT = 3
+EPOCH_CAP = 4
+
+
+@register(
+    "sample_epoch_mixture_plan",
+    tags=("sampling", "mixture", "planning", "tokens"),
+    oracle=f"""
+    WITH counts AS (
+      SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    z AS (
+      SELECT sum(sqrt(n_tokens)) AS z,
+             CAST(sum(n_tokens) AS BIGINT) AS total
+      FROM counts
+    )
+    SELECT c.source, c.n_tokens,
+           round(sqrt(c.n_tokens) / z.z + 1e-9, 6) AS mix_weight,
+           CAST(floor({EPOCH_BUDGET_MULT} * z.total * sqrt(c.n_tokens) / z.z)
+                AS BIGINT) AS target_tokens,
+           round(least(CAST({EPOCH_CAP} AS DOUBLE),
+                       floor({EPOCH_BUDGET_MULT} * z.total * sqrt(c.n_tokens) / z.z)
+                       / c.n_tokens) + 1e-9, 4) AS epochs,
+           CAST(greatest(0, CAST(floor({EPOCH_BUDGET_MULT} * z.total
+                                       * sqrt(c.n_tokens) / z.z) AS BIGINT)
+                            - {EPOCH_CAP} * c.n_tokens) AS BIGINT)
+             AS capped_shortfall
+    FROM counts c CROSS JOIN z
+    """,
+)
+def sample_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, mix_weight, target_tokens, epochs,
+    capped_shortfall): per-source repetition plan for a
+    EPOCH_BUDGET_MULT× token budget under α=0.5 weights and an
+    EPOCH_CAP-epoch ceiling.
+
+    Scale shape: ONE partial-aggregated shuffle (token counts per
+    source — the count is a codegen'd size(split()) at scan speed,
+    documents never leave the map side); the normalizer is a 1-row
+    broadcast; everything after is per-source arithmetic on ≤
+    |sources| rows. Numerics: α=0.5 via sqrt (IEEE correctly-rounded
+    — pow is NOT, the temperature-mixture precedent); target_tokens
+    is floored ONCE to an integer both engines share, so epochs and
+    the integer capped_shortfall derive from identical inputs; the
+    near-boundary floor divergence argument is the same measure-zero
+    one sample_temperature_mixture documents."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.size(F.split(F.lower("text"), " ")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+        .localCheckpoint(eager=True)  # two consumers: normalizer + plan
+    )
+    z = counts.agg(
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("total"),
+    )
+    target = F.floor(
+        F.lit(EPOCH_BUDGET_MULT) * F.col("total") * F.sqrt("n_tokens") / F.col("z")
+    ).cast("bigint")
+    return counts.join(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") / F.col("z") + F.lit(1e-9), 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(float(EPOCH_CAP)),
+                target.cast("double") / F.col("n_tokens"),
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("epochs"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            target - F.lit(EPOCH_CAP) * F.col("n_tokens"),
+        ).alias("capped_shortfall"),
+    )

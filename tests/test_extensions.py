@@ -1312,3 +1312,49 @@ def test_q8_market_share_bounds_and_replay(spark, sf_dir):
     expect = {r["y"]: (r["g"] or 0.0) / r["t"] for r in base}
     for r in rows:
         assert abs(r["mkt_share"] - expect[r["o_year"]]) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# r9: MinHash estimator audit + exact-substring span decontamination
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """dedup_minhash_estimate_pairs puts the k=16 sketch estimate
+    next to the exact Jaccard for every pair — the estimator must
+    actually track the truth (σ = sqrt(j(1-j)/16) ≈ 0.1 at j≈0.7;
+    gates leave ~2-3σ headroom). Deterministic: the sha256 signature
+    family is seed-free."""
+    rows = all_queries()["dedup_minhash_estimate_pairs"].builder(
+        spark, sf_dir
+    ).collect()
+    assert rows, "no pairs at this sf"
+    errs = [abs(r.jaccard - r.est_jaccard) for r in rows]
+    assert max(errs) <= 0.35, max(errs)
+    assert sum(errs) / len(errs) <= 0.15, sum(errs) / len(errs)
+    for r in rows:
+        assert r.est_jaccard == round(r.n_match / 16.0, 4)
+
+
+def test_substring_span_decon_planted_quote(spark):
+    """A train doc quoting 8+ consecutive benchmark tokens must be
+    flagged; a train doc with no 8-token overlap must not. Benchmark
+    split = doc_id % 7 == 0."""
+    from ray_mapreduce_spark.plans.dedup import substring_span_hits
+
+    phrase = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        # benchmark doc (0 % 7 == 0) containing the phrase
+        (0, "xx yy " + phrase + " zz ww"),
+        # train doc quoting the phrase verbatim -> contaminated
+        (1, "intro words here " + phrase + " closing words"),
+        # train doc sharing only a 7-token prefix -> clean
+        (2, "alpha bravo charlie delta echo foxtrot golf DIFFERENT tail words pad pad"),
+        # train doc with no overlap at all -> clean
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in substring_span_hits(d).collect()}
+    assert 1 in out and out[1].n_hit >= 1
+    assert out[1].hit_frac == round(out[1].n_hit / out[1].n_spans, 4)
+    assert 2 not in out
+    assert 3 not in out

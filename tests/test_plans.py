@@ -467,3 +467,25 @@ def test_q13_one_fact_shuffle_under_smj(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_q21_windows_reuse_join_partitioning_under_smj(spark, sf_dir):
+    """q21's docstring claim, pinned: under forced SMJ the composite
+    (orderkey, suppkey) aggregate AND the two orderkey windows all
+    ride the fact-fact join's orderkey partitioning (subset-clustering
+    rule) — exactly ONE l_orderkey exchange in the whole plan (the
+    join's lineitem input)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["q21_late_sole_suppliers"].builder(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin [l_orderkey" in final, final
+        n = final.count("Exchange hashpartitioning(l_orderkey")
+        assert n == 1, f"expected 1 l_orderkey exchange, saw {n}:\n{final}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
