@@ -25,13 +25,28 @@ from ray_mapreduce_spark.session import get_spark  # noqa: E402
 from ray_mapreduce_spark.sources import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DEFAULT = ["text_ngram_novelty", "text_distinctive_terms", "orders_market_basket_pairs"]
+# r9 (VERDICT r8 #7): the dedup/ANN family joined the default probe
+# set — densified data is where banding/candidate cost models bend
+# (each 10x replica is an EXACT duplicate family of 10, so near-dup
+# pair output grows ~45x per family by design; the probe documents
+# how the CANDIDATE stages absorb that).
+DEFAULT = [
+    "text_ngram_novelty",
+    "text_distinctive_terms",
+    "orders_market_basket_pairs",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefixfilter",
+    "dedup_simhash_pairs",  # saturation guard must NOT trip at 10x
+    "similarity_pq_adc_topk",
+]
 
 SHIFT = {
     "documents": ("doc_id", 1_000_000),
     "lineitem": ("l_orderkey", 10_000_000),
     "orders": ("o_orderkey", 10_000_000),
     "events": ("event_id", 100_000_000),
+    "embeddings": ("vec_id", 1_000_000),
 }
 
 
@@ -43,7 +58,7 @@ def build_10x(spark, out_dir: str) -> None:
         for p in parts[1:]:
             rep = rep.unionByName(p)
         rep.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
-    for table in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    for table in ("region", "nation", "customer", "supplier", "part"):
         src = os.path.join(SF_DIR, f"{table}.parquet")
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out_dir, f"{table}.parquet"))
@@ -61,7 +76,12 @@ def main(names: list[str]) -> None:
             for label, d in (("1x", SF_DIR), ("10x", tmp)):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                cnt = qs[n].builder(spark, d).count()
+                try:
+                    cnt = qs[n].builder(spark, d).count()
+                except Exception as e:  # a guard raise IS a probe result
+                    msg = str(e).splitlines()[0][:160]
+                    print(f"{n} @ {label}: RAISED after {time.time()-t0:.2f}s — {msg}")
+                    continue
                 print(f"{n} @ {label}: {time.time()-t0:.2f}s ({cnt} rows)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
