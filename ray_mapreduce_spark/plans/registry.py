@@ -75,15 +75,18 @@ def register(
 #     32 + 18).
 # ROUND 9 WINDOW (executed per VERDICT r8 #1): CORRECTNESS_r08 had
 # ZERO red rows, so the window = (1) the 4 late-r8 ops that never got
-# a driver row + (2) the 5 r9 additions (each oracle-green at
+# a driver row + (2) the 10 r9 additions (5 early + the 5 TPC-H
+# completions q9/q11/q12/q15/q20; each oracle-green at
 # sf0.001/0.01/0.1 AND sf0.1-partition-deterministic in-round) +
-# (3) ALL 41 stale r5-green names (4 rounds stale; plans unchanged,
-# re-proven by the r8/r9 sweeps, but they need fresh driver rows)
-# = exactly 50. The planned 5-name r6 dedup-text block was displaced
-# by the 5 additions (new > stale — the sample_split_assign
-# precedent) and now LEADS ROUND 10.
+# (3) the FIRST 36 of the 41 stale r5-green names (4 rounds stale;
+# plans unchanged, re-proven by the r8/r9 sweeps, but they need
+# fresh driver rows) = exactly 50. Displaced by the additions (new >
+# stale — the sample_split_assign precedent): the r6 dedup-text
+# block AND the last 5 stale r5 names — both LEAD ROUND 10.
 # ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) r10
-# additions/changes, then (c) the displaced r6 dedup-text block
+# additions/changes, then (b0) the 5 displaced stale-r5 names
+# (text_token_stats .. array_hof_functions — 5 rounds stale by
+# then), then (c) the displaced r6 dedup-text block
 # (cluster_kmeans_assign, text_bm25_topdocs, text_unigram_logprob,
 # hybrid_neardup_scores, chunk_documents_overlap — listed first past
 # the window below), then (d) the 8 rows-only names whose driver rows
@@ -106,6 +109,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_estimate_pairs",
     "decontaminate_substring_spans",
     "sample_epoch_mixture_plan",
+    # -- (2b) the 5 TPC-H completions (q9/q11/q12/q15/q20 — the suite
+    #    now covers all 22 shapes); each oracle-green at 3 SFs +
+    #    sf0.1-deterministic in-round. They displace the LAST 5 stale
+    #    r5 names (text_token_stats .. array_hof_functions), which
+    #    now lead round 10 (new > stale, the standing precedent).
+    "q9_product_profit",
+    "q11_important_part_value",
+    "q12_ship_class_priority",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
     # -- (3) the 41 stale r5-green names, r5-window order --
     "json_extract_agg",
     "interval_shift",
@@ -143,12 +156,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_exact_stats",
     "dedup_survivors_window",
+    # ---- past the 50-slot window: r10 leads, in order ----
+    # (b0) the 5 stale-r5 names displaced by the TPC-H completions
     "text_token_stats",
     "text_token_count_regex",
     "text_lang_id",
     "text_top_bigrams",
     "array_hof_functions",
-    # ---- past the 50-slot window: r10 leads, in order ----
     # (c) the r6-green dedup-text block (incl. dedup_ngram_jaccard,
     #     which prior notes miscounted into the "stale r5" 41 — its
     #     newest green row is r6, see CORRECTNESS_r06)

@@ -1554,3 +1554,400 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(Q21_TOP_N)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape (product type profit): profit per (nation, year) for
+# parts matching a name token. The testdata has no partsupp, so
+# supply cost is adapted to a deterministic fraction of the part's
+# retail price (cost = 0.6 * p_retailprice per unit). All money math
+# runs in EXACT INTEGER micro-dollar units so the cross-engine sum is
+# order-free (gotcha #3 discipline: never race float summation order).
+Q9_NAME_TOKEN = "red"
+
+
+@register(
+    "q9_product_profit",
+    tags=("join", "aggregate", "tpch", "multi-dim"),
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+           round(sum(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l.l_discount) * 100) AS BIGINT) * 100
+             - CAST(round(p.p_retailprice * 100) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 6000
+           ) / 1000000.0, 2) + 0.0 AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{Q9_NAME_TOKEN}%'
+    GROUP BY n.n_name, year(CAST(o.o_orderdate AS DATE))
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, o_year, profit): per-nation yearly profit on parts
+    whose name carries the token — the last missing dim-chain of the
+    22 TPC-H shapes (with q9 the suite is complete). Scale shape: the
+    p_name LIKE filter pushes to the part scan, so the part join
+    prunes the fact FIRST (part is sf-proportional -> NO broadcast
+    hint; AQE broadcasts the filtered subset while it fits and
+    degrades to SMJ past the ceiling); then ONE fact-fact shuffle
+    (orders on orderkey) and the unhinted supplier join; nation
+    broadcasts. Profit per row is an exact integer in 1e-6-dollar
+    units (eprice_cents x disc_pct x 100 - retail_cents x qty x 6000,
+    the 6000 = 0.6 cost factor in those units), so partial aggregation
+    is order-free and both engines round the IDENTICAL double: no
+    summation-order bias term needed, unlike q7's float path. The
+    quotient /1e6 of an exact bigint is correctly rounded in both
+    engines; + 0.0 clears the signed-zero hash trap for near-zero
+    negative profit (gotcha #3). At extreme sf the bigint units cap
+    out around 2^63 per group — the decimal(38,0) swap is the
+    documented escalation. Reference parity: SURVEY §2c relational
+    matrix (reference expresses joins only through user reduce fns,
+    reference mapreduce.py:75-78)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q9_NAME_TOKEN}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    eprice_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("bigint")
+    retail_cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    profit_u6 = (
+        eprice_cents * disc_pct * F.lit(100).cast("bigint")
+        - retail_cents * F.col("l_quantity").cast("bigint") * F.lit(6000).cast("bigint")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.round(F.sum(profit_u6) / F.lit(1000000.0), 2) + F.lit(0.0)).alias(
+                "profit"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape (important stock): parts whose held value exceeds a
+# scalar-subquery threshold. No partsupp -> "held value" is adapted to
+# shipped extended-price cents per part over positive-balance
+# suppliers, and the original fixed FRACTION of the corpus total
+# (which is scale-SENSITIVE: at 10x the parts, every share dilutes
+# 10x and a fixed fraction empties — measured 0 rows at two SFs) is
+# adapted to a scale-INVARIANT multiple of the MEAN per-part value:
+# keep parts with value > 1.5x mean, compared in exact integers.
+Q11_MEAN_NUM = 3  # keep parts with  cents * 2 * n_parts > 3 * total
+Q11_MEAN_DEN = 2
+Q11_TOP_N = 100
+
+
+@register(
+    "q11_important_part_value",
+    tags=("join", "aggregate", "tpch", "scalar-subquery", "topk"),
+    oracle=f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_acctbal >= 0
+      GROUP BY l.l_partkey
+    ),
+    t AS (SELECT sum(cents) AS tot, count(*) AS np FROM v)
+    SELECT CAST(v.l_partkey AS BIGINT) AS l_partkey,
+           round(v.cents / 100.0, 2) AS value
+    FROM v, t
+    WHERE v.cents * {Q11_MEAN_DEN} * t.np > {Q11_MEAN_NUM} * t.tot
+    ORDER BY v.cents DESC, v.l_partkey
+    LIMIT {Q11_TOP_N}
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, value): parts whose shipped value (over
+    positive-balance suppliers) exceeds 1.5x the per-part mean.
+    Scale shape: the supplier filter reduces to a keys-only frame
+    before the join (supplier is sf-proportional -> no hint, AQE
+    decides); ONE fact shuffle groups by partkey; the (total, n)
+    threshold is a 1-row broadcast scalar exactly like q22's — never
+    a single-partition window; the compare runs in exact integer
+    cents (x n_parts cross-multiplied, no division) so no float
+    boundary exists; top-N rides TakeOrdered with the unique partkey
+    tiebreak (gotcha #13). Geographic filters were rejected: at
+    sf0.001 only 10 suppliers exist and single nations are routinely
+    EMPTY — an acctbal filter is populated at every sf."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") >= 0)
+        .select("s_suppkey")
+    )
+    v = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    t = v.agg(F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("np"))
+    return (
+        v.join(F.broadcast(t))
+        .filter(
+            F.col("cents") * F.lit(Q11_MEAN_DEN) * F.col("np")
+            > F.lit(Q11_MEAN_NUM) * F.col("tot")
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("l_partkey"),
+            F.round(F.col("cents") / F.lit(100.0), 2).alias("value"),
+            F.col("cents").alias("_cents"),
+        )
+        .orderBy(F.col("_cents").desc(), "l_partkey")
+        .limit(Q11_TOP_N)
+        .drop("_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape (shipping modes x priority): categorical shipping
+# class crossed with order-priority counts. The testdata has no
+# l_shipmode or commit/receipt dates, and ship-vs-order deltas span
+# +-2400 days (dates are generated near-independently), so the class
+# is adapted to delay bands: backdated (<0), prompt (0-89),
+# delayed (90-364), late (>=365) — same plan shape (one fact-fact
+# join, CASE class, conditional counts).
+@register(
+    "q12_ship_class_priority",
+    tags=("join", "aggregate", "tpch", "conditional"),
+    oracle="""
+    SELECT CASE
+             WHEN dd < 0 THEN 'backdated'
+             WHEN dd < 90 THEN 'prompt'
+             WHEN dd < 365 THEN 'delayed'
+             ELSE 'late'
+           END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS dd,
+             o.o_orderpriority
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    GROUP BY 1
+    """,
+)
+def q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ship_class, high_line_count, low_line_count): how urgent
+    orders distribute over shipping-delay classes. Scale shape: ONE
+    fact-fact shuffle (lineitem x orders on orderkey — bucketing both
+    on orderkey removes it), then a 4-group conditional aggregate
+    that partial-aggregates map-side to <= 4 rows per task; the delay
+    is an exact INTEGER calendar datediff (o_orderdate is NTZ —
+    gotcha from orders_repeat_purchase_rate: integer day arithmetic,
+    never float quotients near band boundaries)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    dd = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(dd < 0, "backdated")
+            .when(dd < 90, "prompt")
+            .when(dd < 365, "delayed")
+            .otherwise("late")
+            .alias("ship_class"),
+            high.cast("int").alias("is_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum("is_high").cast("bigint").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape (top supplier): revenue view over a 3-month ship
+# window, then the supplier(s) achieving the MAXIMUM revenue. The
+# max-equality compare is the trap: raced float sums can put the two
+# engines on different argmaxes, so revenue accumulates in EXACT
+# integer 1e-4-dollar units (eprice_cents x disc_pct) and the
+# max/equality is integer — ties (all returned, as in pristine Q15)
+# are exact on both engines.
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+@register(
+    "q15_top_supplier",
+    tags=("join", "aggregate", "tpch", "scalar-subquery", "argmax"),
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+        AND l_shipdate < TIMESTAMP '{Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           round(r.u / 10000.0, 2) AS total_revenue
+    FROM r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.u = (SELECT max(u) FROM r)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue): the supplier(s) with
+    maximum revenue in the window. Scale shape: the date filter
+    pushes to the lineitem scan (partition pruning on a
+    date-partitioned lake layout); one shuffle groups by suppkey to
+    <= |supplier| rows; the max is a 1-row broadcast scalar joined
+    back (the revenue frame is referenced twice but the scalar side
+    collapses to one row before the join — no checkpoint needed at
+    this size, and AQE reuses the grouped exchange for the two
+    consumers only when identical, so the scalar leg recomputes a
+    supplier-sized agg, not the fact scan... the date-filtered scan
+    is re-read once more; acceptable because both legs are
+    post-filter small. See gotcha #14); the supplier rejoin is
+    unhinted (fact-proportional) — AQE broadcasts the 1-row matched
+    side. Integer-unit sums make the argmax tolerance-free."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    u = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    r = l.groupBy("l_suppkey").agg(F.sum(u).alias("u"))
+    mx = r.agg(F.max("u").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.join(F.broadcast(mx))
+        .filter(F.col("u") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("u") / F.lit(10000.0), 2).alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape (potential part promotion): suppliers who dominate
+# a part's shipments. No partsupp/availqty -> adapted to "shipped
+# more than HALF of a part's total quantity in the year" (the
+# original's availqty > 0.5 * shipped-qty correlation, re-anchored to
+# shares of shipment). l_quantity is integral (verified 0 fractional
+# rows), so the share compare 2*qty > total is exact integers.
+Q20_NAME_TOKEN = "bolt"
+Q20_START = "1997-01-01"
+Q20_END = "1998-01-01"
+
+
+@register(
+    "q20_dominant_suppliers",
+    tags=("join", "window", "tpch", "semi-join"),
+    oracle=f"""
+    WITH j AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             sum(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%{Q20_NAME_TOKEN}%'
+        AND l.l_shipdate >= TIMESTAMP '{Q20_START}'
+        AND l.l_shipdate < TIMESTAMP '{Q20_END}'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, qty,
+             sum(qty) OVER (PARTITION BY l_partkey) AS tot
+      FROM j
+    ),
+    d AS (SELECT DISTINCT l_suppkey FROM w WHERE 2 * qty > tot)
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+    FROM d
+    JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    ORDER BY s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name): suppliers who shipped the majority of
+    some token-matched part's quantity in the year — the last of the
+    22 TPC-H shapes (double-nested correlated IN/scalar subquery in
+    pristine form; here the correlation is a window share over the
+    part partition). Scale shape: name filter pushes to the part
+    scan and prunes the fact before anything wide (part
+    sf-proportional -> no hint); the (partkey, suppkey) aggregate is
+    the one fact-sized shuffle; the per-part total window re-exchanges
+    only the AGGREGATED pair frame (bounded by distinct shipped
+    pairs); the majority test is exact integers; distinct suppkeys
+    then rejoin supplier unhinted (AQE broadcasts the tiny winner
+    set). Every output row is unique by s_suppkey; ORDER BY s_name
+    is a stable presentation sort (s_name embeds the key)."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{Q20_NAME_TOKEN}%"))
+        .select("p_partkey")
+    )
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w = j.withColumn(
+        "tot", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
+    d = (
+        w.filter(F.lit(2) * F.col("qty") > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        d.join(s, d.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+        .orderBy("s_name")
+    )
