@@ -2227,3 +2227,111 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bot_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier reliability ranked by the WILSON LOWER BOUND of the
+# on-time-ship rate — the small-sample-safe ranking statistic (a
+# supplier with 2/2 on-time must NOT outrank one with 580/600; raw
+# rates do exactly that). On-time = ship within 90 days of the order
+# date (integer calendar datediff — the q4/q12 adaptation; the
+# testdata has no commitdate). Cross-engine float discipline: k and n
+# are exact integers, and the Wilson formula is written with the
+# IDENTICAL operation tree on both engines — every +,*,/,sqrt is a
+# single correctly-rounded IEEE op on identical operands, so the raw
+# wlb double is bit-identical and the ORDER BY on it needs no
+# tolerance; output rounding gets the +1e-9 bias (values ~0.03, far
+# from zero, magnitude-scaled bias not needed).
+WILSON_Z = 1.96
+WILSON_ONTIME_DAYS = 90
+WILSON_TOP_N = 25
+
+
+@register(
+    "supplier_reliability_wilson",
+    tags=("join", "aggregate", "stats", "topk"),
+    oracle=f"""
+    WITH s AS (
+      SELECT l.l_suppkey AS s_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE))
+                           BETWEEN 0 AND {WILSON_ONTIME_DAYS - 1}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_suppkey
+    ),
+    w AS (
+      SELECT s_suppkey, n, k,
+             (CAST(k AS DOUBLE) / n
+               + ({WILSON_Z} * {WILSON_Z}) / (2 * n)
+               - {WILSON_Z} * sqrt(
+                   ((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                     + ({WILSON_Z} * {WILSON_Z}) / (4 * n) / n) / n)
+             ) / (1 + ({WILSON_Z} * {WILSON_Z}) / n) AS wlb
+      FROM s
+    )
+    SELECT CAST(w.s_suppkey AS BIGINT) AS s_suppkey, sp.s_name, n, k,
+           round(CAST(k AS DOUBLE) / n + 1e-9, 6) AS ontime_rate,
+           round(wlb + 1e-9, 6) AS wilson_lb
+    FROM w JOIN supplier sp ON sp.s_suppkey = w.s_suppkey
+    ORDER BY wlb DESC, w.s_suppkey
+    LIMIT {WILSON_TOP_N}
+    """,
+)
+def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, n, k, ontime_rate, wilson_lb): suppliers
+    ranked by the Wilson-score lower bound of their on-time rate.
+    Scale shape: ONE fact-fact shuffle (lineitem joins orders on
+    orderkey) feeds a suppkey agg whose partial combine reduces the
+    map side to |suppliers| rows; the Wilson arithmetic runs on the
+    AGGREGATED frame (bounded); supplier rejoins unhinted (AQE
+    broadcasts while it fits — supplier is sf-proportional, gotcha
+    from VERDICT r8); TakeOrdered caps the result. The sort key is
+    the RAW wlb double (bit-identical cross-engine because both
+    engines evaluate the identical IEEE op tree on exact-integer
+    inputs) with the unique suppkey tiebreak (gotcha #13).
+    Reference parity: reliability scoring generalizes the reference's
+    per-key reduce (reference mapreduce.py:75-78) to a ranked
+    statistic."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dd = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    s = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    dd.between(0, WILSON_ONTIME_DAYS - 1), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("k"),
+        )
+    )
+    z = F.lit(WILSON_Z)
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    wlb = (
+        p
+        + (z * z) / (2 * n)
+        - z * F.sqrt((p * (F.lit(1) - p) + (z * z) / (4 * n) / n) / n)
+    ) / (F.lit(1) + (z * z) / n)
+    sp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.withColumn("wlb", wlb)
+        .join(sp, "s_suppkey")
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.round(p + F.lit(1e-9), 6).alias("ontime_rate"),
+            F.round(F.col("wlb") + F.lit(1e-9), 6).alias("wilson_lb"),
+            F.col("wlb").alias("_wlb"),
+        )
+        .orderBy(F.col("_wlb").desc(), "s_suppkey")
+        .limit(WILSON_TOP_N)
+        .drop("_wlb")
+    )

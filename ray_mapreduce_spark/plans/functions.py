@@ -498,3 +498,78 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (the ANALYZE / data-quality capability): one pass
+# over `documents` produces per-column null counts, exact distinct
+# counts, and average stringified length — the screen a pipeline runs
+# before trusting a new drop of crawl data.
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "profile_documents_columns",
+    tags=("aggregate", "profiling", "multi-distinct"),
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+    """
+    + ",\n".join(
+        f"""        CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c},
+        CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},
+        CAST(sum(length(CAST({c} AS VARCHAR))) AS BIGINT) AS len_{c}"""
+        for c in _PROFILE_COLS
+    )
+    + """
+      FROM documents
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"""    SELECT '{c}' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           nulls_{c} AS n_nulls, nd_{c} AS n_distinct,
+           round(CAST(len_{c} AS DOUBLE) / n_rows + 1e-9, 4) AS avg_len
+    FROM a"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, avg_len) for every
+    documents column. Scale shape: ONE scan; Spark plans the five
+    count(DISTINCT)s as an Expand (5x the rows, one shuffle keyed by
+    the expand id + value — each distinct stream partial-aggregates
+    map-side, so the shuffle carries near-distinct cardinality, not
+    5x corpus rows). The stringified-length sum is an exact integer;
+    avg divides once at output. At crawl scale swap exact distincts
+    for approx_count_distinct (the engine keeps this exact because
+    the driver hashes values; agg_approx_count_distinct is the
+    sketch-path row). The final stack() unpivot is a narrow
+    projection of the 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint").alias(f"nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
+        aggs.append(
+            F.sum(F.length(F.col(c).cast("string")))
+            .cast("bigint")
+            .alias(f"len_{c}")
+        )
+    a = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, len_{c}" for c in _PROFILE_COLS
+    )
+    return a.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct, len_sum)",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_nulls",
+        "n_distinct",
+        F.round(F.col("len_sum").cast("double") / F.col("n_rows") + F.lit(1e-9), 4).alias(
+            "avg_len"
+        ),
+    )

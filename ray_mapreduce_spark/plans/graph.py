@@ -241,3 +241,84 @@ def triangle_counts(nodes: DataFrame, prs: DataFrame) -> DataFrame:
     return nodes.join(cnt, "vec_id", "left").select(
         "vec_id", F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("graph", "stats", "dedup-signal"),
+    oracle=f"""
+    WITH {_PR_EDGE_SQL.strip()},
+    e2 AS (
+      SELECT src, dst FROM prs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM prs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM e2 GROUP BY src
+    ),
+    j AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM e2
+      JOIN deg dx ON dx.node = e2.src
+      JOIN deg dy ON dy.node = e2.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM j
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           nn // 2 AS n_edges,
+           round(CAST(nn * sxy - sx * sx AS DOUBLE)
+                 / nullif(nn * sxx - sx * sx, 0) + 1e-9, 6) + 0.0
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nodes, n_edges, assortativity): degree-degree Pearson
+    correlation over the near-dup graph — positive means template
+    hubs link to other hubs (one boilerplate family to collapse),
+    negative means hub-and-spoke (one canonical page quoted by many
+    unique ones; keep the spokes). Standard Newman definition: each
+    undirected edge contributes both orientations, so sum(x)=sum(y)
+    and sum(x^2)=sum(y^2) by symmetry and one (sx, sxy, sxx) triple
+    suffices. Scale shape: the canonical edge frame is
+    eager-checkpointed (it feeds the degree agg AND the two
+    degree-joins — sibling consumers, gotcha #9); degrees are an agg
+    of the edge frame (bounded by nodes) and rejoin unhinted; every
+    moment is an exact INTEGER sum, so the single output division is
+    the only float op and is identical cross-engine; nullif guards
+    the all-equal-degrees denominator (engine-independent NULL
+    instead of a div-by-zero path)."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    prs = _pair_edges(v).localCheckpoint(eager=True)
+    e2 = prs.union(prs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = (
+        e2.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        e2.join(deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    num = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = F.nullif(
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0).cast("bigint")
+    )
+    return m.join(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        (F.col("nn") / F.lit(2)).cast("bigint").alias("n_edges"),
+        (F.round(num / den + F.lit(1e-9), 6) + F.lit(0.0)).alias("assortativity"),
+    )

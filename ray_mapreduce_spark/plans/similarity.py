@@ -1558,3 +1558,89 @@ def embedding_znorm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maha_score").desc(), "vec_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization (SQ8) error profile: the memory-bound ANN
+# serving path stores embeddings as one int8 per dimension (symmetric
+# max-abs scaling, the FAISS SQ8 / vector-DB default — 4x smaller
+# than float32, 16x than float64). This op reports, per dimension,
+# the scale the quantizer would use and the reconstruction MSE — the
+# fidelity screen run before switching retrieval to quantized
+# storage (PQ, similarity_pq_*, is the coarser 8-bytes-per-vector
+# alternative; SQ8 is the high-fidelity one).
+#
+# Exactness: val/scale and code*scale are single IEEE ops on
+# identical operands cross-engine; each squared error is LOCKED to an
+# integer in 1e-12 units BEFORE the sum (the cusum discipline), so
+# the per-dim aggregation is order-free and the one output division
+# is of exact integers — no bias terms needed anywhere.
+SQ8_LEVELS = 127  # symmetric int8: codes in [-127, 127]
+
+
+@register(
+    "embedding_sq8_error",
+    tags=("embedding", "quantization", "aggregate"),
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    w AS (
+      SELECT dim, val,
+             max(abs(val)) OVER (PARTITION BY dim) / {SQ8_LEVELS} AS scale
+      FROM x
+    ),
+    e AS (
+      SELECT dim, scale,
+             CAST(round((val - round(val / scale) * scale)
+                        * (val - round(val / scale) * scale) * 1e12)
+                  AS BIGINT) AS e2u
+      FROM w
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(scale), 9) AS scale,
+           round(CAST(sum(e2u) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+             AS mse_p12
+    FROM e
+    GROUP BY dim
+    """,
+)
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n, scale, mse_p12): per-dimension symmetric-int8
+    quantizer scale and reconstruction MSE in 1e-12 units. Scale
+    shape: posexplode is narrow (n*dims rows at scan speed); the
+    per-dim max-abs runs as a WINDOW over the dim partitioning so the
+    downstream groupBy('dim') REUSES the same exchange — one shuffle
+    total, never the agg-then-rejoin sibling pair (gotcha #14 window
+    rewrite; 64 partitions bound parallelism, acceptable because the
+    per-dim stream is a tight codegen'd arithmetic scan). Each error
+    term is locked to integer 1e-12 units before summation, so
+    partial aggregation is order-free and bit-identical cross-engine;
+    round(val/scale) is exact code assignment (|val| <= 127*scale by
+    construction — no clipping branch needed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "fval")).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    scale = (
+        F.max(F.abs(F.col("val"))).over(Window.partitionBy("dim"))
+        / F.lit(SQ8_LEVELS)
+    )
+    w = x.withColumn("scale", scale)
+    err = F.col("val") - F.round(F.col("val") / F.col("scale")) * F.col("scale")
+    ee = w.withColumn(
+        "e2u", F.round(err * err * F.lit(1e12)).cast("bigint")
+    )
+    return ee.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("scale"), 9).alias("scale"),
+        F.round(
+            F.sum("e2u").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mse_p12"),
+    )

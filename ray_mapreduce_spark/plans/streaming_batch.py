@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming.windows import (
     session_counts,
+    stream_dedup,
     sliding_counts,
     stream_stream_purchase_click_join,
     tumbling_counts,
@@ -160,3 +161,37 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-hour horizon."""
     e = _events(spark, sf_dir)
     return stream_stream_purchase_click_join(e, e)
+
+
+@register(
+    "stream_dedup_ids",
+    tags=("streaming", "dedup", "exactly-once"),
+    oracle="""
+    SELECT DISTINCT event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           round(value, 6) + 0.0 AS value
+    FROM events
+    """,
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/windows.py::stream_dedup applied in batch to a
+    deliberately DOUBLED event feed (self-union = the at-least-once
+    delivery model): exactly one row per event_id survives. The batch
+    twin is deterministic because the duplicates are bit-identical
+    rows — whichever copy dropDuplicates keeps, the VALUES are the
+    same (and event_id is unique within the source table, verified at
+    every sf) — so the output equals DISTINCT over the projection. In
+    streaming mode the same function holds one key per id inside the
+    2-hour watermark horizon and evicts beyond it
+    (tests/test_streaming.py::test_stream_dedup_exact pins the
+    streaming execution). Scale shape: ONE shuffle on event_id with
+    map-side partial dedup; state in streaming mode is bounded by the
+    watermark, state in batch mode by distinct ids per partition."""
+    e = _events(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    doubled = e.union(e)
+    return stream_dedup(doubled).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )

@@ -1358,3 +1358,60 @@ def test_substring_span_decon_planted_quote(spark):
     assert out[1].hit_frac == round(out[1].n_hit / out[1].n_spans, 4)
     assert 2 not in out
     assert 3 not in out
+
+
+def test_wilson_bound_below_rate_and_sample_size_aware(spark, sf_dir):
+    """Wilson lower bound sits strictly below the raw rate whenever
+    0 < k < n, stays in [0, 1], and a synthetic 2/2 supplier must not
+    outrank a 580/600 one (the ranking property the statistic buys)."""
+    rows = _rows(spark, sf_dir, "supplier_reliability_wilson")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lb <= 1.0
+        if 0 < r.k < r.n:
+            assert r.wilson_lb < r.ontime_rate
+    # the ranking property, computed with the same formula in python
+    import math
+
+    def wlb(k, n, z=1.96):
+        p = k / n
+        return (p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n) / n) / n)) / (
+            1 + z * z / n
+        )
+
+    assert wlb(2, 2) < wlb(580, 600)
+
+
+def test_profile_documents_invariants(spark, sf_dir):
+    """doc_id is the primary key (distinct == rows, zero nulls); every
+    column's null count is bounded by the row count."""
+    rows = {r.col_name: r for r in _rows(spark, sf_dir, "profile_documents_columns")}
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    pk = rows["doc_id"]
+    assert pk.n_nulls == 0 and pk.n_distinct == pk.n_rows
+    for r in rows.values():
+        assert 0 <= r.n_nulls <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_rows
+
+
+def test_assortativity_in_pearson_range(spark, sf_dir):
+    """Degree assortativity is a Pearson correlation: |r| <= 1 (or
+    NULL when every node has the same degree); edge/node counts agree
+    with the pagerank family's edge rule."""
+    (row,) = _rows(spark, sf_dir, "graph_degree_assortativity")
+    assert row.n_nodes > 0 and row.n_edges > 0
+    if row.assortativity is not None:
+        assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_sq8_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric SQ8 rounds to the nearest code, so every squared
+    error is <= (scale/2)^2 and the per-dim MSE (in 1e-12 units) is
+    <= scale^2/4 * 1e12. Also: 64 dims, equal n everywhere."""
+    rows = _rows(spark, sf_dir, "embedding_sq8_error")
+    assert len(rows) == 64
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        assert r.scale > 0
+        assert r.mse_p12 <= (r.scale * r.scale / 4) * 1e12 + 1.0

@@ -496,3 +496,17 @@ def test_q21_windows_reuse_join_partitioning_under_smj(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_sq8_window_and_agg_share_one_exchange(spark, sf_dir):
+    """embedding_sq8_error computes the per-dim max-abs as a window
+    over dim and then groupBys dim: the agg must REUSE the window's
+    partitioning (gotcha #14 window rewrite) — exactly one shuffle
+    exchange in the whole executed plan, one embeddings scan, no
+    joins."""
+    nodes = _executed_nodes(spark, "embedding_sq8_error", sf_dir)
+    shuffles = [n for n in nodes if n == "Exchange" or n.startswith("ShuffleExchange")]
+    assert len(shuffles) <= 1, nodes
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
