@@ -2335,3 +2335,96 @@ def supplier_reliability_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WILSON_TOP_N)
         .drop("_wlb")
     )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog over time (interval stabbing): how many orders
+# were simultaneously "open" (placed but not yet fully shipped) on
+# each day the count changes. The classic delta-encoding plan: +1 at
+# the open date, -1 the day after the close date, then a running sum
+# over the per-day deltas — counting overlapping intervals without
+# ever joining intervals to a calendar spine. Close = the order's
+# LAST lineitem shipdate (backdated ships clamp to the order date —
+# the q12 delay-band finding). Orders with no lineitems (they exist
+# at sf0.1 — the q13 finding) never close and are excluded by the
+# inner join.
+@register(
+    "orders_open_backlog_daily",
+    tags=("orders", "lineitem", "interval", "window", "running-sum"),
+    oracle="""
+    WITH close AS (
+      SELECT l.l_orderkey,
+             greatest(max(CAST(l.l_shipdate AS DATE)),
+                      min(CAST(o.o_orderdate AS DATE))) AS close_d,
+             min(CAST(o.o_orderdate AS DATE)) AS open_d
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    delta AS (
+      SELECT open_d AS day, 1 AS d FROM close
+      UNION ALL
+      SELECT close_d + INTERVAL 1 DAY AS day, -1 AS d FROM close
+    ),
+    daily AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+             CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+             CAST(sum(d) AS BIGINT) AS delta
+      FROM delta GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_opened, n_closed,
+           CAST(sum(delta) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_count
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_opened, n_closed, open_count): concurrent-open-order
+    count at every change day. Scale shape: ONE fact shuffle (the
+    per-order close agg on orderkey; orders joins on the same key so
+    AQE co-partitions); the delta explode doubles the AGGREGATED
+    order frame, the per-day agg bounds the data to distinct calendar
+    days, and only then does the global running-sum window run — its
+    single-partition sort touches |days| rows (calendar-bounded,
+    ~2400 here), never the fact. All counts are exact integers.
+    Reference parity: interval counting is the canonical
+    reduce-by-key + scan composition (reference mapreduce.py:75-78
+    expresses only the reduce half)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    close = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.greatest(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("close_d"),
+            F.min(F.col("o_orderdate").cast("date")).alias("open_d"),
+        )
+    )
+    delta = close.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("open_d").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add(F.col("close_d"), 1).alias("day"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    daily = delta.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("bigint").alias("n_closed"),
+        F.sum("d").cast("bigint").alias("delta"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum("delta").over(w).cast("bigint").alias("open_count"),
+    )

@@ -303,7 +303,10 @@ def _cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 PI_ITERS = 3
 
 
-def _power_iteration_oracle(iters: int, dim: int) -> str:
+def _power_iteration_cte(iters: int, dim: int) -> str:
+    """The WITH-parts of the unrolled power-iteration recurrence —
+    shared by embedding_power_iteration's oracle and downstream
+    consumers of the trained direction (embedding_pca_histogram)."""
     parts = [
         f"WITH {_COV_CELLS_CTE}",
         """full_m AS (
@@ -323,8 +326,12 @@ def _power_iteration_oracle(iters: int, dim: int) -> str:
             f"p{k} AS (SELECT i AS j, round(w / n{k}.nrm + 1e-9, 6) + 0.0 AS v"
             f" FROM w{k} CROSS JOIN n{k})"
         )
+    return ",\n    ".join(parts)
+
+
+def _power_iteration_oracle(iters: int, dim: int) -> str:
     return (
-        ",\n    ".join(parts)
+        _power_iteration_cte(iters, dim)
         + f"""
     SELECT CAST(p{iters}.j AS BIGINT) AS dim_i, p{iters}.v AS component,
            round(min(n{iters}.nrm) OVER () + 1e-9, 6) AS eigenvalue
@@ -383,4 +390,87 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("dim_i"),
         F.col("v").alias("component"),
         (F.round(F.col("nrm") + F.lit(1e-9), 6)).alias("eigenvalue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA projection histogram: project every embedding onto the trained
+# top principal direction and bucket the projections — the
+# distribution view that tells you whether the leading component
+# separates modes (bimodal -> cluster/split the corpus) or just
+# captures scale (unimodal). Exactness: each projection term
+# round(v_d * x_d * 1e12) is locked to an integer BEFORE the fold, so
+# the per-vector dot product is an order-free bigint sum; bucketing
+# runs entirely in integer units with a +OFFSET shift so truncating
+# division behaves like floor across negative projections.
+PCA_HIST_WIDTH_U = 50_000_000_000  # 0.05 in 1e-12 projection units
+PCA_HIST_OFFSET_BUCKETS = 200  # shift covers |proj| <= 10
+
+
+@register(
+    "embedding_pca_histogram",
+    tags=("similarity", "pca", "histogram", "pandas-udf"),
+    oracle=_power_iteration_cte(PI_ITERS, COV_DIM)
+    + f""",
+    vx AS (
+      SELECT e.vec_id,
+             CAST(sum(CAST(round(p.v * CAST(e.embedding[p.j] AS DOUBLE) * 1e12)
+                           AS BIGINT)) AS BIGINT) AS proj_u
+      FROM embeddings e, p{PI_ITERS} p
+      GROUP BY e.vec_id
+    )
+    SELECT (proj_u + {PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U})
+             // {PCA_HIST_WIDTH_U} - {PCA_HIST_OFFSET_BUCKETS} AS bucket,
+           round(((proj_u + {PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U})
+             // {PCA_HIST_WIDTH_U} - {PCA_HIST_OFFSET_BUCKETS}) * 0.05, 2) AS lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM vx
+    GROUP BY 1, 2
+    """,
+)
+def embedding_pca_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lo, n): histogram of corpus projections onto the
+    power-iteration principal direction, 0.05-wide buckets. Scale
+    shape: the trained direction is a 64-row frame assembled into ONE
+    array row and broadcast; the projection pass is a single NARROW
+    scan (zip_with + integer fold per row — no explode, no per-vector
+    shuffle) and the only shuffle is the bucket aggregation (bounded
+    by distinct buckets, ~few hundred). The corpus is read twice —
+    once inside the covariance einsum, once for projection — both
+    single passes; at crawl scale the projection pass piggybacks on
+    whatever next reads the corpus. The integer-unit fold keeps the
+    dot product associative, so partial aggregation order never
+    matters (same discipline as q9's money units)."""
+    pi = embedding_power_iteration(spark, sf_dir)
+    varr = pi.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim_i, component))),"
+            " s -> s.component)"
+        ).alias("varr")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    terms = F.zip_with(
+        F.col("embedding"),
+        F.col("varr"),
+        lambda x, v: F.round(x.cast("double") * v * F.lit(1e12)).cast("long"),
+    )
+    proj = e.join(F.broadcast(varr)).select(
+        "vec_id",
+        F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+        ).alias("proj_u"),
+    )
+    off = PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U
+    bucket = F.expr(
+        f"(proj_u + {off}L) div {PCA_HIST_WIDTH_U}L - {PCA_HIST_OFFSET_BUCKETS}"
+    ).alias("bucket")
+    return (
+        proj.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * F.lit(0.05), 2).alias("lo"),
+            "n",
+        )
     )

@@ -75,21 +75,22 @@ def register(
 #     32 + 18).
 # ROUND 9 WINDOW (executed per VERDICT r8 #1): CORRECTNESS_r08 had
 # ZERO red rows, so the window = (1) the 4 late-r8 ops that never got
-# a driver row + (2) the 15 r9 additions (5 early + the 5 TPC-H
+# a driver row + (2) the 17 r9 additions (5 early + the 5 TPC-H
 # completions q9/q11/q12/q15/q20 + the 5 late batch
 # supplier_reliability_wilson / profile_documents_columns /
 # graph_degree_assortativity / embedding_sq8_error /
-# stream_dedup_ids; each oracle-green at sf0.001/0.01/0.1 AND
+# stream_dedup_ids + orders_open_backlog_daily +
+# embedding_pca_histogram; each oracle-green at sf0.001/0.01/0.1 AND
 # sf0.1-partition-deterministic in-round) +
-# (3) the FIRST 31 of the 41 stale r5-green names (json_extract_agg
-# .. udaf_applyinpandas_median; 4 rounds stale;
+# (3) the FIRST 29 of the 41 stale r5-green names (json_extract_agg
+# .. try_cast_parsing; 4 rounds stale;
 # plans unchanged, re-proven by the r8/r9 sweeps, but they need
 # fresh driver rows) = exactly 50. Displaced by the additions (new >
 # stale — the sample_split_assign precedent): the r6 dedup-text
-# block AND the last 10 stale r5 names — both LEAD ROUND 10.
+# block AND the last 12 stale r5 names — both LEAD ROUND 10.
 # ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) r10
-# additions/changes, then (b0) the 10 displaced stale-r5 names
-# (udf_mapinpandas_tokens .. array_hof_functions — 5 rounds stale
+# additions/changes, then (b0) the 12 displaced stale-r5 names
+# (above_segment_avg_orders .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block
 # (cluster_kmeans_assign, text_bm25_topdocs, text_unigram_logprob,
 # hybrid_neardup_scores, chunk_documents_overlap — listed first past
@@ -115,9 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_epoch_mixture_plan",
     # -- (2b) the 5 TPC-H completions (q9/q11/q12/q15/q20 — the suite
     #    now covers all 22 shapes); each oracle-green at 3 SFs +
-    #    sf0.1-deterministic in-round. With (2c) below, the ten
-    #    displace the LAST 10 stale r5 names
-    #    (udf_mapinpandas_tokens .. array_hof_functions), which now
+    #    sf0.1-deterministic in-round. With (2c)/(2d) below, the
+    #    additions displace the LAST 12 stale r5 names
+    #    (above_segment_avg_orders .. array_hof_functions), which now
     #    lead round 10 (new > stale, the standing precedent).
     "q9_product_profit",
     "q11_important_part_value",
@@ -134,6 +135,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_degree_assortativity",
     "embedding_sq8_error",
     "stream_dedup_ids",
+    # -- (2d) the 2 batch-2 additions (interval-stabbing backlog,
+    #    PCA projection histogram); same evidence bar; displace 2
+    #    more stale r5 names.
+    "orders_open_backlog_daily",
+    "embedding_pca_histogram",
     # -- (3) the 41 stale r5-green names, r5-window order --
     "json_extract_agg",
     "interval_shift",
@@ -164,10 +170,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q10_returned_item_revenue",
     "q18_large_orders",
     "try_cast_parsing",
+    # ---- past the 50-slot window: r10 leads, in order ----
+    # (b0) the 12 stale-r5 names displaced by the r9 additions
     "above_segment_avg_orders",
     "udaf_applyinpandas_median",
-    # ---- past the 50-slot window: r10 leads, in order ----
-    # (b0) the 10 stale-r5 names displaced by the r9 additions
     "udf_mapinpandas_tokens",
     "udf_scalar_log_value",
     "dedup_exact",

@@ -1415,3 +1415,33 @@ def test_sq8_error_bounded_by_half_step(spark, sf_dir):
     for r in rows:
         assert r.scale > 0
         assert r.mse_p12 <= (r.scale * r.scale / 4) * 1e12 + 1.0
+
+
+def test_backlog_running_sum_consistency(spark, sf_dir):
+    """Backlog invariants: open_count == cumulative(opened - closed)
+    at every change day, never negative, and total opened == total
+    closed (every joined order eventually closes)."""
+    rows = _rows(spark, sf_dir, "orders_open_backlog_daily")
+    assert rows
+    run = 0
+    prev_day = ""
+    for r in sorted(rows, key=lambda r: r.day):
+        assert r.day > prev_day
+        prev_day = r.day
+        run += r.n_opened - r.n_closed
+        assert run == r.open_count
+        assert r.open_count >= 0
+    assert run == 0
+    assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
+
+
+def test_pca_histogram_covers_corpus(spark, sf_dir):
+    """Histogram counts sum to the corpus size and the bucket edges
+    tile the projection axis (lo == bucket * 0.05)."""
+    from ray_mapreduce_spark.sources import load_table
+
+    rows = _rows(spark, sf_dir, "embedding_pca_histogram")
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vecs
+    for r in rows:
+        assert r.lo == round(r.bucket * 0.05, 2)
