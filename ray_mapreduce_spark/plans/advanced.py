@@ -2428,3 +2428,118 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum("delta").over(w).cast("bigint").alias("open_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: deterministic 50/50 user assignment
+# (Knuth-multiply hash — the sample_split_assign recipe) and a
+# two-proportion z-test on purchase conversion. Float discipline as
+# supplier_reliability_wilson: the counts are exact integers and the
+# z formula is the IDENTICAL IEEE op tree on both engines, so z is
+# bit-identical pre-round.
+AB_KNUTH = 2654435761
+AB_MOD = 4294967296  # 2^32
+# "converted" = a heavy purchaser (>= this many purchase events):
+# every user makes SOME purchase at this event density, so the naive
+# any-purchase conversion saturates at rate 1.0 and the pooled-z
+# denominator hits exactly zero — found at sf0.001 on first run.
+AB_CONV_MIN_PURCHASES = 14
+
+
+@register(
+    "events_ab_test_zscore",
+    tags=("events", "stats", "experiment", "aggregate"),
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST((user_id * {AB_KNUTH}) % {AB_MOD} % 2 AS BIGINT) AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= {AB_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END
+               AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM u GROUP BY variant
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN k END) AS k0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN k END) AS k1
+      FROM g
+    )
+    SELECT n0, k0, n1, k1,
+           round(CAST(k0 AS DOUBLE) / n0 + 1e-9, 6) AS rate0,
+           round(CAST(k1 AS DOUBLE) / n1 + 1e-9, 6) AS rate1,
+           round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / sqrt(nullif((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1)), 0)
+                        * (1.0 / n0 + 1.0 / n1)) + 1e-9, 4) + 0.0 AS z
+    FROM w
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n0, k0, n1, k1, rate0, rate1, z): two-proportion z-test of
+    heavy-purchaser conversion between deterministically
+    hash-assigned user halves. On hash-split halves of the SAME population z should sit
+    within ±3 — the A/A sanity readout every experimentation pipeline
+    ships. Scale shape: ONE shuffle (per-user conversion agg on
+    user_id); the variant totals ride a 2-row partial-aggregated
+    rollup; the z arithmetic runs on a 1-row frame. The pooled-rate
+    z formula is a single identical IEEE op tree on exact integer
+    inputs — bit-identical cross-engine pre-round (the Wilson
+    discipline); + 0.0 clears the signed-zero trap since z is
+    near-zero by design."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= AB_CONV_MIN_PURCHASES,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+            .cast("bigint")
+            .alias("variant"),
+            "converted",
+        )
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("k1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        F.nullif(pp * (F.lit(1) - pp), F.lit(0.0))
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        F.round(p0 + F.lit(1e-9), 6).alias("rate0"),
+        F.round(p1 + F.lit(1e-9), 6).alias("rate1"),
+        (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("z"),
+    )

@@ -573,3 +573,84 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_len"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Rule-based data validation (the dbt-test / Deequ capability): one
+# pass over lineitem LEFT-joined to orders evaluates referential
+# integrity plus domain rules, emitting one row per rule. Violation
+# counts are exact integers; the only division is the final rate.
+# "ship_before_order" is genuinely non-zero in this data (the q12
+# delay-band finding: dates generate near-independently), so the op
+# is verified against a rule that actually fires.
+_LINEITEM_RULES = (
+    ("orphan_lineitem", "o_orderkey IS NULL"),
+    ("ship_before_order",
+     "o_orderkey IS NOT NULL AND l_shipdate < o_orderdate"),
+    ("discount_out_of_range", "l_discount < 0 OR l_discount > 1"),
+    ("tax_out_of_range", "l_tax < 0 OR l_tax > 1"),
+    ("nonpositive_quantity", "l_quantity <= 0"),
+    ("nonpositive_price", "l_extendedprice <= 0"),
+)
+
+
+@register(
+    "lineitem_consistency_rules",
+    tags=("validation", "join", "aggregate", "profiling"),
+    oracle="""
+    WITH j AS (
+      SELECT l.*, o.o_orderkey, o.o_orderdate
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_checked,
+    """
+    + ",\n".join(
+        f"        CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, (_, cond) in enumerate(_LINEITEM_RULES)
+    )
+    + """
+      FROM j
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"""    SELECT '{name}' AS rule, n_checked, v{i} AS n_violations,
+           round(CAST(v{i} AS DOUBLE) / n_checked + 1e-9, 6) AS viol_rate
+    FROM a"""
+        for i, (name, _) in enumerate(_LINEITEM_RULES)
+    ),
+)
+def lineitem_consistency_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rule, n_checked, n_violations, viol_rate): six data-quality
+    rules over lineitem — referential integrity against orders plus
+    five domain checks — in ONE scan + ONE fact-fact join. Scale
+    shape: the left join shuffles on orderkey once; every rule is a
+    conditional count folded into the same 1-row partial-aggregated
+    rollup, so adding rules costs zero extra passes (the Deequ
+    design); the stack() unpivot touches one row. At crawl scale the
+    same plan validates a day's ingest before it reaches the
+    training tables."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey, "left")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_checked")]
+    for i, (_, cond) in enumerate(_LINEITEM_RULES):
+        aggs.append(
+            F.sum(F.when(F.expr(cond), 1).otherwise(0)).cast("bigint").alias(f"v{i}")
+        )
+    a = j.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(_LINEITEM_RULES)
+    )
+    return a.selectExpr(
+        "n_checked",
+        f"stack({len(_LINEITEM_RULES)}, {stack_args}) AS (rule, n_violations)",
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked") + F.lit(1e-9),
+            6,
+        ).alias("viol_rate"),
+    )

@@ -75,22 +75,24 @@ def register(
 #     32 + 18).
 # ROUND 9 WINDOW (executed per VERDICT r8 #1): CORRECTNESS_r08 had
 # ZERO red rows, so the window = (1) the 4 late-r8 ops that never got
-# a driver row + (2) the 17 r9 additions (5 early + the 5 TPC-H
+# a driver row + (2) the 20 r9 additions (5 early + the 5 TPC-H
 # completions q9/q11/q12/q15/q20 + the 5 late batch
 # supplier_reliability_wilson / profile_documents_columns /
 # graph_degree_assortativity / embedding_sq8_error /
 # stream_dedup_ids + orders_open_backlog_daily +
-# embedding_pca_histogram; each oracle-green at sf0.001/0.01/0.1 AND
+# embedding_pca_histogram + events_ab_test_zscore +
+# text_gopher_filters + lineitem_consistency_rules; each
+# oracle-green at sf0.001/0.01/0.1 AND
 # sf0.1-partition-deterministic in-round) +
-# (3) the FIRST 29 of the 41 stale r5-green names (json_extract_agg
-# .. try_cast_parsing; 4 rounds stale;
+# (3) the FIRST 26 of the 41 stale r5-green names (json_extract_agg
+# .. q3_shipping_priority; 4 rounds stale;
 # plans unchanged, re-proven by the r8/r9 sweeps, but they need
 # fresh driver rows) = exactly 50. Displaced by the additions (new >
 # stale — the sample_split_assign precedent): the r6 dedup-text
-# block AND the last 12 stale r5 names — both LEAD ROUND 10.
+# block AND the last 15 stale r5 names — both LEAD ROUND 10.
 # ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) r10
-# additions/changes, then (b0) the 12 displaced stale-r5 names
-# (above_segment_avg_orders .. array_hof_functions — 5 rounds stale
+# additions/changes, then (b0) the 15 displaced stale-r5 names
+# (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block
 # (cluster_kmeans_assign, text_bm25_topdocs, text_unigram_logprob,
 # hybrid_neardup_scores, chunk_documents_overlap — listed first past
@@ -116,10 +118,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_epoch_mixture_plan",
     # -- (2b) the 5 TPC-H completions (q9/q11/q12/q15/q20 — the suite
     #    now covers all 22 shapes); each oracle-green at 3 SFs +
-    #    sf0.1-deterministic in-round. With (2c)/(2d) below, the
-    #    additions displace the LAST 12 stale r5 names
-    #    (above_segment_avg_orders .. array_hof_functions), which now
-    #    lead round 10 (new > stale, the standing precedent).
+    #    sf0.1-deterministic in-round. With (2c)/(2d)/(2e) below,
+    #    the additions displace the LAST 15 stale r5 names
+    #    (q10_returned_item_revenue .. array_hof_functions), which
+    #    now lead round 10 (new > stale, the standing precedent).
     "q9_product_profit",
     "q11_important_part_value",
     "q12_ship_class_priority",
@@ -140,6 +142,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    more stale r5 names.
     "orders_open_backlog_daily",
     "embedding_pca_histogram",
+    # -- (2e) the 3 batch-3 additions (A/B z-test readout, Gopher
+    #    rule filters, data-validation rules); same evidence bar;
+    #    displace 3 more stale r5 names.
+    "events_ab_test_zscore",
+    "text_gopher_filters",
+    "lineitem_consistency_rules",
     # -- (3) the 41 stale r5-green names, r5-window order --
     "json_extract_agg",
     "interval_shift",
@@ -167,11 +175,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_customer_orders",
     "q5_local_supplier_revenue",
     "q3_shipping_priority",
+    # ---- past the 50-slot window: r10 leads, in order ----
+    # (b0) the 15 stale-r5 names displaced by the r9 additions
     "q10_returned_item_revenue",
     "q18_large_orders",
     "try_cast_parsing",
-    # ---- past the 50-slot window: r10 leads, in order ----
-    # (b0) the 12 stale-r5 names displaced by the r9 additions
     "above_segment_avg_orders",
     "udaf_applyinpandas_median",
     "udf_mapinpandas_tokens",

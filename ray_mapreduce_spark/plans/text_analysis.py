@@ -2036,3 +2036,79 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_odds",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule filters (Rae et al. 2021, "Scaling Language
+# Models" C4/MassiveText heuristics, adapted to this corpus's
+# measured ranges): per-doc boolean quality gates from integer token
+# statistics — the rule-based pre-filter that runs BEFORE any learned
+# quality score. Every bound compares by integer cross-multiplication
+# (2*sum_len >= 7*n_tok instead of mean >= 3.5), so no float sits on
+# a rule boundary (the gotcha #13 class).
+GOPHER_MIN_TOKENS = 30
+# mean word length in [3.5, 5.0]; repetition: top token <= 1/5 of doc
+@register(
+    "text_gopher_filters",
+    tags=("text", "quality", "filter-rules"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             CAST(sum(length(t) * c) AS BIGINT) AS sum_len,
+             CAST(max(c) AS BIGINT) AS max_tok
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok,
+           CAST(n_tok >= {GOPHER_MIN_TOKENS} AS BIGINT) AS flag_len,
+           CAST(2 * sum_len >= 7 * n_tok AND sum_len <= 5 * n_tok AS BIGINT)
+             AS flag_wordlen,
+           CAST(5 * max_tok <= n_tok AS BIGINT) AS flag_rep,
+           CAST(n_tok >= {GOPHER_MIN_TOKENS}
+                AND 2 * sum_len >= 7 * n_tok AND sum_len <= 5 * n_tok
+                AND 5 * max_tok <= n_tok AS BIGINT) AS pass
+    FROM d
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok, flag_len, flag_wordlen, flag_rep, pass):
+    rule-based quality gates — minimum length, mean word length in
+    [3.5, 5.0], top-token share <= 1/5. All three flags derive from
+    ONE token-count lineage (explode -> (doc, token) counts -> per-doc
+    integer moments), so the doc_id exchange is paid once and every
+    rule is an exact integer comparison (cross-multiplied bounds —
+    a mean-word-length of exactly 3.5 compares identically on both
+    engines because no division ever happens). Scale shape: explode
+    at scan speed, two partial-aggregated reductions on the same
+    doc_id partitioning, zero joins. The learned counterpart
+    (text_quality_classifier) and the closed-form score
+    (text_quality_score) grade survivors; this op is the cheap
+    hard-rule pass in front of them."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    c = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    m = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.sum(F.length("t") * F.col("c")).cast("bigint").alias("sum_len"),
+        F.max("c").cast("bigint").alias("max_tok"),
+    )
+    flag_len = F.col("n_tok") >= GOPHER_MIN_TOKENS
+    flag_wordlen = (F.lit(2) * F.col("sum_len") >= F.lit(7) * F.col("n_tok")) & (
+        F.col("sum_len") <= F.lit(5) * F.col("n_tok")
+    )
+    flag_rep = F.lit(5) * F.col("max_tok") <= F.col("n_tok")
+    return m.select(
+        "doc_id",
+        "n_tok",
+        flag_len.cast("bigint").alias("flag_len"),
+        flag_wordlen.cast("bigint").alias("flag_wordlen"),
+        flag_rep.cast("bigint").alias("flag_rep"),
+        (flag_len & flag_wordlen & flag_rep).cast("bigint").alias("pass"),
+    )

@@ -1445,3 +1445,45 @@ def test_pca_histogram_covers_corpus(spark, sf_dir):
     assert sum(r.n for r in rows) == n_vecs
     for r in rows:
         assert r.lo == round(r.bucket * 0.05, 2)
+
+
+def test_ab_test_aa_sanity(spark, sf_dir):
+    """Hash-split halves of the same population: the readout is an
+    A/A test, so |z| should be small (< 5 leaves huge slack — a
+    biased assignment would blow far past it) and group sizes near
+    balanced."""
+    (row,) = _rows(spark, sf_dir, "events_ab_test_zscore")
+    assert row.n0 > 0 and row.n1 > 0
+    assert abs(row.n0 - row.n1) <= max(5, 0.2 * (row.n0 + row.n1))
+    assert row.z is not None and abs(row.z) < 5.0
+    assert 0.0 < row.rate0 < 1.0 and 0.0 < row.rate1 < 1.0
+
+
+def test_gopher_filters_fire_and_pass(spark, sf_dir):
+    """The rule set must be NON-degenerate on real data: some docs
+    fail each individual rule class at least once across the corpus,
+    most docs pass overall, and pass == AND of the flags."""
+    rows = _rows(spark, sf_dir, "text_gopher_filters")
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        expected = int(r.flag_len and r.flag_wordlen and r.flag_rep)
+        assert r["pass"] == expected
+    n_pass = sum(r["pass"] for r in rows)
+    assert 0 < n_pass < n  # both outcomes occur on this corpus
+
+
+def test_consistency_rules_expected_violations(spark, sf_dir):
+    """Referential integrity holds (zero orphans), domain rules hold,
+    and the ship-before-order rule actually FIRES (backdated ships
+    exist in this data — the rule engine is verified against a
+    non-zero rule)."""
+    rows = {r.rule: r for r in _rows(spark, sf_dir, "lineitem_consistency_rules")}
+    assert rows["orphan_lineitem"].n_violations == 0
+    assert rows["discount_out_of_range"].n_violations == 0
+    assert rows["tax_out_of_range"].n_violations == 0
+    assert rows["nonpositive_quantity"].n_violations == 0
+    assert rows["nonpositive_price"].n_violations == 0
+    assert rows["ship_before_order"].n_violations > 0
+    for r in rows.values():
+        assert r.n_checked == rows["orphan_lineitem"].n_checked
