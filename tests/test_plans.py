@@ -510,3 +510,43 @@ def test_sq8_window_and_agg_share_one_exchange(spark, sf_dir):
     scans = [n for n in nodes if n.startswith("Scan parquet")]
     assert len(scans) == 1, nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark 4 injects a runtime BLOOM FILTER from a selective dim
+    filter into the fact scan of a SHUFFLED join (InjectRuntimeFilter
+    -> might_contain(...) in the scan filters). At bench scale the
+    defaults suppress it (applicationSideScanSizeThreshold = 10GB and
+    AQE broadcasts the dim first), which is exactly right; at the
+    100 TB target the fact side crosses the threshold and the filter
+    fires OUT OF THE BOX. This test recreates the at-scale conditions
+    (force shuffle joins, drop the size thresholds) and pins (a) the
+    bloom filter appears, (b) results are unchanged."""
+    qs = all_queries()
+    name = "q3_shipping_priority"
+    baseline = [tuple(r) for r in qs[name].builder(spark, sf_dir).collect()]
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = qs[name].builder(spark, sf_dir)
+        rows = [tuple(r) for r in df.collect()]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert rows == baseline, "bloom filter changed results"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
