@@ -1644,3 +1644,126 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mse_p12"),
     )
+
+
+# --------------------------------------------------------------------------
+# Truncation fidelity (the Matryoshka / MRL serving question): if ANN
+# serving keeps only the first k dimensions, how much cosine fidelity
+# survives? For a prefix truncation the cosine between the full
+# vector and its truncated self collapses to the norm ratio
+# ||x[:k]|| / ||x||, so the whole screen is one narrow pass. Per-k
+# per-vector ratios are locked to 1e-6 integer units before the
+# corpus mean (order-free sums — the SQ8/cusum discipline); the
+# squared-norm prefix sums are locked to 1e-12 units before the
+# ratio, so both engines divide identical integers.
+TRUNC_KS = (8, 16, 32)
+
+
+@register(
+    "embedding_truncation_fidelity",
+    tags=("embedding", "quantization", "ann", "aggregate"),
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim1,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id,
+    """
+    + ",\n".join(
+        f"""        CAST(sum(CASE WHEN dim1 <= {k}
+                 THEN CAST(round(val * val * 1e12) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS s{k}"""
+        for k in TRUNC_KS
+    )
+    + """,
+        CAST(sum(CAST(round(val * val * 1e12) AS BIGINT)) AS BIGINT) AS sfull
+      FROM x GROUP BY vec_id
+    ),
+    r AS (
+      SELECT vec_id,
+    """
+    + ",\n".join(
+        f"        CAST(round(sqrt(CAST(s{k} AS DOUBLE) / sfull) * 1e6) AS BIGINT)"
+        f" AS r{k}"
+        for k in TRUNC_KS
+    )
+    + """
+      FROM s
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"""    SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(r{k}) AS BIGINT) / count(*) / 1e6 + 1e-9, 6)
+             AS mean_fidelity,
+           round(CAST(min(r{k}) AS BIGINT) / 1e6, 6) AS min_fidelity
+    FROM r"""
+        for k in TRUNC_KS
+    ),
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n, mean_fidelity, min_fidelity): cosine fidelity of
+    keeping only the first k dims — cos(x, x[:k] pad 0) =
+    ||x[:k]||/||x||, exact by algebra, so no pairwise math is needed.
+    Scale shape: ONE narrow pass (posexplode at scan speed, per-vec
+    integer moment sums on the doc partitioning), then a 3-row
+    output agg; zero joins. The per-vector ratio is locked to 1e-6
+    integer units before the corpus mean, so partial aggregation is
+    order-free cross-engine. Serving use: pick the smallest k whose
+    mean fidelity clears the product bar, then shard the ANN index
+    at dim k (IVF/PQ downstream — similarity_pq_* quantizes what
+    remains)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "fval")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim1"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    e2u = F.round(F.col("val") * F.col("val") * F.lit(1e12)).cast("bigint")
+    aggs = [
+        F.sum(F.when(F.col("dim1") <= k, e2u).otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias(f"s{k}")
+        for k in TRUNC_KS
+    ]
+    aggs.append(F.sum(e2u).cast("bigint").alias("sfull"))
+    s = x.groupBy("vec_id").agg(*aggs)
+    r = s.select(
+        "vec_id",
+        *[
+            F.round(
+                F.sqrt(F.col(f"s{k}").cast("double") / F.col("sfull")) * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias(f"r{k}")
+            for k in TRUNC_KS
+        ],
+    )
+    # ONE aggregation pass collects every k's moments, then a stack()
+    # unpivots the single row — a 3-way union of per-k aggs would
+    # re-execute the whole per-vector lineage per branch (gotcha #9).
+    aggs2 = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in TRUNC_KS:
+        aggs2.append(F.sum(f"r{k}").cast("bigint").alias(f"sum{k}"))
+        aggs2.append(F.min(f"r{k}").cast("bigint").alias(f"min{k}"))
+    a = r.agg(*aggs2)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), sum{k}, min{k}" for k in TRUNC_KS
+    )
+    return a.selectExpr(
+        "n", f"stack({len(TRUNC_KS)}, {stack_args}) AS (k, sum_r, min_r)"
+    ).select(
+        "k",
+        "n",
+        F.round(
+            F.col("sum_r").cast("double") / F.col("n") / F.lit(1e6) + F.lit(1e-9),
+            6,
+        ).alias("mean_fidelity"),
+        F.round(F.col("min_r").cast("double") / F.lit(1e6), 6).alias(
+            "min_fidelity"
+        ),
+    )

@@ -1487,3 +1487,15 @@ def test_consistency_rules_expected_violations(spark, sf_dir):
     assert rows["ship_before_order"].n_violations > 0
     for r in rows.values():
         assert r.n_checked == rows["orphan_lineitem"].n_checked
+
+
+def test_truncation_fidelity_monotone(spark, sf_dir):
+    """Fidelity is a prefix-norm ratio: increases with k, reaches <= 1,
+    and k=32 of 64 near-isotropic dims should carry roughly sqrt(1/2)
+    of the norm (well above sqrt(8/64))."""
+    rows = sorted(_rows(spark, sf_dir, "embedding_truncation_fidelity"),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == [8, 16, 32]
+    assert all(0.0 < r.min_fidelity <= r.mean_fidelity <= 1.0 for r in rows)
+    assert rows[0].mean_fidelity < rows[1].mean_fidelity < rows[2].mean_fidelity
+    assert rows[2].mean_fidelity > 0.5
