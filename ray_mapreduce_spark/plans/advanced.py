@@ -2543,3 +2543,231 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 + F.lit(1e-9), 6).alias("rate1"),
         (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: predict each day's event count
+# with the count 7 days earlier (the weekly-seasonality baseline any
+# real forecaster must beat) and report SMAPE per event type. The
+# cheapest possible drift/forecastability readout over a metrics
+# stream: SMAPE near 0 = strongly weekly-periodic volume, near 2 =
+# unforecastable (or regime-changed) volume.
+FORECAST_LAG_DAYS = 7
+
+
+@register(
+    "events_seasonal_forecast_smape",
+    tags=("events", "timeseries", "forecast", "aggregate"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.n AS actual, b.n AS fcst,
+             CAST(round((2000000.0 * abs(a.n - b.n)) / (a.n + b.n) + 1e-3)
+                  AS BIGINT) AS term_u
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day - {FORECAST_LAG_DAYS}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(actual) AS BIGINT) / count(*) + 1e-9, 4)
+             AS mean_daily,
+           round(CAST(sum(term_u) AS BIGINT) / count(*) / 1e6 + 1e-9, 6)
+             AS smape
+    FROM j GROUP BY event_type
+    """,
+)
+def events_seasonal_forecast_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, mean_daily, smape): backtest of the
+    lag-7 seasonal-naive forecaster over observed epoch-days (a day
+    scores only when day-7 was also observed — zero-count days are
+    absent rows, not zeros, so the join is the backtest mask on both
+    engines). Determinism: day buckets are INTEGER epoch divisions
+    (gotcha: float quotients flip boundary events); each day's SMAPE
+    term 2|a-f|/(a+f) is one division of exact integers locked to
+    1e-6 units BEFORE the mean (+1e-3 micro-unit bias kills rational
+    half-boundaries), so the cross-day sum is order-free. Scale
+    shape: ONE corpus-sized stage (partial-aggregated daily counts on
+    (type, day)); lag alignment is a role-explode + groupBy on the
+    tiny daily frame (see inline comment — a self-join's shifted key
+    would defeat exchange reuse and re-run the counts lineage). At
+    crawl scale daily counts come straight off a date-partitioned
+    table's metadata-sized rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # Single-lineage lag alignment: a daily⋈daily self-join would hash
+    # side a on (type, day-7) and side b on (type, day) — DIFFERENT
+    # projected keys, so the exchanges never canonicalize equal and
+    # the counts lineage executes twice (gotcha #14). Instead each
+    # daily row plays two roles — actual at `day`, forecast at
+    # `day+7` — and one groupBy aligns them: one scan, one extra
+    # tiny shuffle, no join.
+    r = daily.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(F.col("day").alias("d"), F.lit(0).alias("role")),
+                F.struct(
+                    (F.col("day") + FORECAST_LAG_DAYS).alias("d"),
+                    F.lit(1).alias("role"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.d").alias("day"), F.col("x.role").alias("role"), "n")
+    g = r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("role") == 0, F.col("n"))).alias("actual"),
+        F.max(F.when(F.col("role") == 1, F.col("n"))).alias("fcst"),
+    )
+    j = g.filter(
+        F.col("actual").isNotNull() & F.col("fcst").isNotNull()
+    ).select(
+        "event_type",
+        "actual",
+        F.round(
+            (F.lit(2000000.0) * F.abs(F.col("actual") - F.col("fcst")))
+            / (F.col("actual") + F.col("fcst"))
+            + F.lit(1e-3)
+        )
+        .cast("bigint")
+        .alias("term_u"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("actual").cast("bigint") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("mean_daily"),
+        F.round(
+            F.sum("term_u").cast("bigint") / F.count(F.lit(1)) / F.lit(1e6)
+            + F.lit(1e-9),
+            6,
+        ).alias("smape"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split
+# equally across the view/click touches since the user's previous
+# purchase — the classic marketing-credit model, and the inverse of
+# last-click (asof_join_last_click gives 100% to the final touch;
+# this spreads it). Touch grouping = reverse running purchase count,
+# so a touch belongs to the NEXT purchase after it.
+@register(
+    "events_attribution_linear",
+    tags=("events", "attribution", "window", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) * 10000 AS vu_u
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    g AS (
+      SELECT *, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM e
+    ),
+    ga AS (
+      SELECT user_id, grp,
+             max(CASE WHEN event_type = 'purchase' THEN vu_u END) AS vu,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_click
+      FROM g WHERE grp >= 1 GROUP BY 1, 2
+    ),
+    cr AS (
+      SELECT n_view, n_click, vu // (n_view + n_click) AS credit
+      FROM ga WHERE n_view + n_click > 0
+    )
+    SELECT 'view' AS event_type, CAST(sum(n_view) AS BIGINT) AS n_touches,
+           round(CAST(sum(n_view * credit) AS BIGINT) / 1e6 + 1e-9, 6)
+             AS attributed_value
+    FROM cr
+    UNION ALL
+    SELECT 'click', CAST(sum(n_click) AS BIGINT),
+           round(CAST(sum(n_click * credit) AS BIGINT) / 1e6 + 1e-9, 6)
+    FROM cr
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_touches, attributed_value): purchase value
+    credited equally to the view/click touches since the previous
+    purchase. Determinism: value is exact 2-decimal, so purchase
+    value lives in integer MICRO-units (cents * 10000); per-touch
+    credit is an integer floor-divide (Spark `div` == DuckDB `//` on
+    positives) and every aggregate is an order-free integer sum —
+    the one float division happens at output (+1e-9, positive).
+    Group id = reverse running purchase count over the unique
+    (us DESC, event_id DESC) order: touches before a purchase (and
+    after the previous one) share its count. Scale shape: one
+    user-keyed window sort, one (user, grp) partial agg on the SAME
+    partitioning (no second exchange), then a 2-row unpivot of one
+    global agg — per-type sums come off the grouped frame, so touch
+    rows are never joined back. Trailing touches with no subsequent
+    purchase (grp = 0) and touchless purchases earn/get nothing, on
+    both engines by the same predicates."""
+    e = load_table(spark, sf_dir, "events")
+    e2 = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.round(F.col("value") * 100).cast("bigint") * 10000).alias("vu_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e2.withColumn(
+        "grp",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint"),
+    ).filter(F.col("grp") >= 1)
+    ga = g.groupBy("user_id", "grp").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("vu_u"))).alias("vu"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+    )
+    cr = ga.filter(F.col("n_view") + F.col("n_click") > 0).select(
+        "n_view",
+        "n_click",
+        F.expr("vu div (n_view + n_click)").alias("credit"),
+    )
+    a = cr.agg(
+        F.sum("n_view").cast("bigint").alias("tv"),
+        F.sum(F.col("n_view") * F.col("credit")).cast("bigint").alias("uv"),
+        F.sum("n_click").cast("bigint").alias("tc"),
+        F.sum(F.col("n_click") * F.col("credit")).cast("bigint").alias("uc"),
+    )
+    return a.selectExpr(
+        "stack(2, 'view', tv, uv, 'click', tc, uc)"
+        " AS (event_type, n_touches, u)"
+    ).select(
+        "event_type",
+        "n_touches",
+        F.round(F.col("u") / F.lit(1e6) + F.lit(1e-9), 6).alias(
+            "attributed_value"
+        ),
+    )

@@ -322,3 +322,84 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nn") / F.lit(2)).cast("bigint").alias("n_edges"),
         (F.round(num / den + F.lit(1e-9), 6) + F.lit(0.0)).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient: lcc(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+# for deg >= 2 (else 0). Separates tight boilerplate cliques
+# (lcc -> 1: every neighbor pair also near-dup — collapse the whole
+# family) from hub-and-spoke template graphs (high degree, low lcc:
+# one template quoted by many otherwise-unrelated pages — keep the
+# spokes). Complements triangle counts with the degree normalization
+# that makes nodes of different connectivity comparable.
+@register(
+    "graph_clustering_coefficient",
+    tags=("graph", "triangles", "dedup-signal"),
+    oracle=f"""
+    WITH {_PR_EDGE_SQL.strip()},
+    edges AS (SELECT src, dst FROM prs UNION ALL SELECT dst AS src, src AS dst FROM prs),
+    deg AS (SELECT src AS vec_id, count(*) AS deg FROM edges GROUP BY src),
+    tri AS (
+      SELECT a.src AS x, a.dst AS y, b.dst AS z
+      FROM prs a
+      JOIN prs b ON b.src = a.dst
+      JOIN prs c ON c.src = a.src AND c.dst = b.dst
+    ),
+    member AS (
+      SELECT x AS vec_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    cnt AS (SELECT vec_id, count(*) AS t FROM member GROUP BY vec_id)
+    SELECT v.vec_id,
+           CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+           CAST(coalesce(c.t, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN coalesce(d.deg, 0) >= 2
+                 THEN 2.0 * coalesce(c.t, 0) / (d.deg * (d.deg - 1)) + 1e-9
+                 ELSE 0.0 END, 6) AS lcc
+    FROM v
+    LEFT JOIN deg d ON d.vec_id = v.vec_id
+    LEFT JOIN cnt c ON c.vec_id = v.vec_id
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, degree, n_triangles, lcc) over the canonical near-dup
+    edge set. Determinism: T(v) and deg(v) are exact integer counts;
+    the single output division 2.0*t/(deg*(deg-1)) is one
+    correctly-rounded double of identical integers on both engines
+    (+1e-9 pre-round bias per gotcha #3; lcc >= 0 so no signed-zero
+    leg). Scale shape: the checkpointed pair frame feeds BOTH the
+    triangle wedge joins and the degree union (sibling consumers —
+    the checkpoint is the gotcha #9 fix); wedge/closure are the same
+    equi-joins as graph_triangle_count, degree is one partial agg;
+    the final assembly joins two node-sized frames. At crawl scale
+    the id orientation would become degree orientation exactly as
+    documented on graph_triangle_count — the lcc math is unchanged."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    prs = _pair_edges(v).localCheckpoint(eager=True)
+    tri = triangle_counts(v.select("vec_id"), prs)
+    edges = prs.union(
+        prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    d, dg = tri.alias("d"), deg.alias("dg")
+    degree = F.coalesce(F.col("dg.deg"), F.lit(0))
+    return d.join(dg, F.col("d.vec_id") == F.col("dg.vec_id"), "left").select(
+        F.col("d.vec_id").alias("vec_id"),
+        degree.cast("bigint").alias("degree"),
+        F.col("d.n_triangles").alias("n_triangles"),
+        F.when(
+            degree >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.col("d.n_triangles")
+                / (F.col("dg.deg") * (F.col("dg.deg") - 1))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -2112,3 +2112,81 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_rep.cast("bigint").alias("flag_rep"),
         (flag_len & flag_wordlen & flag_rep).cast("bigint").alias("pass"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language: bytes-per-token and the
+# BPE-ish/whitespace token ratio — the budgeting numbers that decide
+# how many *model* tokens a corpus actually costs per language (the
+# multilingual-tokenizer fairness readout: high fertility = the
+# tokenizer fragments that language). Reuses the exact regex pair
+# hash-verified in text_token_count_regex.
+@register(
+    "text_tokenizer_fertility",
+    tags=("text", "tokens", "aggregate", "multilingual"),
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+                  AS BIGINT) AS n_bpeish
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpeish) AS BIGINT) AS bpeish_tokens,
+           round(CAST(sum(n_bytes) AS BIGINT) / CAST(sum(n_ws) AS BIGINT)
+                 + 1e-9, 4) AS bytes_per_ws_token,
+           round(CAST(sum(n_bytes) AS BIGINT) / CAST(sum(n_bpeish) AS BIGINT)
+                 + 1e-9, 4) AS bytes_per_bpeish_token,
+           round(CAST(sum(n_bpeish) AS BIGINT) / CAST(sum(n_ws) AS BIGINT)
+                 + 1e-9, 4) AS fertility
+    FROM d GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, ws_tokens, bpeish_tokens, bytes_per_ws_token,
+    bytes_per_bpeish_token, fertility): per-language token budgeting.
+    fertility = BPE-ish tokens per whitespace word — the standard
+    how-badly-does-the-tokenizer-fragment-this-language ratio.
+    Determinism: every aggregate is an exact integer sum (byte
+    lengths + regex match counts, identical patterns both engines);
+    the three output divisions divide identical integers (+1e-9
+    bias; all ratios positive). Scale shape: ONE narrow scan with
+    per-row codegen'd length/regex counts, then a lang-keyed partial
+    agg — five groups out; no joins, no windows. Bytes via
+    octet_length (Spark) == strlen (DuckDB) — both count bytes, not
+    codepoints."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+    per = d.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("bigint")
+        .alias("n_bpeish"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpeish").cast("bigint").alias("bpeish_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpeish_tokens",
+        F.round(
+            F.col("n_bytes") / F.col("ws_tokens") + F.lit(1e-9), 4
+        ).alias("bytes_per_ws_token"),
+        F.round(
+            F.col("n_bytes") / F.col("bpeish_tokens") + F.lit(1e-9), 4
+        ).alias("bytes_per_bpeish_token"),
+        F.round(
+            F.col("bpeish_tokens") / F.col("ws_tokens") + F.lit(1e-9), 4
+        ).alias("fertility"),
+    )

@@ -1499,3 +1499,63 @@ def test_truncation_fidelity_monotone(spark, sf_dir):
     assert all(0.0 < r.min_fidelity <= r.mean_fidelity <= 1.0 for r in rows)
     assert rows[0].mean_fidelity < rows[1].mean_fidelity < rows[2].mean_fidelity
     assert rows[2].mean_fidelity > 0.5
+
+
+def test_clustering_coefficient_consistency(spark, sf_dir):
+    """lcc in [0,1]; triangles imply degree >= 2; lcc re-derivable
+    from the integer counts in the same row."""
+    rows = _rows(spark, sf_dir, "graph_clustering_coefficient")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.lcc <= 1.0
+        if r.n_triangles > 0:
+            assert r.degree >= 2
+        if r.degree >= 2:
+            want = 2.0 * r.n_triangles / (r.degree * (r.degree - 1))
+            assert abs(r.lcc - want) < 1e-5
+        else:
+            assert r.lcc == 0.0
+
+
+def test_seasonal_forecast_smape_bounds(spark, sf_dir):
+    """SMAPE terms are 2|a-f|/(a+f) in [0,2]; backtest days require a
+    lag-7 observed day, so n_days is less than the type's full span."""
+    rows = _rows(spark, sf_dir, "events_seasonal_forecast_smape")
+    assert rows
+    known = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert r.event_type in known
+        assert r.n_days > 0
+        assert 0.0 <= r.smape <= 2.0
+        assert r.mean_daily > 0
+
+
+def test_tokenizer_fertility_ordering(spark, sf_dir):
+    """BPE-ish tokens are at least word tokens minus empty-string ws
+    artifacts, so bytes/bpeish <= bytes/ws; all ratios positive."""
+    rows = _rows(spark, sf_dir, "text_tokenizer_fertility")
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.ws_tokens > 0 and r.bpeish_tokens > 0
+        assert r.bytes_per_bpeish_token <= r.bytes_per_ws_token
+        assert r.fertility > 0.5
+
+
+def test_attribution_linear_conservation(spark, sf_dir):
+    """Exactly the two touch rows; credited value never exceeds total
+    purchase value (floor-div credit loses only sub-micro remainders)."""
+    rows = {r.event_type: r for r in
+            _rows(spark, sf_dir, "events_attribution_linear")}
+    assert set(rows) == {"view", "click"}
+    total_attr = sum(r.attributed_value for r in rows.values())
+    e = _Q["events_attribution_linear"].builder  # noqa: F841 (registry touch)
+    from ray_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value").alias("s"))
+        .collect()[0].s
+    )
+    assert 0 < total_attr <= purch + 1e-6
+    assert all(r.n_touches > 0 for r in rows.values())
