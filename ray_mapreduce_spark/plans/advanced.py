@@ -2771,3 +2771,138 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA level + volatility band over daily mean purchase-stream value:
+# the monitoring smoother (alerting compares today's level to
+# ewma +/- z * ewm_std). Weighted moments are computed over the
+# trailing EWMA_WINDOW_DAYS observed days with integer weights
+# round(1e6 * EWMA_ALPHA^k) PRECOMPUTED IN PYTHON and embedded as
+# identical literals in both engines — so every weighted sum is an
+# exact integer sum and the whole statistic is order-free.
+EWMA_ALPHA = 0.8
+EWMA_WINDOW_DAYS = 14
+_EWMA_W = tuple(round(1e6 * EWMA_ALPHA**k) for k in range(EWMA_WINDOW_DAYS))
+
+
+def _ewma_oracle() -> str:
+    vals = ", ".join(f"({k}, {w})" for k, w in enumerate(_EWMA_W))
+    return f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(round((1000.0 * sum(CAST(round(value * 100) AS BIGINT)))
+                        / (100 * count(*)) + 1e-3) AS BIGINT) AS mu_m
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT d.event_type, d.day + w.k AS day,
+             CASE WHEN w.k = 0 THEN d.mu_m END AS self_mu,
+             d.mu_m * w.wu AS s1,
+             d.mu_m * d.mu_m * w.wu AS s2,
+             w.wu AS wu
+      FROM daily d, (VALUES {vals}) AS w(k, wu)
+    ),
+    g AS (
+      SELECT event_type, day,
+             max(self_mu) AS mu_m,
+             CAST(sum(s1) AS BIGINT) AS s1,
+             CAST(sum(s2) AS BIGINT) AS s2,
+             CAST(sum(wu) AS BIGINT) AS sw
+      FROM c GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           round(mu_m / 1e3, 3) AS mean_daily,
+           round(s1 / sw / 1e3 + 1e-9, 4) AS ewma,
+           round(sqrt(greatest(s2 / sw - (s1 / sw) * (s1 / sw), 0.0)) / 1e3
+                 + 1e-9, 4) AS ewm_std
+    FROM g WHERE mu_m IS NOT NULL
+    """
+
+
+@register(
+    "events_ewma_volatility",
+    tags=("events", "timeseries", "ewma", "monitoring"),
+    oracle=_ewma_oracle(),
+)
+def events_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, mean_daily, ewma, ewm_std): exponentially
+    weighted level and standard deviation of the daily mean event
+    value over the trailing {14} observed days. Determinism: daily
+    means live on a 1e-3 integer grid (value is exact 2-decimal so
+    the day sum is exact cents; one division + 1e-3-unit bias);
+    weights are Python-precomputed INTEGERS, so s1/s2/sw are exact
+    integer sums — order-free — and the output divisions, the
+    guarded variance (greatest 0 — weighted variance is >= 0 in
+    exact arithmetic but the two divisions can undershoot by an ulp
+    when every day is equal), and IEEE-exact sqrt are identical
+    cross-engine. Overflow bound: mu_m^2*wu <= (5e5)^2*1e6 ~ 2.5e17
+    per term, *14 < 2^63 — ANSI raises loudly if value scale ever
+    grows past ~$20k daily means. Scale shape: ONE corpus-sized
+    partial agg to daily cents; the 14-way offset explode runs on
+    the tiny types x days frame (same shape as events_wau_rolling's
+    sliding rewrite — an equi-shuffle, never a range self-join); the
+    k=0 role doubles as the observed-day marker so no rejoin to the
+    daily frame is needed (single lineage, gotcha #14)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(
+                (F.lit(1000.0) * F.sum("cents"))
+                / (F.lit(100) * F.count(F.lit(1)))
+                + F.lit(1e-3)
+            )
+            .cast("bigint")
+            .alias("mu_m")
+        )
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(w).alias("wu"))
+            for k, w in enumerate(_EWMA_W)
+        ]
+    )
+    c = daily.select(
+        "event_type",
+        "day",
+        "mu_m",
+        F.explode(offs).alias("o"),
+    ).select(
+        "event_type",
+        (F.col("day") + F.col("o.k")).alias("tday"),
+        F.when(F.col("o.k") == 0, F.col("mu_m")).alias("self_mu"),
+        (F.col("mu_m") * F.col("o.wu")).alias("s1"),
+        (F.col("mu_m") * F.col("mu_m") * F.col("o.wu")).alias("s2"),
+        F.col("o.wu").alias("wu"),
+    )
+    g = (
+        c.groupBy("event_type", F.col("tday").alias("day"))
+        .agg(
+            F.max("self_mu").alias("mu_m"),
+            F.sum("s1").cast("bigint").alias("s1"),
+            F.sum("s2").cast("bigint").alias("s2"),
+            F.sum("wu").cast("bigint").alias("sw"),
+        )
+        .filter(F.col("mu_m").isNotNull())
+    )
+    m1 = F.col("s1") / F.col("sw")
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("mu_m") / F.lit(1e3), 3).alias("mean_daily"),
+        F.round(m1 / F.lit(1e3) + F.lit(1e-9), 4).alias("ewma"),
+        F.round(
+            F.sqrt(F.greatest(F.col("s2") / F.col("sw") - m1 * m1, F.lit(0.0)))
+            / F.lit(1e3)
+            + F.lit(1e-9),
+            4,
+        ).alias("ewm_std"),
+    )

@@ -1824,3 +1824,93 @@ def substring_span_hits(d: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_hit") >= 1)
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked edit-distance near-dup pairs: the third fuzzy-dedup modality
+# (set overlap = minhash/jaccard, bit sketch = simhash, and HERE
+# character edits — catches small in-place mutations like dates,
+# names, typo noise that shingle sets can over- or under-count).
+# Candidate generation is PREFIX BLOCKING: only doc pairs sharing the
+# normalized first-EDIT_BLOCK_CHARS characters are compared, and the
+# DP runs on the head-EDIT_HEAD_CHARS cap, so per-pair cost is
+# bounded (~EDIT_HEAD_CHARS^2) and total cost is sum of block^2, not
+# corpus^2.
+EDIT_BLOCK_CHARS = 24
+EDIT_HEAD_CHARS = 200
+EDIT_SIM_THRESHOLD = 0.90
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    tags=("dedup", "fuzzy", "levenshtein", "blocking"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(substr(a.t, 1, {EDIT_HEAD_CHARS}),
+                              substr(b.t, 1, {EDIT_HEAD_CHARS})) AS BIGINT)
+               AS dist,
+             greatest(least(strlen(a.t), {EDIT_HEAD_CHARS}),
+                      least(strlen(b.t), {EDIT_HEAD_CHARS})) AS m
+      FROM d a
+      JOIN d b ON substr(a.t, 1, {EDIT_BLOCK_CHARS})
+                    = substr(b.t, 1, {EDIT_BLOCK_CHARS})
+              AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, dist,
+           round(1.0 - dist / m + 1e-9, 4) AS sim
+    FROM p WHERE 1.0 - dist / m >= {EDIT_SIM_THRESHOLD}
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, dist, sim): pairs whose head-{200}-char
+    normalized edit similarity 1 - dist/max_len clears
+    EDIT_SIM_THRESHOLD, candidates blocked on the shared lowercase
+    {24}-char prefix. Determinism: dist and the length cap are exact
+    integers (ASCII corpus: Spark char semantics == DuckDB; byte
+    lengths via octet_length == strlen); one output division + 1e-9
+    bias. Scale shape: the blocking join is an equi-join of one
+    identical scan-rooted subtree — AQE runtime-reuses the exchange
+    (gotcha #14 self-join case), so the corpus is scanned and
+    prefix-projected ONCE; the quadratic DP runs only inside blocks
+    (prefix clones), capped at head chars. At crawl scale prefix
+    blocking is the exact-head-clone screen; for typo-level recall
+    beyond shared heads, band on q-gram signatures instead
+    (dedup_ngram_jaccard / minhash are that path — this operator is
+    the cheap precise screen for template families, reference-free).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    head = lambda side: F.substring(F.col(f"{side}.t"), 1, EDIT_HEAD_CHARS)  # noqa: E731
+    m = F.greatest(
+        F.least(F.octet_length("a.t"), F.lit(EDIT_HEAD_CHARS)),
+        F.least(F.octet_length("b.t"), F.lit(EDIT_HEAD_CHARS)),
+    )
+    p = (
+        a.join(
+            b,
+            (
+                F.substring(F.col("a.t"), 1, EDIT_BLOCK_CHARS)
+                == F.substring(F.col("b.t"), 1, EDIT_BLOCK_CHARS)
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(head("a"), head("b")).cast("bigint").alias("dist"),
+            m.alias("m"),
+        )
+    )
+    sim = F.lit(1.0) - F.col("dist") / F.col("m")
+    return p.filter(sim >= EDIT_SIM_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        "dist",
+        F.round(sim + F.lit(1e-9), 4).alias("sim"),
+    )

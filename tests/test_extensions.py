@@ -1559,3 +1559,58 @@ def test_attribution_linear_conservation(spark, sf_dir):
     )
     assert 0 < total_attr <= purch + 1e-6
     assert all(r.n_touches > 0 for r in rows.values())
+
+
+def test_edit_distance_pairs_catch_head_clones(spark, sf_dir):
+    """Every pair sharing the full lowercase head-200 shares the
+    blocking prefix by construction, so it must surface with dist=0,
+    sim=1; all pairs are canonical and clear the threshold."""
+    from ray_mapreduce_spark.plans.dedup import EDIT_HEAD_CHARS
+    from ray_mapreduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+    rows = _rows(spark, sf_dir, "dedup_edit_distance_pairs")
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.dist >= 0
+        assert 0.9 <= r.sim <= 1.0 + 1e-9
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.sha2(F.substring(F.lower("text"), 1, EDIT_HEAD_CHARS), 256).alias("h"),
+        )
+        .collect()
+    )
+    by_h = {}
+    for r in d:
+        by_h.setdefault(r.h, []).append(r.doc_id)
+    clone_pairs = [
+        (a, b)
+        for ids in by_h.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1:]
+    ]
+    assert clone_pairs, "fixture should contain head-200 clones"
+    for p in clone_pairs:
+        assert p in got and got[p].dist == 0 and got[p].sim == 1.0
+
+
+def test_ewma_volatility_bounds(spark, sf_dir):
+    """std >= 0; ewma lies within each type's [min, max] daily mean;
+    the first observed day of each type has ewma == its own mean (only
+    the k=0 weight contributes)."""
+    rows = _rows(spark, sf_dir, "events_ewma_volatility")
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        mns = [r.mean_daily for r in rs]
+        lo, hi = min(mns), max(mns)
+        for r in rs:
+            assert r.ewm_std >= 0.0
+            assert lo - 1e-3 <= r.ewma <= hi + 1e-3
+        first = min(rs, key=lambda r: r.day)
+        assert abs(first.ewma - first.mean_daily) < 1e-3
+        assert first.ewm_std < 1e-3
