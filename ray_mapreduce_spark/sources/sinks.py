@@ -96,3 +96,53 @@ def compact_parquet(
     out = df.repartition(n) if shuffle else df.coalesce(n)
     out.write.mode("overwrite").parquet(dst)
     return len([f for f in spark.read.parquet(dst).inputFiles()])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-interleaved) layout writer: clusters rows so
+    that files are tight in EVERY listed column at once, which is
+    what makes multi-column min/max data skipping work (a range sort
+    on col A gives perfect skipping on A and none on B; Z-ordering
+    splits the benefit across all of them — the Delta/Iceberg
+    OPTIMIZE ZORDER capability, reproduced on plain parquet).
+
+    Mechanics: each column is quantile-bucketed into 2**bits levels
+    using cut points from approxQuantile (driver collects only
+    2**bits-1 doubles per column — no data pass beyond the sketch),
+    the per-column bucket ids are bit-interleaved into a Morton code
+    with Python-int shift counts (F.shiftleft takes plain ints), and
+    the frame is repartitionByRange'd on (code, *cols) into n_files
+    and written. Quantile (not min/max-linear) bucketing keeps the
+    code balanced under skew. The write is layout-only: content is
+    byte-identical to the input rows."""
+    nq = (1 << bits) - 1
+    probs = [i / (nq + 1) for i in range(1, nq + 1)]
+    from pyspark.sql import functions as F
+
+    code = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        cuts = df.approxQuantile(c, probs, 0.001)
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(F.col(c) > cut, 1).otherwise(0)
+        # interleave this column's bits at positions ci, ci+k, ci+2k, ...
+        k = len(cols)
+        for bit in range(bits):
+            code = code + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)).cast("bigint"),
+                ci + bit * k,
+            )
+    (
+        df.withColumn("__zcode", code)
+        .repartitionByRange(n_files, "__zcode", *cols)
+        .drop("__zcode")
+        .write.mode(mode)
+        .parquet(path)
+    )

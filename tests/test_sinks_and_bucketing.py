@@ -218,3 +218,41 @@ def test_manifest_text_datasource(spark, tmp_path):
     # composes with ordinary DataFrame ops
     per_file = {r["path"]: r["n"] for r in df.groupBy("path").count().withColumnRenamed("count", "n").collect()}
     assert per_file == {f: 5 for f in files}
+
+
+def test_zorder_write_improves_multicol_skipping(spark, tmp_path):
+    """Z-ordered files must be tighter (smaller per-file min/max span)
+    than hash layout in BOTH columns simultaneously — the property
+    file-skipping needs; content survives byte-identical."""
+    from pyspark.sql import functions as F
+
+    from ray_mapreduce_spark.sources.sinks import write_zordered
+
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id"),
+            (F.hash(F.col("id"), F.lit(1)) % 1000).alias("x"),
+            (F.hash(F.col("id"), F.lit(2)) % 1000).alias("y"),
+        )
+    )
+    zpath = str(tmp_path / "z")
+    hpath = str(tmp_path / "h")
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+    df.repartition(8).write.parquet(hpath)
+
+    def mean_span(path, col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return per
+
+    for c in ("x", "y"):
+        assert mean_span(zpath, c) < 0.7 * mean_span(hpath, c), c
+    a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
