@@ -403,3 +403,137 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-core peel decomposition: synchronously strip nodes whose degree
+# in the surviving near-dup subgraph is < KCORE_K, recording the
+# round at which each node leaves, until the induced subgraph
+# stabilizes. peel_round=1 nodes are isolated pair-dups (safe to
+# handle pairwise), higher rounds are chain/periphery structure, and
+# the peel_round=0 survivors are the cyclic 2-core — the irreducibly
+# tangled duplication families where cluster-collapse dedup (not
+# pairwise removal) is the right action. Rounds are FIXED
+# (KCORE_ROUNDS) so the unrolled oracle matches bit-for-bit; a
+# pytest gate asserts zero removals happen in the FINAL round on
+# real data (=> the fixpoint was reached inside the budget), so a
+# regenerated-testdata graph that peels deeper fails loudly instead
+# of silently under-peeling. Removal bookkeeping is roster-diff
+# (present in e_{i-1}, absent from e_i): this also catches nodes
+# whose degree was >= k but whose neighbors all died that round —
+# a pure HAVING deg<k rule would never record them.
+KCORE_K = 2
+KCORE_ROUNDS = 5
+
+# The multiply-referenced CTE tower (each e_i feeds k_{i+1}, rm_{i+1}
+# and e_{i+1}) must be MATERIALIZED in DuckDB — inlined it
+# re-expands ~3x per level and the quadratic edge rule at the base
+# makes the oracle effectively hang (measured: >300s inlined vs
+# 0.1s materialized at sf0.1).
+_KCORE_EDGE_SQL = _PR_EDGE_SQL.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        "WITH " + _KCORE_EDGE_SQL.strip(),
+        "e0 AS MATERIALIZED (SELECT src, dst FROM prs"
+        " UNION ALL SELECT dst AS src, src AS dst FROM prs)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM e{i - 1}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e"
+            f" JOIN k{i} a ON a.src = e.src"
+            f" JOIN k{i} b ON b.src = e.dst)"
+        )
+        parts.append(
+            f"rm{i} AS MATERIALIZED (SELECT DISTINCT e.src FROM e{i - 1} e"
+            f" LEFT JOIN (SELECT DISTINCT src FROM e{i}) s ON s.src = e.src"
+            f" WHERE s.src IS NULL)"
+        )
+    removed = [
+        f"SELECT src AS vec_id, CAST({i} AS BIGINT) AS peel_round FROM rm{i}"
+        for i in range(1, rounds + 1)
+    ]
+    core = (
+        f"SELECT DISTINCT src AS vec_id, CAST(0 AS BIGINT) AS peel_round"
+        f" FROM e{rounds}"
+    )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(removed + [core])
+
+
+@register(
+    "graph_kcore_peel",
+    tags=("graph", "kcore", "iterative", "dedup-signal"),
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, peel_round): the k-core peel decomposition of the
+    near-dup graph — peel_round = the synchronous peel round (1-based)
+    at which the node left the induced subgraph, 0 for nodes
+    surviving all KCORE_ROUNDS rounds (the k-core; at KCORE_K=2 the
+    cyclic families). Determinism: pure integer degree counts and
+    semi/anti-join membership — no floats anywhere past the
+    (hash-verified) edge rule. Scale shape: the undirected edge frame
+    is checkpointed once (the forward+reverse self-union races one
+    lineage, gotcha #9) and each round is one partial-aggregated
+    degree count + two semi joins on edge keys, re-checkpointed so
+    lineage stays flat (iterative-operator rule); per-round removed
+    frames read only the two adjacent checkpoints, and work per round
+    shrinks with the surviving edge set. The fixed round budget is
+    the oracle-parity tradeoff — production peeling loops to
+    fixpoint, and test_kcore_fixpoint_within_budget proves the budget
+    IS the fixpoint on this corpus (zero final-round removals)."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    prs = _pair_edges(v).localCheckpoint(eager=True)
+    edges = prs.union(
+        prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    return kcore_peel_rounds(edges, KCORE_K, KCORE_ROUNDS)
+
+
+def kcore_peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(vec_id, peel_round) decomposition of a symmetrized,
+    checkpointed (src, dst) edge frame under ``rounds`` synchronous
+    peels of degree < ``k``; peel_round=0 marks survivors. See
+    graph_kcore_peel."""
+    out: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        nxt = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            edges.select("src")
+            .distinct()
+            .join(nxt.select("src").distinct(), "src", "left_anti")
+            .select(
+                F.col("src").alias("vec_id"),
+                F.lit(r).cast("bigint").alias("peel_round"),
+            )
+        )
+        edges = nxt
+    out.append(
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("vec_id"),
+            F.lit(0).cast("bigint").alias("peel_round"),
+        )
+    )
+    res = out[0]
+    for f in out[1:]:
+        res = res.union(f)
+    return res

@@ -1767,3 +1767,118 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
             "min_fidelity"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# K-center greedy coreset (Gonzalez 2-approximation, the diversity
+# selection behind active-learning / coreset training-data picks):
+# repeatedly take the point FARTHEST from everything selected so
+# far. Returns the selected ids in selection order plus the covering
+# radius after each pick — the radius curve IS the coverage-vs-budget
+# tradeoff a data-selection pipeline reads to choose its budget.
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    def d2(v: str, c: str) -> str:
+        return (
+            f"round(list_inner_product({v}, {v})"
+            f" - 2 * list_inner_product({v}, {c})"
+            f" + list_inner_product({c}, {c}), 4)"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        "s1 AS (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT v.vec_id, v.vec, {d2('v.vec', 's1.vec')} AS dmin FROM v, s1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, vec FROM d{r - 1}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT d.vec_id, d.vec,"
+            f" least(d.dmin, {d2('d.vec', f's{r}.vec')}) AS dmin"
+            f" FROM d{r - 1} d, s{r})"
+        )
+    selects = [
+        f"SELECT {r} AS sel_order, s{r}.vec_id,"
+        f" (SELECT max(dmin) FROM d{r}) AS radius2 FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "sample_kcenter_coreset",
+    tags=("sampling", "coreset", "embedding", "iterative"),
+    oracle=_kcenter_oracle(KCENTER_K),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_order, vec_id, radius2): KCENTER_K greedy k-center picks
+    over the embeddings, radius2 = max over the corpus of the rounded
+    squared distance to the nearest selected center AFTER each pick
+    (the 2-approx covering radius). Determinism: distances use the
+    exact _lloyd_assign discipline — identical sequential fold
+    cross-engine, 4dp round — so argmax is on identical values with
+    the (dmin DESC, vec_id ASC) composite tiebreak; `least` of
+    rounded values and `max` radii introduce no new floats. Scale
+    shape: the corpus frame is the LOOP INVARIANT (checkpointed
+    once); each round is one broadcast of a 1-ROW center frame + a
+    narrow per-row least() + two partial aggs (argmax row, max
+    radius) — O(K) corpus passes total with no shuffle beyond the
+    1-row aggs; dmin state is checkpointed per round to keep lineage
+    flat (iterative-operator rule). At crawl scale the same loop
+    runs with the state column stored alongside the vectors."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
+    seed = (
+        v.agg(F.min_by(F.struct("vec_id", "vec"), "vec_id").alias("p"))
+        .select(F.col("p.vec_id").alias("vec_id"), F.col("p.vec").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    d2 = lambda: F.round(  # noqa: E731 — distance to the broadcast cvec
+        _dot("vec", "vec") - 2 * _dot("vec", "cvec") + _dot("cvec", "cvec"), 4
+    )
+    state = (
+        v.crossJoin(F.broadcast(seed.select("cvec")))
+        .select("vec_id", "vec", d2().alias("dmin"))
+        .localCheckpoint(eager=True)
+    )
+    out = [
+        seed.select(
+            F.lit(1).cast("bigint").alias("sel_order"),
+            "vec_id",
+        ).crossJoin(state.agg(F.max("dmin").alias("radius2")))
+    ]
+    for r in range(2, KCENTER_K + 1):
+        pick = (
+            state.agg(
+                F.max_by(
+                    F.struct("vec_id", "vec", "dmin"),
+                    F.struct("dmin", (-F.col("vec_id")).alias("nid")),
+                ).alias("p")
+            )
+            .select(
+                F.col("p.vec_id").alias("vec_id"), F.col("p.vec").alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            state.crossJoin(F.broadcast(pick.select("cvec")))
+            .select(
+                "vec_id", "vec", F.least("dmin", d2()).alias("dmin")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            pick.select(
+                F.lit(r).cast("bigint").alias("sel_order"), "vec_id"
+            ).crossJoin(state.agg(F.max("dmin").alias("radius2")))
+        )
+    res = out[0]
+    for f in out[1:]:
+        res = res.union(f)
+    return res

@@ -1614,3 +1614,66 @@ def test_ewma_volatility_bounds(spark, sf_dir):
         first = min(rs, key=lambda r: r.day)
         assert abs(first.ewma - first.mean_daily) < 1e-3
         assert first.ewm_std < 1e-3
+
+
+def test_kcenter_coreset_properties(spark, sf_dir):
+    """Greedy k-center invariants: the covering radius is
+    non-increasing in the budget; picks are distinct; every pair of
+    selected centers is separated by at least the final covering
+    radius (the 2-approximation argument's separation property)."""
+    import numpy as np
+
+    rows = sorted(_rows(spark, sf_dir, "sample_kcenter_coreset"),
+                  key=lambda r: r.sel_order)
+    assert [r.sel_order for r in rows] == list(range(1, 9))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 8
+    radii = [r.radius2 for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+    assert radii[-1] >= 0.0
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ids))
+        .collect()
+    }
+    final_r = radii[-1]
+    for i in range(8):
+        for j in range(i + 1, 8):
+            d = float(np.sum((vecs[ids[i]] - vecs[ids[j]]) ** 2))
+            assert d >= final_r - 1e-3, (ids[i], ids[j], d, final_r)
+
+
+def test_kcore_planted_semantics(spark):
+    """Peel semantics on a planted graph: triangle {1,2,3} with a
+    pendant chain 3-4-5-6. Synchronous k=2 peel: 6 leaves round 1;
+    5 (now degree 1) leaves round 2; 4 leaves round 3; the triangle
+    survives as the 2-core (peel_round=0). Exercises the roster-diff
+    bookkeeping on multi-round chains, which the driver corpus only
+    shows at sf0.1."""
+    from ray_mapreduce_spark.plans.graph import kcore_peel_rounds
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    got = {
+        r.vec_id: r.peel_round
+        for r in kcore_peel_rounds(edges, 2, 5).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 3, 5: 2, 6: 1}
+
+
+def test_kcore_fixpoint_within_budget(spark, sf_dir):
+    """The fixed KCORE_ROUNDS budget must BE the fixpoint on this
+    corpus: zero removals in the final round (a peel round that
+    removes nothing leaves the graph stable forever, so the round-0
+    survivors are the true k-core). A regenerated-testdata graph
+    that peels deeper fails here loudly instead of silently
+    under-peeling."""
+    from ray_mapreduce_spark.plans.graph import KCORE_ROUNDS
+
+    rows = _rows(spark, sf_dir, "graph_kcore_peel")
+    assert len(rows) > 0
+    last = [r for r in rows if r.peel_round == KCORE_ROUNDS]
+    assert last == [], f"peel did not stabilize: {len(last)} removals in final round"
