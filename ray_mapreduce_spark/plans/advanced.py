@@ -2906,3 +2906,189 @@ def events_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ewm_std"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-anonymity risk profile — the re-identification governance readout
+# a training-data pipeline runs before releasing/ingesting tabular
+# records (Sweeney's k-anonymity): how many quasi-identifier (QI)
+# groups are unique or small, and how fast the risk decays as the QI
+# is generalized. Levels: 0 = (nation, segment, $500-acctbal
+# bucket), 1 = drop the balance bucket, 2 = nation only. A single
+# ROLLUP computes all three levels in ONE shuffle; group sizes are
+# then bucketed into k-risk classes. All integer — bucket is exact
+# cents floor-div (the q22 cents discipline), sizes/counts are
+# bigints; no float anywhere.
+KANON_BUCKET_CENTS = 50_000  # $500 acctbal buckets
+
+
+@register(
+    "privacy_k_anonymity",
+    tags=("privacy", "governance", "rollup", "aggregate"),
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey AS nation,
+             c_mktsegment AS segment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // {KANON_BUCKET_CENTS} AS bal_bucket
+      FROM customer
+    ),
+    grp AS (
+      SELECT CAST(GROUPING(segment) + GROUPING(bal_bucket) AS BIGINT) AS level,
+             count(*) AS sz
+      FROM qi
+      GROUP BY ROLLUP (nation, segment, bal_bucket)
+      HAVING GROUPING(nation) = 0
+    )
+    SELECT level,
+           CASE WHEN sz = 1 THEN '1'
+                WHEN sz < 5 THEN '2-4'
+                WHEN sz < 10 THEN '5-9'
+                ELSE '10+' END AS k_class,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_rows
+    FROM grp GROUP BY 1, 2
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level, k_class, n_groups, n_rows): count of QI groups and of
+    covered customers per k-anonymity risk class ('1' unique, '2-4',
+    '5-9', '10+') at three generalization levels (0 = full QI, each
+    +1 drops the finest column). Determinism: bucket = exact integer
+    cents floor-div, every output an integer count — the gotcha #13
+    class is absent by construction. Scale shape: ONE rollup shuffle
+    on the QI key computes all levels (partial-aggregated map-side;
+    level-1/2 rows are re-aggregations of the level-0 partials, not
+    rescans); the class aggregation runs on the bounded group frame.
+    At crawl scale the QI cardinality — not the fact — bounds
+    everything past the first exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            f"CAST(round(c_acctbal * 100) AS BIGINT) div {KANON_BUCKET_CENTS}"
+        ).alias("bal_bucket"),
+    )
+    grp = (
+        qi.rollup("nation", "segment", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            # grouping() is only resolvable inside the rollup's own
+            # aggregate list, not a downstream select.
+            (F.grouping("segment") + F.grouping("bal_bucket"))
+            .cast("bigint")
+            .alias("level"),
+            F.grouping("nation").alias("g_nation"),
+        )
+        .filter(F.col("g_nation") == 0)
+        .select("level", "sz")
+    )
+    k_class = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") < 5, "2-4")
+        .when(F.col("sz") < 10, "5-9")
+        .otherwise("10+")
+        .alias("k_class")
+    )
+    return (
+        grp.select("level", k_class, "sz")
+        .groupBy("level", "k_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance — the classic financial-anomaly /
+# data-fabrication screen: leading digits of genuine multiplicative
+# amounts follow P(d) = log10(1 + 1/d); synthetic or truncated data
+# deviates. Run over order totals as a data-validation signal next
+# to lineitem_consistency_rules. The expected shares are PYTHON
+# literals embedded in BOTH engines (log10 is transcendental — not
+# guaranteed identically rounded across engines; the literal removes
+# the risk entirely), so obs counts are integers, expected = n *
+# literal and the chi-square term are identical double products
+# cross-engine.
+@register(
+    "orders_benford_digits",
+    tags=("validation", "benford", "aggregate"),
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n_obs
+      FROM cents GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    digits AS (SELECT unnest(range(1, 10)) AS digit),
+    exp AS (
+      SELECT digit,
+             CAST(CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END AS DOUBLE) AS share
+      FROM digits
+    )
+    SELECT e.digit,
+           CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           round(n.n * e.share, 4) AS exp_count,
+           round(
+             (coalesce(o.n_obs, 0) - n.n * e.share)
+             * (coalesce(o.n_obs, 0) - n.n * e.share)
+             / (n.n * e.share) + 1e-9, 6
+           ) AS chi_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n_obs, exp_count, chi_term): observed vs Benford-
+    expected leading-digit counts of o_totalprice with per-digit
+    chi-square contributions. Determinism: leading digit extracted
+    from the EXACT integer-cents string (cents >= 100 so the first
+    cent digit IS the first significant digit of the price — no
+    float log10 bucketing); expected shares are shared Python
+    literals; chi terms are identical double products rounded at 6dp
+    with the small-value bias (gotcha #3). All 9 digit rows always
+    present via a literal digit spine (outer join), so a digit with
+    zero observations shows its full chi contribution instead of
+    vanishing. Scale shape: one map-side-combined 9-group aggregate
+    over the fact; everything after runs on 9 rows (scalar total
+    broadcast)."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.expr(
+                "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("bigint").alias("digit"))
+    share = (
+        F.when(F.col("digit") == 0, F.lit(0.0)).when(F.col('digit') == 1, F.lit(0.3010299956639812)).when(F.col('digit') == 2, F.lit(0.17609125905568124)).when(F.col('digit') == 3, F.lit(0.12493873660829992)).when(F.col('digit') == 4, F.lit(0.09691001300805642)).when(F.col('digit') == 5, F.lit(0.07918124604762482)).when(F.col('digit') == 6, F.lit(0.06694678963061322)).when(F.col('digit') == 7, F.lit(0.05799194697768673)).when(F.col('digit') == 8, F.lit(0.05115252244738129)).when(F.col('digit') == 9, F.lit(0.04575749056067514))
+    ).alias("share")
+    exp_counts = (
+        digits.join(obs, "digit", "left_outer")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            (F.col("n") * share).alias("exp"),
+        )
+    )
+    return exp_counts.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("exp"), 4).alias("exp_count"),
+        F.round(
+            (F.col("n_obs") - F.col("exp"))
+            * (F.col("n_obs") - F.col("exp"))
+            / F.col("exp")
+            + F.lit(1e-9),
+            6,
+        ).alias("chi_term"),
+    )

@@ -37,6 +37,8 @@ from ..functions.scale import spread as _spread
 from ..sources import load_table
 from .dedup import JACCARD_THRESHOLD, SHINGLE_K
 from .registry import register
+from .text_analysis import BM25_B as _RRF_B
+from .text_analysis import BM25_K1 as _RRF_K1
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -1882,3 +1884,186 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in out[1:]:
         res = res.union(f)
     return res
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (RRF) — the standard hybrid-retrieval merge
+# (Cormack et al.): fuse a LEXICAL ranking (BM25 against the query
+# document's tokens) with a SEMANTIC ranking (embedding cosine to the
+# query document's vector) as sum over legs of 1/(RRF_K + rank).
+# This is the RAG-serving shape: neither leg alone survives vocab
+# mismatch (lexical) or fine-grained entity queries (semantic); the
+# rank-space merge needs no score calibration between legs. The
+# query is doc 0 in BOTH legs (vec_id == doc_id by testdata
+# construction — the hybrid_neardup_scores correspondence).
+RRF_K = 60
+RRF_TOP = 50
+RRF_SCALE = 10**12  # 1/(k+rank) in exact integer units: SCALE div (k+rank)
+# BM25 params shared with text_bm25_topdocs so the legs cannot drift
+# (imported at top of file).
+
+_RRF_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlen) AS avgdl FROM dl),
+    qterms AS (SELECT DISTINCT tok FROM tok WHERE doc_id = 0),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    lex_scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_RRF_K1} + 1)
+               / (tf.tf + {_RRF_K1} * (1 - {_RRF_B} + {_RRF_B} * dl.dlen / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN qterms USING (tok)
+      JOIN df USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.doc_id <> 0
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rk
+        FROM lex_scored
+      ) WHERE rk <= {RRF_TOP}
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec FROM v WHERE vec_id = 0),
+    sem_scored AS (
+      SELECT c.vec_id, round(list_cosine_similarity(c.vec, q.vec), 4) AS cos
+      FROM v c, q WHERE c.vec_id <> 0
+    ),
+    sem AS (
+      SELECT vec_id, rk FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        FROM sem_scored
+      ) WHERE rk <= {RRF_TOP}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+             CAST(coalesce(l.rk, 0) AS BIGINT) AS lex_rank,
+             CAST(coalesce(s.rk, 0) AS BIGINT) AS sem_rank,
+             CAST(coalesce({RRF_SCALE} // ({RRF_K} + l.rk), 0)
+                  + coalesce({RRF_SCALE} // ({RRF_K} + s.rk), 0) AS BIGINT) AS rrf_units
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_units,
+           CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused
+"""
+
+
+@register(
+    "similarity_rrf_fusion",
+    tags=("similarity", "retrieval", "hybrid", "rrf"),
+    oracle=_RRF_ORACLE,
+)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lex_rank, sem_rank, rrf_units, fused_rank): RRF merge
+    of the BM25-vs-doc-0 lexical top-RRF_TOP and the cosine-vs-vec-0
+    semantic top-RRF_TOP; rank 0 = absent from that leg. Determinism:
+    each leg ranks on a ROUNDED score with an id tiebreak (the
+    text_bm25_topdocs / similarity_topk_brute disciplines), and the
+    fusion itself is PURE INTEGER — RRF_SCALE div (RRF_K + rank)
+    per leg, summed — so there is no float anywhere past the
+    per-leg rounding and the fused order is tolerance-free
+    cross-engine. Scale shape: the lexical leg is the bm25_topdocs
+    plan (one tokenize lineage, dlen/df as windows on the tf exchange,
+    broadcast query terms + scalar stats, map-side partial agg); the
+    semantic leg broadcasts ONE query row over a narrow projection;
+    both legs end in a bounded top-N, so the full-outer join and the
+    final rank window touch <= 2*RRF_TOP rows — driver-sized by
+    construction, like every serving-side fusion."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    tf = tf.withColumn(
+        "dlen", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    qterms = tok.filter(F.col("doc_id") == 0).select("tok").distinct()
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dlen").alias("dlen"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dlen").alias("avgdl"),
+        )
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * (_RRF_K1 + 1)) / (
+        F.col("tf")
+        + _RRF_K1 * (1 - _RRF_B + _RRF_B * F.col("dlen") / F.col("avgdl"))
+    )
+    lex_scored = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(qterms, "tok", "left_semi")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("score"))
+    )
+    w_lex = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    lex = (
+        lex_scored.withColumn("rk", F.row_number().over(w_lex))
+        .filter(F.col("rk") <= RRF_TOP)
+        .select("doc_id", F.col("rk").alias("lex_rk"))
+    )
+
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    sem_scored = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")), 4
+            ).alias("cos"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), "vec_id")
+    sem = (
+        sem_scored.withColumn("rk", F.row_number().over(w_sem))
+        .filter(F.col("rk") <= RRF_TOP)
+        .select("vec_id", F.col("rk").alias("sem_rk"))
+    )
+
+    fused = (
+        lex.join(sem, lex.doc_id == sem.vec_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.coalesce(F.col("lex_rk").cast("bigint"), F.lit(0)).alias(
+                "lex_rank"
+            ),
+            F.coalesce(F.col("sem_rk").cast("bigint"), F.lit(0)).alias(
+                "sem_rank"
+            ),
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + sem_rk)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_units"),
+        )
+    )
+    w_f = Window.orderBy(F.col("rrf_units").desc(), "doc_id")
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w_f).cast("bigint")
+    )

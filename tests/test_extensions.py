@@ -1677,3 +1677,52 @@ def test_kcore_fixpoint_within_budget(spark, sf_dir):
     assert len(rows) > 0
     last = [r for r in rows if r.peel_round == KCORE_ROUNDS]
     assert last == [], f"peel did not stabilize: {len(last)} removals in final round"
+
+
+def test_rrf_fusion_integer_identity(spark, sf_dir):
+    """rrf_units must equal the exact integer formula from the two
+    leg ranks (rank 0 = absent leg contributes nothing), and
+    fused_rank must be the dense permutation ordered by
+    (rrf_units DESC, doc_id)."""
+    from ray_mapreduce_spark.plans.similarity import RRF_K, RRF_SCALE
+
+    rows = _rows(spark, sf_dir, "similarity_rrf_fusion")
+    assert rows
+    for r in rows:
+        want = (RRF_SCALE // (RRF_K + r.lex_rank) if r.lex_rank else 0) + (
+            RRF_SCALE // (RRF_K + r.sem_rank) if r.sem_rank else 0
+        )
+        assert r.rrf_units == want, (r.doc_id, r.rrf_units, want)
+        assert r.lex_rank > 0 or r.sem_rank > 0
+    order = sorted(rows, key=lambda r: (-r.rrf_units, r.doc_id))
+    assert [r.fused_rank for r in order] == list(range(1, len(rows) + 1))
+
+
+def test_k_anonymity_generalization_monotone(spark, sf_dir):
+    """Every generalization level must cover every customer exactly
+    once, and coarser levels can only have FEWER groups (merging
+    never splits)."""
+    rows = _rows(spark, sf_dir, "privacy_k_anonymity")
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    by_level = {}
+    for r in rows:
+        lv = by_level.setdefault(r.level, {"groups": 0, "rows": 0})
+        lv["groups"] += r.n_groups
+        lv["rows"] += r.n_rows
+    assert set(by_level) == {0, 1, 2}
+    for lv in by_level.values():
+        assert lv["rows"] == n_cust
+    assert by_level[2]["groups"] <= by_level[1]["groups"] <= by_level[0]["groups"]
+
+
+def test_benford_digits_complete(spark, sf_dir):
+    """All nine digit rows always present (zero-obs digits included);
+    observed counts cover every order; expected counts sum to ~n;
+    chi terms non-negative."""
+    rows = sorted(_rows(spark, sf_dir, "orders_benford_digits"),
+                  key=lambda r: r.digit)
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_obs for r in rows) == n_orders
+    assert abs(sum(r.exp_count for r in rows) - n_orders) < 0.01
+    assert all(r.chi_term >= 0.0 for r in rows)
