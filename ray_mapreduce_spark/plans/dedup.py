@@ -1914,3 +1914,80 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.round(sim + F.lit(1e-9), 4).alias("sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test split leakage via near-duplication — the contamination
+# mode decontaminate_ngram_overlap does NOT catch: the benchmark is
+# external there, but a near-dup of a TEST document sitting in TRAIN
+# leaks evaluation signal even when both passed external decontam.
+# Composes the deterministic 90/5/5 split hash (shared constants
+# with sample_split_assign — split is a PURE FUNCTION of doc_id, so
+# neither engine rejoins documents) with the exact n-gram Jaccard
+# pair set (shared quadratic oracle). Output is the full
+# split-pair x pair-count matrix; off-diagonal rows ARE the leak.
+def _split_expr(col: str):
+    from .sampling import _KNUTH, _MOD
+
+    bucket = (F.col(col) * F.lit(_KNUTH)) % F.lit(_MOD) % 100
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_case_sql(col: str) -> str:
+    from .sampling import _KNUTH, _MOD
+
+    return (
+        f"CASE WHEN ({col} * {_KNUTH}) % {_MOD} % 100 < 90 THEN 'train'"
+        f" WHEN ({col} * {_KNUTH}) % {_MOD} % 100 < 95 THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+@register(
+    "dedup_split_leakage",
+    tags=("dedup", "decontamination", "split", "jaccard"),
+    oracle=f"""
+    WITH pr AS (
+      {_NGRAM_JACCARD_ORACLE}
+    )
+    SELECT least({_split_case_sql("doc_a")}, {_split_case_sql("doc_b")}) AS split_a,
+           greatest({_split_case_sql("doc_a")}, {_split_case_sql("doc_b")}) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard) + 1e-9, 4) AS avg_jaccard
+    FROM pr GROUP BY 1, 2
+    """,
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs, avg_jaccard): near-dup pair counts
+    by canonically-ordered split pair — any row with split_a !=
+    split_b is evaluation leakage (a train document near-duplicating
+    a held-out one). Determinism: split is the integer split hash
+    applied directly to the pair endpoints (zero extra scans/joins on
+    either engine); pair jaccards are already 4dp-rounded by the
+    shared plan, and avg over <=|pairs| rounded values re-rounds at
+    4dp (pair sets this small sum identically; the oracle is shared
+    verbatim with dedup_ngram_jaccard so the pair sets cannot drift).
+    Scale shape: everything downstream of the inverted-index pair
+    plan runs on the near-dup pair set — tiny relative to the corpus
+    by the dedup invariant — and the final agg has at most 6 groups.
+    At crawl scale the same composition rides the LSH-banded pair
+    path instead of the exact one."""
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    sa = _split_expr("doc_a")
+    sb = _split_expr("doc_b")
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+            "jaccard",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard") + F.lit(1e-9), 4).alias("avg_jaccard"),
+        )
+    )

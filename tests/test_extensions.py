@@ -1726,3 +1726,26 @@ def test_benford_digits_complete(spark, sf_dir):
     assert sum(r.n_obs for r in rows) == n_orders
     assert abs(sum(r.exp_count for r in rows) - n_orders) < 0.01
     assert all(r.chi_term >= 0.0 for r in rows)
+
+
+def test_split_leakage_consistent_with_pairs(spark, sf_dir):
+    """The leakage matrix must partition the exact near-dup pair set:
+    n_pairs sums to the dedup_ngram_jaccard pair count, split labels
+    are canonical (split_a <= split_b), and recomputing each pair's
+    splits in Python from the shared hash reproduces the matrix."""
+    from ray_mapreduce_spark.plans.sampling import _KNUTH, _MOD
+
+    def split_of(doc_id):
+        b = (doc_id * _KNUTH) % _MOD % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    rows = _rows(spark, sf_dir, "dedup_split_leakage")
+    pairs = _rows(spark, sf_dir, "dedup_ngram_jaccard")
+    assert sum(r.n_pairs for r in rows) == len(pairs)
+    want = {}
+    for p in pairs:
+        k = tuple(sorted((split_of(p.doc_a), split_of(p.doc_b))))
+        want[k] = want.get(k, 0) + 1
+    got = {(r.split_a, r.split_b): r.n_pairs for r in rows}
+    assert got == want
+    assert all(r.split_a <= r.split_b for r in rows)
