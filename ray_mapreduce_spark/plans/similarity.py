@@ -2067,3 +2067,105 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn(
         "fused_rank", F.row_number().over(w_f).cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label-agreement audit — the label-noise screen ("confident
+# learning" lite): for a fixed audit panel of vectors, how often do
+# the 5 cosine-nearest neighbors carry the SAME label? Labels whose
+# members sit in other labels' neighborhoods are candidates for
+# relabeling or exclusion before training. The panel is BOUNDED BY
+# CONSTRUCTION (vec_id < KNN_AUDIT_N, the similarity_topk_brute
+# pattern) so the broadcast side never grows with the corpus — a
+# proportional sample would make the broadcast fact-sized and the
+# scan quadratic; at crawl scale a bigger panel rides the IVF/PQ
+# shortlist paths instead of this exact scan.
+KNN_AUDIT_N = 50
+KNN_AGREE_K = 5
+
+
+@register(
+    "embedding_label_agreement",
+    tags=("similarity", "labels", "quality", "knn"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {KNN_AUDIT_N}),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS clabel,
+             round(list_cosine_similarity(q.vec, c.vec), 4) AS cos,
+             c.vec_id AS nid
+      FROM q JOIN v c ON c.vec_id <> q.vec_id
+    ),
+    top AS (
+      SELECT qid, qlabel, clabel FROM (
+        SELECT qid, qlabel, clabel,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+        FROM scored
+      ) WHERE rk <= {KNN_AGREE_K}
+    )
+    SELECT qlabel AS label,
+           CAST(count(DISTINCT qid) AS BIGINT) AS n_audited,
+           CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           round(CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+                 / ({KNN_AGREE_K} * count(DISTINCT qid)), 4) AS agreement
+    FROM top GROUP BY 1
+    """,
+)
+def embedding_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_audited, n_matches, agreement): per-label mean
+    same-label fraction among the KNN_AGREE_K cosine-nearest
+    neighbors of the fixed audit panel. Determinism: neighbors rank
+    on the 4dp-ROUNDED cosine with a neighbor-id tiebreak (the
+    brute-force discipline plus pre-rank rounding); matches are
+    integer counts and the final agreement is ONE integer/integer
+    double division. Scale shape: the panel broadcasts (bounded by
+    construction); the corpus side is one narrow projection scan;
+    per-query top-k partial-aggregates via WindowGroupLimit heaps;
+    the label agg touches |panel|*k rows. On the near-isotropic
+    driver embeddings agreement sits near chance (~1/10) — the
+    pytest gate pins the bounds, a clustered corpus drives it
+    toward 1."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") < KNN_AUDIT_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("clabel"),
+            F.round(
+                _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")), 4
+            ).alias("cos"),
+            F.col("vec_id").alias("nid"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_AGREE_K)
+    )
+    match = F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+    return (
+        top.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.countDistinct("qid").cast("bigint").alias("n_audited"),
+            F.sum(match).cast("bigint").alias("n_matches"),
+        )
+        .select(
+            "label",
+            "n_audited",
+            "n_matches",
+            F.round(
+                F.col("n_matches").cast("double")
+                / (KNN_AGREE_K * F.col("n_audited")),
+                4,
+            ).alias("agreement"),
+        )
+    )

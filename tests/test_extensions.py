@@ -1749,3 +1749,48 @@ def test_split_leakage_consistent_with_pairs(spark, sf_dir):
     got = {(r.split_a, r.split_b): r.n_pairs for r in rows}
     assert got == want
     assert all(r.split_a <= r.split_b for r in rows)
+
+
+def test_label_agreement_bounds_and_panel(spark, sf_dir):
+    """Per-label audited counts must cover the whole fixed panel;
+    matches are bounded by k*n_audited; agreement is the exact
+    integer ratio. On a CLUSTERED fixture (labels = well-separated
+    clusters) agreement must be ~1 — proving the op detects clean
+    labels, not just chance."""
+    from ray_mapreduce_spark.plans.similarity import (
+        KNN_AGREE_K,
+        KNN_AUDIT_N,
+        embedding_label_agreement,
+    )
+
+    rows = _rows(spark, sf_dir, "embedding_label_agreement")
+    total = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < KNN_AUDIT_N
+    ).count()
+    assert sum(r.n_audited for r in rows) == total
+    for r in rows:
+        assert 0 <= r.n_matches <= KNN_AGREE_K * r.n_audited
+        assert abs(r.agreement - round(r.n_matches / (KNN_AGREE_K * r.n_audited), 4)) < 1e-9
+
+    # clustered fixture: 4 labels at orthogonal-ish corners, 40 vecs
+    import random
+
+    rng = random.Random(7)
+    rows_fx = []
+    for vid in range(40):
+        lab = vid % 4
+        base = [0.0] * 8
+        base[lab * 2] = 10.0
+        rows_fx.append(
+            (vid, lab, [b + rng.uniform(-0.5, 0.5) for b in base])
+        )
+    fx = spark.createDataFrame(
+        rows_fx, "vec_id long, label long, embedding array<double>"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fx.write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = {r.label: r.agreement
+               for r in embedding_label_agreement(spark, td).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(a >= 0.99 for a in got.values()), got
