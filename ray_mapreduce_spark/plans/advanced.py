@@ -3092,3 +3092,111 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# PSI distribution drift — the standard ML-monitoring metric
+# (Population Stability Index) between the first and second half of
+# the event stream, per event type: psi = sum_buckets
+# (p_a - p_b) * ln(p_a / p_b) over fixed-width value buckets with
+# add-one smoothing (so empty-side buckets contribute finitely
+# instead of exploding). PSI > 0.2 is the conventional "investigate"
+# threshold for a serving feature. Determinism: the split day and
+# every bucket/count is integer; shares are single integer-ratio
+# divisions, so the ln args are identical doubles cross-engine (the
+# corpus_source_kl discipline: libm divergence lives under the +1e-9
+# pre-round bias).
+PSI_BUCKET_CENTS = 1_000  # value buckets 10.00 wide, in exact cents
+
+
+@register(
+    "events_psi_drift",
+    tags=("events", "drift", "psi", "monitoring"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) // {PSI_BUCKET_CENTS} AS bucket
+      FROM events
+    ),
+    mid AS (
+      SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e
+    ),
+    g AS (
+      SELECT event_type, bucket,
+             sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS nb
+      FROM e CROSS JOIN mid
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, na, nb,
+             count(*) OVER (PARTITION BY event_type) AS n_buckets,
+             sum(na) OVER (PARTITION BY event_type) AS tot_a,
+             sum(nb) OVER (PARTITION BY event_type) AS tot_b
+      FROM g
+    )
+    SELECT event_type,
+           CAST(min(tot_a) AS BIGINT) AS n_a,
+           CAST(min(tot_b) AS BIGINT) AS n_b,
+           round(sum(
+             (CAST(na + 1 AS DOUBLE) / (tot_a + n_buckets)
+              - CAST(nb + 1 AS DOUBLE) / (tot_b + n_buckets))
+             * ln((CAST(na + 1 AS DOUBLE) / (tot_a + n_buckets))
+                  / (CAST(nb + 1 AS DOUBLE) / (tot_b + n_buckets)))
+           ) + 1e-9, 6) AS psi
+    FROM w GROUP BY event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_a, n_b, psi): Population Stability Index of the
+    per-type value distribution between the first and second half of
+    the stream's day span, over exact-cents fixed-width buckets with
+    add-one smoothing. Determinism: split day = integer midpoint of
+    the observed day range (broadcast scalar); buckets and counts are
+    integers; each share is ONE integer-ratio division and the ln
+    runs on identical doubles (the corpus_source_kl log discipline,
+    +1e-9 bias before the 6dp round). Scale shape: one narrow
+    projection feeds a (type, bucket)-keyed partial-aggregated count;
+    per-type totals/bucket counts are WINDOWS over that grouped frame
+    (no agg-then-rejoin); the final fold partial-aggregates to
+    |types| rows. The raw stream is touched exactly twice (min/max
+    day scalar + the grouped count) — at crawl scale both are
+    scan-speed with map-side combine."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr(
+            f"CAST(round(value * 100) AS BIGINT) div {PSI_BUCKET_CENTS}"
+        ).alias("bucket"),
+    )
+    mid = e.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid")
+    )
+    g = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias(
+                "na"
+            ),
+            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias(
+                "nb"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    g = (
+        g.withColumn("n_buckets", F.count(F.lit(1)).over(w))
+        .withColumn("tot_a", F.sum("na").over(w))
+        .withColumn("tot_b", F.sum("nb").over(w))
+    )
+    pa = (F.col("na") + 1).cast("double") / (F.col("tot_a") + F.col("n_buckets"))
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tot_b") + F.col("n_buckets"))
+    return g.groupBy("event_type").agg(
+        F.min("tot_a").cast("bigint").alias("n_a"),
+        F.min("tot_b").cast("bigint").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)) + F.lit(1e-9), 6).alias(
+            "psi"
+        ),
+    )

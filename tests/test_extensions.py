@@ -1794,3 +1794,16 @@ def test_label_agreement_bounds_and_panel(spark, sf_dir):
                for r in embedding_label_agreement(spark, td).collect()}
     assert set(got) == {0, 1, 2, 3}
     assert all(a >= 0.99 for a in got.values()), got
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI is symmetric-positive: every term (pa-pb)*ln(pa/pb) >= 0,
+    so psi >= 0 (+bias); totals cover every event; identical halves
+    would give ~0 (sanity via an A/A-style bound: psi finite and
+    small on this stationary synthetic stream)."""
+    rows = _rows(spark, sf_dir, "events_psi_drift")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_events
+    for r in rows:
+        assert r.psi >= 0.0
+        assert r.psi < 1.0, r  # stationary generator: far below alert level
