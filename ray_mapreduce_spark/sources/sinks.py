@@ -146,3 +146,61 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    base: str,
+    updates: DataFrame,
+    dst: str,
+    key: str | list[str],
+    delete_col: str | None = None,
+) -> dict[str, int]:
+    """Copy-on-write MERGE (upsert + optional delete) into a plain
+    parquet table — the Delta/Iceberg MERGE INTO capability without a
+    table format: rows in ``updates`` replace base rows on ``key``,
+    new keys append, and (when ``delete_col`` names a boolean column)
+    delete-marked keys drop. Writes the merged table to a NEW
+    directory; swap-in belongs to the caller's metastore/manifest
+    layer (the compact_parquet atomicity contract). Returns
+    {"inserted", "updated", "deleted", "total"} counts.
+
+    Scale shape: ONE left-anti join of base against the update keys
+    (hash equi-join; the update batch is broadcast whenever it fits —
+    the common CDC case) unioned with the surviving updates — base
+    rows that don't collide stream through untouched, nothing is
+    rewritten per-row, and the only shuffle is the anti join's (none
+    when broadcast). At 100 TB with hive-partitioned bases, partition
+    pruning confines the rewrite to partitions the update batch
+    touches — pass the pruned base path in; this function stays
+    layout-agnostic. Updates must be key-unique (enforced — a
+    duplicate-keyed MERGE is undefined in every table format; we
+    raise instead of picking silently)."""
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    b = spark.read.parquet(base)
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError("updates contain duplicate merge keys")
+    if delete_col is not None:
+        survivors = updates.filter(~F.col(delete_col)).drop(delete_col)
+        dels = updates.filter(F.col(delete_col)).select(*keys)
+    else:
+        survivors = updates
+        dels = None
+    kept = b.join(updates.select(*keys), keys, "left_anti")
+    merged = kept.select(*b.columns).union(survivors.select(*b.columns))
+    merged.write.mode("overwrite").parquet(dst)
+
+    n_updated = survivors.join(b.select(*keys), keys, "left_semi").count()
+    n_inserted = survivors.count() - n_updated
+    n_deleted = (
+        b.join(dels, keys, "left_semi").count() if dels is not None else 0
+    )
+    return {
+        "inserted": n_inserted,
+        "updated": n_updated,
+        "deleted": n_deleted,
+        "total": spark.read.parquet(dst).count(),
+    }

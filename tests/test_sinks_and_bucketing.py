@@ -256,3 +256,55 @@ def test_zorder_write_improves_multicol_skipping(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zpath).collect())
     b = sorted(tuple(r) for r in df.collect())
     assert a == b
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    """MERGE semantics: updates replace on key, new keys insert,
+    delete-marked keys drop, untouched base rows survive byte-equal;
+    duplicate-keyed updates raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ray_mapreduce_spark.sources.sinks import merge_upsert_parquet
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+
+    updates = spark.createDataFrame(
+        [
+            (2, "B2", 21.0, False),   # update
+            (5, "e", 50.0, False),    # insert
+            (3, "c", 0.0, True),      # delete
+            (9, "x", 0.0, True),      # delete of absent key: no-op
+        ],
+        "id long, name string, v double, is_deleted boolean",
+    )
+    dst = str(tmp_path / "merged")
+    stats = merge_upsert_parquet(
+        spark, base_path, updates, dst, key="id", delete_col="is_deleted"
+    )
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 1, "total": 4}
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(dst).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 21.0), 4: ("d", 40.0), 5: ("e", 50.0)}
+
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0, False), (2, "y", 2.0, False)],
+        "id long, name string, v double, is_deleted boolean",
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert_parquet(
+            spark, base_path, dup, str(tmp_path / "m2"), key="id",
+            delete_col="is_deleted",
+        )
+
+    # upsert-only path (no delete column)
+    stats2 = merge_upsert_parquet(
+        spark, base_path,
+        updates.drop("is_deleted"),
+        str(tmp_path / "m3"), key="id",
+    )
+    assert stats2 == {"inserted": 2, "updated": 2, "deleted": 0, "total": 6}
