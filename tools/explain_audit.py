@@ -123,6 +123,36 @@ EXTRA = (
     "dedup_minhash_estimate_pairs",
     "decontaminate_substring_spans",
     "sample_epoch_mixture_plan",
+    "q9_product_profit",
+    "q11_important_part_value",
+    "q12_ship_class_priority",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    "supplier_reliability_wilson",
+    "profile_documents_columns",
+    "graph_degree_assortativity",
+    "embedding_sq8_error",
+    "stream_dedup_ids",
+    "orders_open_backlog_daily",
+    "embedding_pca_histogram",
+    "events_ab_test_zscore",
+    "text_gopher_filters",
+    "lineitem_consistency_rules",
+    "embedding_truncation_fidelity",
+    "graph_clustering_coefficient",
+    "events_seasonal_forecast_smape",
+    "text_tokenizer_fertility",
+    "events_attribution_linear",
+    "dedup_edit_distance_pairs",
+    "events_ewma_volatility",
+    "sample_kcenter_coreset",
+    "graph_kcore_peel",
+    "similarity_rrf_fusion",
+    "privacy_k_anonymity",
+    "orders_benford_digits",
+    "dedup_split_leakage",
+    "embedding_label_agreement",
+    "events_psi_drift",
 )
 
 
