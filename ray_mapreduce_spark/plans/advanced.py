@@ -3200,3 +3200,94 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal index via ratio-to-centered-moving-average — the classical
+# decomposition step (X-11 ancestor) a demand-forecasting pipeline
+# runs before de-seasonalizing: monthly revenue / 2x12 centered MA,
+# averaged per calendar month. Months without the full +-6 window are
+# excluded (no partial-window bias at the series edges).
+# Determinism: month revenues are exact integer cents; the 2x12 CMA
+# denominator is an INTEGER (sum of two 12-month integer window sums
+# — endpoint months weigh 1, middle months 2, total weight 24); each
+# ratio is one integer-ratio double division; the per-calendar-month
+# mean of those ratios gets the +1e-9 bias before the 4dp round
+# (cross-engine summation order, gotcha #3).
+@register(
+    "orders_seasonal_index",
+    tags=("orders", "timeseries", "seasonality", "window"),
+    oracle="""
+    WITH m AS (
+      SELECT (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12
+              + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT mo, cents,
+             sum(cents) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s_a,
+             sum(cents) OVER (ORDER BY mo ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s_b,
+             count(*) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS n_win,
+             max(mo) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS mo_hi,
+             min(mo) OVER (ORDER BY mo ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS mo_lo
+      FROM m
+    ),
+    r AS (
+      SELECT mo % 12 AS month_of_year,
+             CAST(cents AS DOUBLE) * 24 / (s_a + s_b) AS ratio
+      FROM w
+      WHERE n_win = 13 AND mo_hi - mo_lo = 12
+    )
+    SELECT month_of_year,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(avg(ratio) + 1e-9, 4) AS seasonal_index
+    FROM r GROUP BY 1
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month_of_year, n_obs, seasonal_index): mean
+    ratio-to-2x12-centered-moving-average of monthly order revenue
+    per calendar month (0 = January). Guard WHERE n_win = 13 AND the
+    window SPANS exactly 12 month-indexes: both edge truncation AND
+    any gap month inside the window disqualify a ratio (a gap would
+    silently shift the weighting). Scale shape: ONE partial-aggregated
+    month rollup is the only fact-sized stage; every window runs on
+    the ~|months| aggregated frame (single-partition by design — a
+    calendar axis never outgrows a partition); the final fold is 12
+    rows. The same plan at crawl scale just has a bigger first
+    exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+                - 1
+            ).alias("mo"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w_a = Window.orderBy("mo").rowsBetween(-6, 5)
+    w_b = Window.orderBy("mo").rowsBetween(-5, 6)
+    w_n = Window.orderBy("mo").rowsBetween(-6, 6)
+    w = (
+        m.withColumn("s_a", F.sum("cents").over(w_a))
+        .withColumn("s_b", F.sum("cents").over(w_b))
+        .withColumn("n_win", F.count(F.lit(1)).over(w_n))
+        .withColumn("mo_hi", F.max("mo").over(w_n))
+        .withColumn("mo_lo", F.min("mo").over(w_n))
+        .filter((F.col("n_win") == 13) & (F.col("mo_hi") - F.col("mo_lo") == 12))
+    )
+    r = w.select(
+        (F.col("mo") % 12).alias("month_of_year"),
+        (F.col("cents").cast("double") * 24 / (F.col("s_a") + F.col("s_b"))).alias(
+            "ratio"
+        ),
+    )
+    return r.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.avg("ratio") + F.lit(1e-9), 4).alias("seasonal_index"),
+    )

@@ -474,3 +474,73 @@ def embedding_pca_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality screen — the Gopher-family repetition
+# signal done with a REAL codec: highly compressible text is
+# boilerplate/template/repetition (the zlib-ratio filter used by
+# production corpus-cleaning pipelines as a cheap, language-agnostic
+# complement to token heuristics). ROWS-ONLY: DuckDB has no zlib, so
+# no SQL oracle exists by nature — the pytest gate instead REPLAYS
+# the exact computation in plain Python over the full corpus at two
+# SFs (the sample_weighted_priority precedent) and pins the
+# separation property on a planted repetitive fixture.
+ZLIB_LEVEL = 6
+
+
+@register(
+    "text_compression_quality",
+    oracle=None,
+    tags=("text", "quality", "compression", "pandas-udf"),
+)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, bytes_raw, bytes_comp, comp_ratio,
+    min_doc_ratio, max_doc_ratio): per-language zlib-compressibility
+    profile; comp_ratio = sum(comp)/sum(raw) — the byte-weighted
+    corpus ratio. Determinism under partitioning: zlib at a fixed
+    level is bit-deterministic per document, every aggregate input is
+    an INTEGER byte count (sums are order-free), per-doc ratios are
+    single integer-ratio divisions, and min/max are order-free — no
+    float summation anywhere. Scale shape: one Arrow-batched scalar
+    pandas_udf in the scan projection (the per-row cost IS the
+    point — zlib at ~100 MB/s/core is the budget item, so it runs
+    exactly once per doc in the same stage as tokenize-free column
+    math), then a partial-aggregated groupBy on lang. The UDF is the
+    legitimate §kernels escape hatch: no builtin expresses a codec."""
+    import zlib
+
+    @F.pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.octet_length("text").cast("long").alias("raw"),
+        comp_len("text").alias("comp"),
+    )
+    ratio = F.col("comp").cast("double") / F.col("raw")
+    return (
+        d.withColumn("r", F.round(ratio, 6))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("raw").cast("bigint").alias("bytes_raw"),
+            F.sum("comp").cast("bigint").alias("bytes_comp"),
+            F.min("r").alias("min_doc_ratio"),
+            F.max("r").alias("max_doc_ratio"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "bytes_raw",
+            "bytes_comp",
+            F.round(
+                F.col("bytes_comp").cast("double") / F.col("bytes_raw"), 6
+            ).alias("comp_ratio"),
+            "min_doc_ratio",
+            "max_doc_ratio",
+        )
+    )

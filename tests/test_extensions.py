@@ -1807,3 +1807,73 @@ def test_psi_drift_properties(spark, sf_dir):
     for r in rows:
         assert r.psi >= 0.0
         assert r.psi < 1.0, r  # stationary generator: far below alert level
+
+
+def test_seasonal_index_properties(spark, sf_dir):
+    """Ratio-to-CMA invariants: all 12 calendar months present (the
+    orders axis spans years at every sf); indexes are positive and
+    their n_obs-weighted mean is ~1 (the CMA normalization
+    identity holds approximately on any series without extreme
+    trend)."""
+    rows = _rows(spark, sf_dir, "orders_seasonal_index")
+    assert sorted(r.month_of_year for r in rows) == list(range(12))
+    assert all(r.seasonal_index > 0 for r in rows)
+    tot = sum(r.n_obs for r in rows)
+    mean = sum(r.seasonal_index * r.n_obs for r in rows) / tot
+    assert 0.9 < mean < 1.1, mean
+
+
+def test_compression_quality_python_replay(spark, sf_dir):
+    """Full Python replay of the rows-only zlib screen: recompute
+    every per-language aggregate from raw documents with plain
+    zlib/python and require EXACT equality (the
+    sample_weighted_priority replay precedent — as strong as an
+    oracle, just not SQL)."""
+    import zlib
+
+    from ray_mapreduce_spark.plans.pandas_udfs import ZLIB_LEVEL
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    agg = {}
+    for r in docs:
+        raw = len(r.text.encode("utf-8"))
+        comp = len(zlib.compress(r.text.encode("utf-8"), ZLIB_LEVEL))
+        a = agg.setdefault(r.lang, {"n": 0, "raw": 0, "comp": 0, "ratios": []})
+        a["n"] += 1
+        a["raw"] += raw
+        a["comp"] += comp
+        a["ratios"].append(round(comp / raw, 6))
+    got = {r.lang: r for r in _rows(spark, sf_dir, "text_compression_quality")}
+    assert set(got) == set(agg)
+    for lang, a in agg.items():
+        g = got[lang]
+        assert g.n_docs == a["n"]
+        assert g.bytes_raw == a["raw"]
+        assert g.bytes_comp == a["comp"]
+        assert abs(g.comp_ratio - round(a["comp"] / a["raw"], 6)) < 1e-12
+        assert abs(g.min_doc_ratio - min(a["ratios"])) < 1e-12
+        assert abs(g.max_doc_ratio - max(a["ratios"])) < 1e-12
+
+
+def test_compression_quality_separates_boilerplate(spark, tmp_path):
+    """Planted separation: a corpus of one repeated sentence must
+    compress far better than varied text — the signal the screen
+    exists to produce."""
+    import os
+
+    from ray_mapreduce_spark.plans.pandas_udfs import text_compression_quality
+
+    rep = "the same boilerplate sentence again and again " * 40
+    varied = " ".join(f"tok{i}x{i * 7919 % 104729}" for i in range(240))
+    rows = [(i, rep, "rep", "s", len(rep)) for i in range(20)] + [
+        (100 + i, varied + f" uniq{i}", "var", "s", len(varied)) for i in range(20)
+    ]
+    fx = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r.lang: r.comp_ratio
+           for r in text_compression_quality(spark, str(tmp_path)).collect()}
+    assert got["rep"] < 0.1, got
+    assert got["var"] > 0.3, got
+    assert got["rep"] < got["var"] / 3
