@@ -2169,3 +2169,107 @@ def embedding_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("agreement"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding diversity WITHOUT pairs — the Gram identity: for
+# unit-normalized vectors, sum of all pairwise cosines =
+# ||sum of vectors||^2 - n, so mean pairwise cosine needs ONE
+# aggregation pass and never enumerates a pair. This is the
+# diversity/redundancy readout a data-selection pipeline tracks per
+# slice (low mean cosine = diverse slice, high = redundant — the
+# complement of the dedup family at population level). Determinism:
+# normalized components are QUANTIZED to 1e6-unit integers before
+# summing, so every per-dim vector-sum S_d is an exact order-free
+# integer; S_d^2 and the 64-term dim fold then run on identical
+# doubles (bias + 6dp round for the fold's order).
+DIVERSITY_QUANT = 10**6
+
+
+@register(
+    "embedding_diversity_gram",
+    tags=("similarity", "diversity", "aggregate"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, i,
+             CAST(round(x / sqrt(nrm) * {DIVERSITY_QUANT}) AS BIGINT) AS qx
+      FROM (
+        SELECT vec_id, label, generate_subscripts(vec, 1) AS i,
+               unnest(vec) AS x,
+               list_aggregate(list_transform(vec, y -> y * y), 'sum') AS nrm
+        FROM v
+      )
+    ),
+    dims AS (
+      SELECT label, i,
+             CAST(sum(qx) AS BIGINT) AS s_d,
+             CAST(sum(qx * qx) AS BIGINT) AS ss_d
+      FROM q GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT label,
+             sum(CAST(s_d AS DOUBLE) * s_d) AS gram,
+             sum(CAST(ss_d AS DOUBLE)) AS selfsum
+      FROM dims GROUP BY 1
+    ),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1)
+    SELECT n.label, n.n,
+           round((lab.gram - lab.selfsum)
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1) * {DIVERSITY_QUANT} * {DIVERSITY_QUANT})
+                 + 1e-9, 6) AS mean_pairwise_cos
+    FROM lab JOIN n USING (label)
+    """,
+)
+def embedding_diversity_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n, mean_pairwise_cos): mean pairwise cosine within
+    each label slice via the Gram identity — ONE aggregation pass,
+    no pair join anywhere (sum of pairwise dots of unit vectors =
+    ||Sigma v||^2 - Sigma||v||^2). The subtracted self-term uses the
+    QUANTIZED norms (not exactly n) so the identity stays exact in
+    the quantized space. Determinism: per-dim sums are exact
+    integers (order-free); only the 64-term squared-sum fold is
+    float, covered by the +1e-9 bias before the 6dp round. Scale
+    shape: posexplode at scan speed -> one (label, dim) partial
+    aggregation (64*|labels| groups) -> |labels| rows; cost is one
+    corpus pass regardless of n, where the naive pairwise mean is
+    O(n^2) — THE reason this shape exists. Quantization error is
+    ~1e-6 per component, far under the 6dp output scale."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    q = v.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "vec",
+                lambda x: F.round(
+                    x / F.sqrt(_dot("vec", "vec")) * DIVERSITY_QUANT, 0
+                ).cast("bigint"),
+            )
+        ).alias("i", "qx"),
+    )
+    dims = q.groupBy("label", "i").agg(
+        F.sum("qx").cast("bigint").alias("s_d"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("ss_d"),
+    )
+    lab = dims.groupBy("label").agg(
+        F.sum(F.col("s_d").cast("double") * F.col("s_d")).alias("gram"),
+        F.sum(F.col("ss_d").cast("double")).alias("selfsum"),
+    )
+    n = v.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return lab.join(n, "label").select(
+        "label",
+        "n",
+        F.round(
+            (F.col("gram") - F.col("selfsum"))
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * DIVERSITY_QUANT
+                * DIVERSITY_QUANT
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_pairwise_cos"),
+    )

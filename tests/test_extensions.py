@@ -1877,3 +1877,30 @@ def test_compression_quality_separates_boilerplate(spark, tmp_path):
     assert got["rep"] < 0.1, got
     assert got["var"] > 0.3, got
     assert got["rep"] < got["var"] / 3
+
+
+def test_diversity_gram_matches_bruteforce(spark, sf_dir):
+    """The Gram-identity mean must equal the O(n^2) pairwise mean
+    (numpy replay over the real corpus) to ~quantization error —
+    proving the no-pairs shortcut computes the same statistic."""
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            np.array(r.embedding, dtype=np.float64)
+        )
+    got = {r.label: (r.n, r.mean_pairwise_cos)
+           for r in _rows(spark, sf_dir, "embedding_diversity_gram")}
+    for label, vecs in by_label.items():
+        if len(vecs) < 2:
+            continue
+        m = np.stack(vecs)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        g = m @ m.T
+        n = len(vecs)
+        want = (g.sum() - np.trace(g)) / (n * (n - 1))
+        gn, gc = got[label]
+        assert gn == n
+        assert abs(gc - want) < 5e-5, (label, gc, want)
