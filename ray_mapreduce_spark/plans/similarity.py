@@ -2273,3 +2273,138 @@ def embedding_diversity_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pairwise_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Layered dedup funnel — the governance readout every corpus-cleaning
+# run publishes: documents removed at each successive layer
+# (exact digest -> n-gram Jaccard -> embedding cosine), each layer
+# operating on the previous layer's survivors. Removal rule within a
+# near-dup layer is MIN-ID ANCHOR (a doc is removed iff it pairs
+# with a smaller-id doc from the layer's input): one join,
+# fully SQL-expressible — unlike connected-components collapse
+# (dedup_clusters/pipeline_clean_corpus), which is the iterative,
+# rows-only sibling of this report. The thresholds/shingles are the
+# shared constants, so this funnel counts exactly what the
+# individual dedup queries emit.
+@register(
+    "dedup_funnel_report",
+    tags=("dedup", "pipeline", "report", "jaccard", "embedding"),
+    oracle=f"""
+    WITH s1 AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    d1 AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text FROM documents d JOIN s1 USING (doc_id)
+    ),
+    shingled AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM d1
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    jp AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
+    rm2 AS MATERIALIZED (
+      SELECT DISTINCT doc_b AS doc_id FROM jp
+      WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+    ),
+    s2 AS MATERIALIZED (
+      SELECT s1.doc_id FROM s1 LEFT JOIN rm2 USING (doc_id)
+      WHERE rm2.doc_id IS NULL
+    ),
+    v2 AS MATERIALIZED (
+      SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS vec
+      FROM embeddings e JOIN s2 ON s2.doc_id = e.vec_id
+    ),
+    rm3 AS MATERIALIZED (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM v2 a JOIN v2 b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.vec, b.vec) >= 0.35
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM rm3) AS r3
+    )
+    SELECT 'exact' AS layer, CAST(n0 AS BIGINT) AS n_in,
+           CAST(n0 - n1 AS BIGINT) AS n_removed, CAST(n1 AS BIGINT) AS n_out
+    FROM n
+    UNION ALL
+    SELECT 'ngram_jaccard', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+           CAST(n2 AS BIGINT) FROM n
+    UNION ALL
+    SELECT 'embedding_cosine', CAST(n2 AS BIGINT), CAST(r3 AS BIGINT),
+           CAST(n2 - r3 AS BIGINT) FROM n
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layer, n_in, n_removed, n_out): the three-layer dedup funnel
+    under the min-id-anchor rule; every number is an exact integer
+    count over shared-constant thresholds. Scale shape: layer-1
+    survivors and layer-2 survivors are eager-checkpointed — each
+    feeds SIBLING consumers inside this single plan (its own count
+    branch AND the next layer's pair join; un-checkpointed, the union
+    of aggregates re-executes the shared lineage per branch, gotcha
+    #9 sibling case); the jaccard layer rides the inverted-index pair
+    plan, the embedding layer the label-blocked self-join
+    (runtime exchange reuse), and the output is 3 rows. The rows-only
+    CC-collapse pipeline (pipeline_clean_corpus) is the
+    cluster-exact sibling; this report trades transitive collapse
+    for SQL-checkable counts."""
+    from .dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w_exact = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    s1 = (
+        d.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    pairs = ngram_jaccard_pairs(s1)
+    rm2 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s2 = (
+        s1.select("doc_id")
+        .join(rm2, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    v2 = _with_vec(load_table(spark, sf_dir, "embeddings")).join(
+        s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    a = v2.alias("a")
+    b = v2.alias("b")
+    cos = _dot("a.vec", "b.vec") / (_norm("a.vec") * _norm("b.vec"))
+    rm3 = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .select(F.col("b.vec_id").alias("doc_id"))
+        .distinct()
+    )
+    n0 = d.count()
+    n1 = s1.count()
+    n2 = s2.count()
+    r3 = rm3.count()
+    rows = [
+        ("exact", n0, n0 - n1, n1),
+        ("ngram_jaccard", n1, n1 - n2, n2),
+        ("embedding_cosine", n2, r3, n2 - r3),
+    ]
+    return spark.createDataFrame(
+        rows, "layer string, n_in long, n_removed long, n_out long"
+    )

@@ -1904,3 +1904,23 @@ def test_diversity_gram_matches_bruteforce(spark, sf_dir):
         gn, gc = got[label]
         assert gn == n
         assert abs(gc - want) < 5e-5, (label, gc, want)
+
+
+def test_dedup_funnel_consistent_with_layers(spark, sf_dir):
+    """Funnel conservation + cross-checks against the standalone
+    queries: exact layer matches dedup_exact's survivor count; the
+    jaccard layer's removals equal the distinct doc_b count of
+    dedup_ngram_jaccard (no exact dups on this corpus => same input
+    set); every layer conserves n_in = n_removed + n_out and chains
+    n_out -> next n_in."""
+    rows = {r.layer: r for r in _rows(spark, sf_dir, "dedup_funnel_report")}
+    assert set(rows) == {"exact", "ngram_jaccard", "embedding_cosine"}
+    for r in rows.values():
+        assert r.n_in == r.n_removed + r.n_out
+    assert rows["exact"].n_out == rows["ngram_jaccard"].n_in
+    assert rows["ngram_jaccard"].n_out == rows["embedding_cosine"].n_in
+    n_exact = len(_rows(spark, sf_dir, "dedup_exact"))
+    assert rows["exact"].n_out == n_exact
+    if rows["exact"].n_removed == 0:
+        jac = _rows(spark, sf_dir, "dedup_ngram_jaccard")
+        assert rows["ngram_jaccard"].n_removed == len({p.doc_b for p in jac})
