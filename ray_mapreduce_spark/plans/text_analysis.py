@@ -2190,3 +2190,105 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bpeish_tokens") / F.col("ws_tokens") + F.lit(1e-9), 4
         ).alias("fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lang-ID confusion matrix — the classifier-eval readout for the
+# marker heuristic: predicted vs LABELED language with per-truth
+# shares. The eval every pipeline publishes before trusting a
+# cheap classifier to route documents; off-diagonal mass shows
+# exactly which language pairs the marker set confuses (by
+# construction here: 'de'/'le' markers are deliberately ambiguous
+# with zh). The marker table is generated FROM _LANG_MARKERS on both
+# sides, so the classifier under eval and the eval itself cannot
+# drift.
+_MARKER_VALUES_SQL = ",".join(
+    f"('{lang}','{m}')" for lang, ms in sorted(_LANG_MARKERS.items()) for m in ms
+)
+
+
+@register(
+    "text_langid_confusion",
+    tags=("text", "lang-id", "eval", "confusion"),
+    oracle=f"""
+    WITH markers AS (
+      SELECT * FROM (VALUES {_MARKER_VALUES_SQL}) AS m(cand_lang, marker)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, m.cand_lang, count(*) AS hits
+      FROM toks t JOIN markers m ON t.tok = m.marker
+      GROUP BY t.doc_id, m.cand_lang
+    ),
+    best AS (
+      SELECT doc_id, cand_lang FROM (
+        SELECT doc_id, cand_lang,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+               ) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    cm AS (
+      SELECT d.lang AS true_lang,
+             coalesce(b.cand_lang, 'unknown') AS predicted_lang,
+             count(*) AS n
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT true_lang, predicted_lang, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY true_lang), 4) AS share
+    FROM cm
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_lang, predicted_lang, n, share): confusion matrix of the
+    text_lang_id marker heuristic against the labeled lang column;
+    share = row count / truth-class total (per-class recall sits on
+    the diagonal). Determinism: the argmax reuses text_lang_id's
+    (hits DESC, cand_lang) tiebreak; counts are integers and each
+    share is ONE integer-ratio division off a window sum. Scale
+    shape: tokens x BROADCAST marker table, per-doc partial-agg
+    argmax, then a bounded (langs x langs) matrix agg — the eval
+    costs one tokenize pass, same as the classifier itself."""
+    d = load_table(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in _LANG_MARKERS.items() for m in ms],
+        "cand_lang: string, marker: string",
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    scores = (
+        toks.join(F.broadcast(markers), toks.tok == markers.marker)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "cand_lang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cand_lang")
+    )
+    cm = (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(best, "doc_id", "left")
+        .select(
+            "true_lang",
+            F.coalesce("cand_lang", F.lit("unknown")).alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_t = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_t), 4
+        ).alias("share"),
+    )

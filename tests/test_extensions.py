@@ -1924,3 +1924,25 @@ def test_dedup_funnel_consistent_with_layers(spark, sf_dir):
     if rows["exact"].n_removed == 0:
         jac = _rows(spark, sf_dir, "dedup_ngram_jaccard")
         assert rows["ngram_jaccard"].n_removed == len({p.doc_b for p in jac})
+
+
+def test_langid_confusion_consistency(spark, sf_dir):
+    """The matrix must re-aggregate text_lang_id's per-doc
+    predictions exactly; per-truth shares sum to 1; row totals
+    cover the whole corpus."""
+    rows = _rows(spark, sf_dir, "text_langid_confusion")
+    preds = _rows(spark, sf_dir, "text_lang_id")
+    langs = {r.doc_id: r.lang
+             for r in load_table(spark, sf_dir, "documents").collect()}
+    want = {}
+    for p in preds:
+        k = (langs[p.doc_id], p.predicted_lang)
+        want[k] = want.get(k, 0) + 1
+    got = {(r.true_lang, r.predicted_lang): r.n for r in rows}
+    assert got == want
+    assert sum(r.n for r in rows) == len(langs)
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r.share)
+    for shares in by_true.values():
+        assert abs(sum(shares) - 1.0) < 5e-4
