@@ -3291,3 +3291,120 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.round(F.avg("ratio") + F.lit(1e-9), 4).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Next-event prediction backtest — the eval loop behind
+# events_markov_transitions: train the argmax next-event table on the
+# FIRST half of the day span, score it on transitions in the second
+# half (the temporal train/serve split every sequence model gets
+# judged by; the marginal-argmax baseline this beats or matches is
+# what tells you whether sequence signal exists at all).
+# Determinism: the split day is the integer midpoint (events_psi_drift
+# discipline); transitions come off ONE user-keyed window sort with
+# the (ts, event_id) composite order (duplicate timestamps exist);
+# the train argmax tiebreaks (count DESC, to_type); accuracy is one
+# integer-ratio division.
+@register(
+    "events_next_event_accuracy",
+    tags=("events", "markov", "eval", "backtest"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ),
+    mid AS (
+      SELECT (min(us // 86400000000) + max(us // 86400000000) + 1) // 2 AS mid
+      FROM e
+    ),
+    tr AS (
+      SELECT user_id,
+             lag(event_type) OVER w AS prev_type,
+             event_type AS cur_type,
+             (us // 86400000000) AS day
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    t AS (SELECT * FROM tr WHERE prev_type IS NOT NULL),
+    train AS (
+      SELECT prev_type, cur_type, count(*) AS c
+      FROM t CROSS JOIN mid WHERE day < mid GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev_type, cur_type AS predicted FROM (
+        SELECT prev_type, cur_type,
+               row_number() OVER (
+                 PARTITION BY prev_type ORDER BY c DESC, cur_type
+               ) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    ev AS (
+      SELECT t.prev_type, t.cur_type, p.predicted
+      FROM t CROSS JOIN mid
+      LEFT JOIN pred p ON p.prev_type = t.prev_type
+      WHERE t.day >= mid
+    )
+    SELECT prev_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN cur_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN cur_type = predicted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM ev GROUP BY 1
+    """,
+)
+def events_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, n_eval, n_correct, accuracy): accuracy of the
+    train-half argmax next-event table on second-half transitions,
+    per conditioning type. Scale shape: ONE user-keyed window sort
+    produces every transition (the sessionize/markov shared-sort
+    rule); the train table partial-aggregates to types² rows and its
+    argmax + the eval join both run on broadcast-sized frames; the
+    final fold is |types| rows. Unseen prev types predict NULL and
+    score 0 — visible in the output, not silently dropped."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    mid = e.agg(
+        F.expr(
+            "(min(us div 86400000000) + max(us div 86400000000) + 1) div 2"
+        ).alias("mid")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("day", F.expr("us div 86400000000"))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("cur_type"), "day")
+        .crossJoin(F.broadcast(mid))
+    )
+    train = (
+        t.filter(F.col("day") < F.col("mid"))
+        .groupBy("prev_type", "cur_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_p = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), "cur_type"
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("cur_type").alias("predicted"))
+    )
+    ev = (
+        t.filter(F.col("day") >= F.col("mid"))
+        .join(F.broadcast(pred), "prev_type", "left")
+    )
+    correct = F.when(F.col("cur_type") == F.col("predicted"), 1).otherwise(0)
+    return ev.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(correct).cast("double") / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )

@@ -1946,3 +1946,16 @@ def test_langid_confusion_consistency(spark, sf_dir):
         by_true.setdefault(r.true_lang, []).append(r.share)
     for shares in by_true.values():
         assert abs(sum(shares) - 1.0) < 5e-4
+
+
+def test_next_event_accuracy_bounds(spark, sf_dir):
+    """Backtest sanity: accuracy in [0,1] and is the exact integer
+    ratio; on this near-uniform 5-type generator the argmax baseline
+    must land in a loose band around chance (0.05..0.6) — a 1.0
+    would mean the eval leaks training data."""
+    rows = _rows(spark, sf_dir, "events_next_event_accuracy")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_eval
+        assert abs(r.accuracy - round(r.n_correct / r.n_eval, 4)) < 1e-9
+        assert 0.05 <= r.accuracy <= 0.6, r
