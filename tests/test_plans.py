@@ -550,3 +550,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_label_agreement_bounded_broadcast_no_cartesian(spark, sf_dir):
+    """The kNN audit panel joins as a BROADCAST nested-loop of the
+    bounded 50-row panel (the similarity_topk_brute whitelist shape)
+    — never an unbounded CartesianProduct; both embeddings branches
+    are plain scans (differently-pruned siblings, no cache
+    dependency)."""
+    nodes = _executed_nodes(spark, "embedding_label_agreement", sf_dir)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    bnlj = [n for n in nodes if "BroadcastNestedLoopJoin" in n]
+    assert len(bnlj) == 1, nodes
+
+
+def test_rrf_fusion_no_cartesian_bounded_scans(spark, sf_dir):
+    """RRF's two legs: the lexical side reuses text_bm25_topdocs'
+    one-lineage window form; the semantic side broadcasts ONE query
+    row. Pin: no CartesianProduct anywhere, and at most 2 scans per
+    source table (tf lineage + pushed-filter query branch)."""
+    nodes = _executed_nodes(spark, "similarity_rrf_fusion", sf_dir)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) <= 4, scans
