@@ -90,7 +90,7 @@ def register(
 # fresh driver rows) = exactly 50. Displaced by the additions (new >
 # stale — the sample_split_assign precedent): the r6 dedup-text
 # block AND the last 15 stale r5 names — both LEAD ROUND 10.
-# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) the 21
+# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) the 23
 # LATE-r9 ops registered after this window was pinned (no driver row
 # yet; each oracle-green at 3 SFs + partition-deterministic
 # in-round): embedding_truncation_fidelity,
@@ -103,7 +103,8 @@ def register(
 # orders_seasonal_index, text_compression_quality (rows-only;
 # python-replay gated), embedding_diversity_gram,
 # dedup_funnel_report, text_langid_confusion,
-# events_next_event_accuracy — 21 by now — plus any r10
+# events_next_event_accuracy, supplier_brand_hhi,
+# events_dau_wau_stickiness — 23 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -1959,3 +1959,25 @@ def test_next_event_accuracy_bounds(spark, sf_dir):
         assert 0 <= r.n_correct <= r.n_eval
         assert abs(r.accuracy - round(r.n_correct / r.n_eval, 4)) < 1e-9
         assert 0.05 <= r.accuracy <= 0.6, r
+
+
+def test_hhi_and_stickiness_bounds(spark, sf_dir):
+    """HHI lies in (10000/n_suppliers, 10000]; revenue conserves vs a
+    direct lineitem sum. Stickiness lies in (1/7, 1] by construction
+    (mean DAU <= WAU; a user active daily pushes it to 1)."""
+    rows = _rows(spark, sf_dir, "supplier_brand_hhi")
+    assert rows
+    for r in rows:
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6, r
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.selectExpr(
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c"
+    ).collect()[0].c
+    assert sum(r.revenue_cents for r in rows) == total
+
+    st = _rows(spark, sf_dir, "events_dau_wau_stickiness")
+    assert st
+    for r in st:
+        assert 1 <= r.n_days <= 7
+        assert 0.0 < r.stickiness <= 1.0 + 1e-9, r
+        assert r.dau_sum >= r.wau  # every weekly active is active >=1 day
