@@ -153,6 +153,14 @@ EXTRA = (
     "dedup_split_leakage",
     "embedding_label_agreement",
     "events_psi_drift",
+    "orders_seasonal_index",
+    "text_compression_quality",
+    "embedding_diversity_gram",
+    "dedup_funnel_report",
+    "text_langid_confusion",
+    "events_next_event_accuracy",
+    "supplier_brand_hhi",
+    "events_dau_wau_stickiness",
 )
 
 
