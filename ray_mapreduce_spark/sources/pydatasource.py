@@ -26,7 +26,13 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FilePartition(InputPartition):
@@ -66,6 +72,74 @@ class ManifestTextDataSource(DataSource):
 
     def reader(self, schema):
         return ManifestTextReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return ManifestTextWriter(self.options)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ManifestTextWriter(DataSourceWriter):
+    """WRITE side of the manifest contract — the mirror of the
+    reader: each task streams its partition to its OWN file under
+    option('dir'), returns a commit message naming the file, and the
+    DRIVER writes the index (manifest) listing exactly the committed
+    files. This is the two-phase-commit shape every serious table
+    format uses (task files + atomic manifest publish): a failed or
+    speculated task's file is simply never listed, so readers — the
+    manifest_text reader above included — observe only complete
+    output. Rows must carry a single 'value' string column (the
+    reference's record-per-line contract)."""
+
+    def __init__(self, options):
+        self.dir = options.get("dir")
+        if not self.dir:
+            raise ValueError("manifest_text write requires .option('dir', <path>)")
+
+    def write(self, iterator):
+        # Executor-side: one file per task, named by the task context
+        # (deterministic per attempt; the driver publishes only
+        # committed attempts).
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        path = os.path.join(
+            self.dir,
+            f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.txt",
+        )
+        os.makedirs(self.dir, exist_ok=True)
+        n = 0
+        with open(path, "w") as fh:
+            for row in iterator:
+                fh.write(f"{row.value}\n")
+                n += 1
+        return _FileCommit(path, n)
+
+    def commit(self, messages):
+        # Driver-side atomic publish: the index lists ONLY files from
+        # successful commits, written last (rename-free single small
+        # file — the manifest IS the table).
+        import os
+
+        index = os.path.join(self.dir, "index.txt")
+        with open(index, "w") as fh:
+            for m in messages:
+                fh.write(m.path + "\n")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
 
 
 def register_manifest_source(spark) -> None:

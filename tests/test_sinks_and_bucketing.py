@@ -308,3 +308,32 @@ def test_merge_upsert_parquet(spark, tmp_path):
         str(tmp_path / "m3"), key="id",
     )
     assert stats2 == {"inserted": 2, "updated": 2, "deleted": 0, "total": 6}
+
+
+def test_manifest_text_write_then_read_roundtrip(spark, tmp_path):
+    """The custom DataSource WRITE path: task-per-file output + a
+    driver-committed index listing exactly the committed files; the
+    manifest_text READER then consumes its own writer's output
+    (write/read round-trip through the same registered format)."""
+    from ray_mapreduce_spark.sources.pydatasource import register_manifest_source
+
+    register_manifest_source(spark)
+    vals = [f"record-{i:03d}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string").repartition(4)
+    out = str(tmp_path / "mtab")
+    df.write.format("manifest_text").option("dir", out).mode("append").save()
+
+    import os
+
+    index = os.path.join(out, "index.txt")
+    assert os.path.exists(index)
+    listed = [ln.strip() for ln in open(index) if ln.strip()]
+    assert len(listed) == 4
+    on_disk = {os.path.join(out, f) for f in os.listdir(out)} - {index}
+    assert set(listed) == on_disk  # index lists exactly the committed files
+
+    back = (
+        spark.read.format("manifest_text").option("index", index).load()
+    )
+    assert sorted(r.value for r in back.collect()) == sorted(vals)
+    assert back.select("path").distinct().count() == 4
