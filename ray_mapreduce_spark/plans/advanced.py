@@ -3539,3 +3539,302 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity — the follow-on to privacy_k_anonymity: a QI group can
+# be large (k-safe) yet reveal everyone's sensitive attribute if all
+# members share one value. Per NATION (so the report keeps a real
+# axis at every sf — a global 3-class rollup collapses to one row
+# once every group clears l>=3), count QI groups below the l>=3
+# disclosure bar and the rows they expose.
+@register(
+    "privacy_l_diversity",
+    tags=("privacy", "governance", "aggregate"),
+    oracle=f"""
+    WITH grp AS (
+      SELECT c_nationkey AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) // {KANON_BUCKET_CENTS}
+               AS bal_bucket,
+             count(*) AS sz,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_l_groups,
+           CAST(sum(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM grp GROUP BY 1
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_groups, n_rows, min_l, n_low_l_groups,
+    n_rows_at_risk): per-nation l-diversity audit over (nation,
+    balance-bucket) QI groups with market segment as the sensitive
+    attribute. Determinism: every output is an integer count over
+    integer-cent buckets. Scale shape: ONE shuffle on the QI key
+    with a two-phase distinct on (QI, segment) — the sensitive
+    cardinality is tiny so the partial distinct collapses map-side;
+    the nation report re-aggregates the bounded group frame."""
+    c = load_table(spark, sf_dir, "customer")
+    grp = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            f"CAST(round(c_acctbal * 100) AS BIGINT) div {KANON_BUCKET_CENTS}"
+        ).alias("bal_bucket"),
+        "c_mktsegment",
+    ).groupBy("nation", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    low = F.when(F.col("l") < 3, 1).otherwise(0)
+    return grp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(low).cast("bigint").alias("n_low_l_groups"),
+        F.sum(low * F.col("sz")).cast("bigint").alias("n_rows_at_risk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-event gap survival — the empirical survival curve S(t) of
+# per-user inter-event gaps on doubling minute bands: what fraction
+# of gaps are >= each band threshold. The session-gap (4h) and
+# bot-regularity thresholds elsewhere in the repo are calibrated by
+# exactly this readout. Band index = SUM of integer threshold
+# comparisons (no float log2 bucketing — a float quotient's ulp
+# flips boundary gaps, the events_hourly_seasonality lesson),
+# generated from ONE python list into both engines.
+GAP_BANDS_MIN = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+_BAND_SQL = " + ".join(
+    f"(CASE WHEN gap_min >= {t} THEN 1 ELSE 0 END)" for t in GAP_BANDS_MIN
+)
+_BAND_LO_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN band = {i + 1} THEN {t}"
+        for i, t in enumerate(GAP_BANDS_MIN)
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "events_gap_survival",
+    tags=("events", "survival", "window", "diagnostics"),
+    oracle=f"""
+    WITH g AS (
+      SELECT (lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+              - epoch_us(CAST(ts AS TIMESTAMP))) // 60000000 AS gap_min
+      FROM events
+    ),
+    b AS (
+      SELECT CAST({_BAND_SQL} AS BIGINT) AS band
+      FROM g WHERE gap_min IS NOT NULL
+    ),
+    c AS (SELECT band, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.band,
+           CAST({_BAND_LO_SQL} AS BIGINT) AS band_lo_min,
+           CAST(c.n AS BIGINT) AS n_gaps,
+           CAST(sum(c.n) OVER (ORDER BY c.band
+                DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_surviving,
+           round(CAST(sum(c.n) OVER (ORDER BY c.band
+                 DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.total + 1e-9, 6) AS survival
+    FROM c CROSS JOIN t
+    """,
+)
+def events_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, band_lo_min, n_gaps, n_surviving, survival): empirical
+    survival of inter-event gaps over doubling minute bands (band 0 =
+    under a minute). Determinism: integer floor-div minutes, integer
+    threshold-comparison band index, integer counts; the one division
+    is of integer-derived doubles (+1e-9 for the rational-ratio
+    boundary class, gotcha #3). Scale shape: ONE user-keyed window
+    sort for the lead; the band histogram partial-aggregates
+    map-side to <=14 rows, so the survival window and total join run
+    on a bounded frame (single-partition window over 14 rows is
+    free)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        e.withColumn("nxt", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.expr("(nxt - us) div 60000000").alias("gap_min"))
+    )
+    band = sum(
+        (F.col("gap_min") >= t).cast("int") for t in GAP_BANDS_MIN
+    ).cast("bigint")
+    c = g.select(band.alias("band")).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    sw = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # element_at is 1-based and raises on index 0 even in its try_
+    # form — band 0 must be guarded out before the lookup.
+    lo = F.when(
+        F.col("band") > 0,
+        F.element_at(
+            F.array(*[F.lit(t_) for t_ in GAP_BANDS_MIN]),
+            F.col("band").cast("int"),
+        ),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("n_surviving", F.sum("n").over(sw))
+        .select(
+            "band",
+            F.coalesce(lo, F.lit(0)).cast("bigint").alias("band_lo_min"),
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.col("n_surviving").cast("bigint").alias("n_surviving"),
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("total") + F.lit(1e-9),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) attribution — the 40/20/40 companion to
+# events_attribution_linear: first touch 40%, last touch 40%, the
+# middle pool splits the rest. Reported by ROLE, which keeps the
+# whole computation integer-exact per conversion group (the middle
+# POOL is attributed as one sum — no per-touch split, so no
+# remainder allocation at all): n=1 -> first takes everything;
+# n=2 -> last = vu div 2, first = vu - last; n>=3 -> first = last =
+# (2*vu) div 5, middle pool = the exact remainder.
+@register(
+    "events_attribution_ushape",
+    tags=("events", "attribution", "window", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) * 10000 AS vu_u
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    g AS (
+      SELECT *, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      FROM e
+    ),
+    ga AS (
+      SELECT user_id, grp,
+             max(CASE WHEN event_type = 'purchase' THEN vu_u END) AS vu,
+             CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t
+      FROM g WHERE grp >= 1 GROUP BY 1, 2
+    ),
+    cr AS (
+      SELECT n_t,
+             CASE WHEN n_t = 1 THEN vu
+                  WHEN n_t = 2 THEN vu - vu // 2
+                  ELSE (2 * vu) // 5 END AS f_credit,
+             CASE WHEN n_t = 2 THEN vu // 2
+                  WHEN n_t >= 3 THEN (2 * vu) // 5 ELSE 0 END AS l_credit,
+             CASE WHEN n_t >= 3 THEN vu - 2 * ((2 * vu) // 5)
+                  ELSE 0 END AS m_credit
+      FROM ga WHERE n_t > 0
+    )
+    SELECT 'first' AS role, CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(f_credit) AS BIGINT) / 1e6 + 1e-9, 6)
+             AS attributed_value
+    FROM cr
+    UNION ALL
+    SELECT 'last', CAST(sum(CASE WHEN n_t >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+           round(CAST(sum(l_credit) AS BIGINT) / 1e6 + 1e-9, 6)
+    FROM cr
+    UNION ALL
+    SELECT 'middle', CAST(sum(CASE WHEN n_t >= 3 THEN n_t - 2 ELSE 0 END)
+                          AS BIGINT),
+           round(CAST(sum(m_credit) AS BIGINT) / 1e6 + 1e-9, 6)
+    FROM cr
+    """,
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, n_touches, attributed_value): U-shaped credit by touch
+    role. Determinism: purchase value in integer micro-units, role
+    credits are integer floor-divides and exact remainders, every
+    aggregate an order-free integer sum; the one float division is
+    at output. Shares the reverse-running-purchase-count group id
+    (and its determinism argument) with events_attribution_linear —
+    the two builders differ only past the (user, grp) aggregate.
+    Scale shape: one user-keyed window sort, one (user, grp) partial
+    agg on the same partitioning, then a 3-row unpivot of one global
+    agg."""
+    e = load_table(spark, sf_dir, "events")
+    e2 = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.round(F.col("value") * 100).cast("bigint") * 10000).alias("vu_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e2.withColumn(
+        "grp",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint"),
+    ).filter(F.col("grp") >= 1)
+    ga = g.groupBy("user_id", "grp").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("vu_u"))).alias(
+            "vu"
+        ),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    cr = ga.filter(F.col("n_t") > 0).selectExpr(
+        "n_t",
+        "CASE WHEN n_t = 1 THEN vu"
+        " WHEN n_t = 2 THEN vu - vu div 2"
+        " ELSE (2 * vu) div 5 END AS f_credit",
+        "CASE WHEN n_t = 2 THEN vu div 2"
+        " WHEN n_t >= 3 THEN (2 * vu) div 5 ELSE 0 END AS l_credit",
+        "CASE WHEN n_t >= 3 THEN vu - 2 * ((2 * vu) div 5)"
+        " ELSE 0 END AS m_credit",
+    )
+    a = cr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+        F.sum("f_credit").cast("bigint").alias("uf"),
+        F.sum(F.when(F.col("n_t") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nl"),
+        F.sum("l_credit").cast("bigint").alias("ul"),
+        F.sum(F.when(F.col("n_t") >= 3, F.col("n_t") - 2).otherwise(0))
+        .cast("bigint")
+        .alias("nm"),
+        F.sum("m_credit").cast("bigint").alias("um"),
+    )
+    return a.selectExpr(
+        "stack(3, 'first', nf, uf, 'last', nl, ul, 'middle', nm, um)"
+        " AS (role, n_touches, u)"
+    ).select(
+        "role",
+        "n_touches",
+        F.round(F.col("u") / F.lit(1e6) + F.lit(1e-9), 6).alias(
+            "attributed_value"
+        ),
+    )

@@ -537,3 +537,92 @@ def kcore_peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     for f in out[1:]:
         res = res.union(f)
     return res
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction — score non-adjacent pairs by shared
+# near-dup neighbors, weighting each common neighbor v by
+# 1/ln(deg(v)) (rare shared neighbors are stronger evidence). In a
+# curation pipeline this predicts which documents a near-dup pass
+# MISSED: a high-scoring non-edge inside a template family is a
+# candidate the banded LSH should have caught, so the top of this
+# list is the audit queue for threshold tuning.
+@register(
+    "graph_adamic_adar_linkpred",
+    tags=("graph", "linkpred", "wedge"),
+    oracle=f"""
+    WITH {_PR_EDGE_SQL.strip()},
+    edges AS (
+      SELECT src, dst FROM prs UNION ALL SELECT dst AS src, src AS dst FROM prs
+    ),
+    deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+    wedge AS (
+      SELECT e1.dst AS u, e2.dst AS w, e1.src AS mid
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+      SELECT wg.u, wg.w, wg.mid FROM wedge wg
+      WHERE NOT EXISTS (
+        SELECT 1 FROM prs p WHERE p.src = wg.u AND p.dst = wg.w
+      )
+    )
+    SELECT c.u AS u, c.w AS w,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 6) AS aa_score
+    FROM cand c JOIN deg d ON d.v = c.mid
+    GROUP BY 1, 2
+    """,
+)
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, w, n_common, aa_score): Adamic-Adar scores for every
+    non-adjacent pair sharing >=1 near-dup neighbor. Determinism:
+    degrees are exact integers; 1/ln(deg) terms are transcendental —
+    never ON a 6dp boundary — and the per-pair fold diverges by only
+    n*ulp across engines (the events_decayed_score rationale), so
+    round(.,6) is tolerance-free in practice. Scale shape: the edge
+    frame is eager-checkpointed ONCE (it feeds the degree agg, the
+    wedge self-join, and the anti-join — sibling consumers, gotcha
+    #9); the wedge join is a self-join of the identical undirected
+    frame (exchange-reused); the anti-join keys on the canonical
+    (u, w) pair; no all-pairs anywhere — cost is sum over mid of
+    deg(mid)^2, the banded-graph wedge bound shared with
+    graph_triangle_count."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    prs = _pair_edges(v).localCheckpoint(eager=True)
+    return adamic_adar_from_edges(prs)
+
+
+def adamic_adar_from_edges(prs: DataFrame) -> DataFrame:
+    """Score non-adjacent wedge pairs from a canonical (src < dst)
+    pair frame (already checkpointed by the caller — it feeds three
+    consumers)."""
+    und = prs.union(
+        prs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.dst").alias("u"),
+        F.col("e2.dst").alias("w"),
+        F.col("e1.src").alias("mid"),
+    )
+    cand = wedge.join(
+        prs.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg, cand.mid == deg.v)
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("deg").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+    )

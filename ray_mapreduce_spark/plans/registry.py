@@ -104,7 +104,12 @@ def register(
 # python-replay gated), embedding_diversity_gram,
 # dedup_funnel_report, text_langid_confusion,
 # events_next_event_accuracy, supplier_brand_hhi,
-# events_dau_wau_stickiness — 23 by now — plus any r10
+# events_dau_wau_stickiness, graph_adamic_adar_linkpred,
+# timeseries_twap, sample_dedup_aware_weights,
+# text_readability_flesch, privacy_l_diversity,
+# cluster_silhouette_simplified, sample_curriculum_interleave,
+# events_gap_survival, text_charclass_profile,
+# events_attribution_ushape — 33 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

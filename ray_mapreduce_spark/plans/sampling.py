@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .registry import register
+from .text_analysis import QUALITY_RAW_SQL
 
 # Knuth multiplicative hash over the doc key: pure 64-bit arithmetic,
 # bit-identical in Spark and DuckDB (no engine hash functions), ANSI-
@@ -713,4 +714,129 @@ def sample_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             target - F.lit(EPOCH_CAP) * F.col("n_tokens"),
         ).alias("capped_shortfall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-aware sampling weights — the "count-based downweighting"
+# alternative to hard dedup: instead of dropping duplicates, give
+# every member of a duplicate cluster weight 1/k where k is the
+# cluster size, so the CLUSTER (not each copy) contributes one unit
+# to the training mixture. Cluster key = sha256 of the first 200
+# normalized chars (the head fingerprint; raw full-text digests are
+# degenerate below sf0.1 on this corpus — the
+# dedup_cross_source_matrix finding — while head clusters of size
+# 2-4 exist at every sf). Downstream samplers multiply these into
+# their keep probabilities; per-source effective sizes follow by
+# summing weight.
+@register(
+    "sample_dedup_aware_weights",
+    tags=("sampling", "dedup", "weights"),
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY sha256(substr(
+               trim(regexp_replace(regexp_replace(lower(text),
+                                                  '[.,;:!?\'\'"()-]', '', 'g'),
+                                   ' +', ' ', 'g')), 1, 200))) AS dup_count
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(dup_count AS BIGINT) AS dup_count,
+           round(CAST(1 AS DOUBLE) / dup_count, 6) AS weight
+    FROM k
+    """,
+)
+def sample_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, dup_count, weight): per-doc training weight =
+    1 / head-fingerprint-cluster size. Determinism: dup_count is an
+    integer window count; 1/k is a single correctly-rounded double
+    division — identical cross-engine. Scale shape: ONE shuffle on
+    the 32-byte head digest (an unbounded count-over-partition needs
+    no sort); the text column is consumed by the pre-exchange digest
+    projection and never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"""[.,;:!?'"()-]""", ""),
+            " +",
+            " ",
+        )
+    )
+    w = Window.partitionBy(F.sha2(F.substring(norm, 1, 200), 256))
+    return d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"),
+    ).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("dup_count"), 6)
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum interleave — the training-order builder: within each
+# language, rank docs best-quality-first (the shared quality closed
+# form), then round-robin across languages so position p in the
+# final curriculum is (rank-1)*n_langs + lang_index. Every epoch
+# prefix is then simultaneously quality-sorted AND language-balanced
+# — the property curriculum schedules want from a streaming-friendly
+# deterministic order (no shuffle files, no RNG).
+@register(
+    "sample_curriculum_interleave",
+    tags=("sampling", "curriculum", "window"),
+    oracle=f"""
+    WITH l AS (
+      SELECT lang, row_number() OVER (ORDER BY lang) AS lang_idx,
+             count(*) OVER () AS n_langs
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {QUALITY_RAW_SQL} DESC, doc_id
+             ) AS rank_in_lang
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang,
+           CAST(l.lang_idx AS BIGINT) AS lang_idx,
+           CAST(r.rank_in_lang AS BIGINT) AS rank_in_lang,
+           CAST((r.rank_in_lang - 1) * l.n_langs + l.lang_idx AS BIGINT)
+             AS global_pos
+    FROM r JOIN l ON l.lang = r.lang
+    """,
+)
+def sample_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, lang_idx, rank_in_lang, global_pos): quality-
+    descending round-robin curriculum order. Determinism: the rank
+    key is the shared quality closed form (identical per-row doubles
+    cross-engine — per-row scalar arithmetic, no fold) with doc_id
+    tiebreak; everything else is integer. Scale shape: ONE shuffle
+    on lang for the rank window; the language dim is a bounded
+    distinct (its row_number runs on a |langs|-row frame — fine
+    through one partition) broadcast back; global_pos is arithmetic,
+    so the "interleave" costs no global sort — consumers ORDER BY
+    global_pos only when they stream the curriculum out."""
+    from .text_analysis import quality_raw_col
+
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    lw = Window.orderBy("lang")
+    ldim = langs.select(
+        "lang", F.row_number().over(lw).alias("lang_idx")
+    ).crossJoin(F.broadcast(langs.agg(F.count(F.lit(1)).alias("n_langs"))))
+    rw = Window.partitionBy("lang").orderBy(
+        quality_raw_col().desc(), F.col("doc_id")
+    )
+    r = d.select(
+        "doc_id", "lang", "text"
+    ).withColumn("rank_in_lang", F.row_number().over(rw)).drop("text")
+    return r.join(F.broadcast(ldim), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("lang_idx").cast("bigint").alias("lang_idx"),
+        F.col("rank_in_lang").cast("bigint").alias("rank_in_lang"),
+        ((F.col("rank_in_lang") - 1) * F.col("n_langs") + F.col("lang_idx"))
+        .cast("bigint")
+        .alias("global_pos"),
     )

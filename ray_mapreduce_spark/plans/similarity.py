@@ -2408,3 +2408,115 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "layer string, n_in long, n_removed long, n_out long"
     )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette — the cluster-quality readout for the k-means
+# family: per point, a = distance to OWN final centroid, b = distance
+# to the NEAREST OTHER centroid, s = (b-a)/max(a,b); per-cluster mean
+# s near 1 = tight well-separated cells, near 0 = overlapping cells
+# (the honest reading on near-isotropic corpora), negative = points
+# closer to a foreign centroid than their own. Centroid-based
+# "simplified" silhouette is the standard scale form — O(nK) vs the
+# O(n^2) pairwise definition.
+def _silhouette_oracle(k: int, iters: int, dim: int) -> str:
+    d2 = (
+        "greatest(round(list_inner_product(a.vec, a.vec)"
+        " - 2 * list_inner_product(a.vec, c.cvec)"
+        " + list_inner_product(c.cvec, c.cvec), 4), 0)"
+    )
+    return (
+        _kmeans_cte(k, iters, dim)
+        + f""",
+    c_fin AS (SELECT cluster, list(cval ORDER BY i) AS cvec FROM (
+      SELECT cluster, i, round(avg(vec[i]), 6) AS cval
+      FROM a{iters}, range(1, {dim + 1}) t(i)
+      GROUP BY cluster, i) GROUP BY cluster),
+    d AS (
+      SELECT a.vec_id, a.cluster, c.cluster AS ocl, sqrt({d2}) AS dist
+      FROM a{iters} a CROSS JOIN c_fin c
+    ),
+    s AS (
+      SELECT vec_id, cluster,
+             max(CASE WHEN ocl = cluster THEN dist END) AS a_dist,
+             min(CASE WHEN ocl <> cluster THEN dist END) AS b_dist
+      FROM d GROUP BY 1, 2
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(coalesce((b_dist - a_dist)
+                              / nullif(greatest(a_dist, b_dist), 0), 0))
+                 + 1e-9, 4) + 0.0 AS mean_silhouette,
+           round(avg(a_dist) + 1e-9, 4) AS mean_intra_dist
+    FROM s GROUP BY 1
+    """
+    )
+
+
+@register(
+    "cluster_silhouette_simplified",
+    tags=("similarity", "clustering", "kmeans", "evaluation"),
+    oracle=_silhouette_oracle(K_MEANS_K, K_MEANS_ITERS, DIM),
+)
+def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_points, mean_silhouette, mean_intra_dist):
+    simplified (centroid-based) silhouette per final k-means cell.
+    Determinism: distances reuse the kmeans-locked discipline (d2
+    rounded 4dp — clamped at 0 for own-centroid cancellation — then
+    one correctly-rounded sqrt); s values are irrational ratios so
+    the 4dp round never sits on a boundary, and the per-cluster avg
+    fold divergence is ~n*ulp, far under the +1e-9 bias; +0.0 guards
+    the signed zero a near-perfectly-overlapping cell can produce
+    (gotcha #3). Scale shape: the assigned frame is
+    eager-checkpointed (it feeds the final-centroid aggregate AND
+    the distance scoring — identical AGGREGATED subtrees never
+    runtime-reuse, gotcha #14 r7 refinement, the
+    dedup_semantic_kmeans precedent); scoring is a broadcast cross
+    join against K final centroids with map-side partial min/max —
+    O(nK) scored rows, no pair enumeration."""
+    v = _persisted_corpus(spark, sf_dir)
+    assigned = _lloyd_assign(v, K_MEANS_K, K_MEANS_ITERS).localCheckpoint(
+        eager=True
+    )
+    cent_fin = (
+        assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+        .withColumnRenamed("cluster", "ocl")
+    )
+    d2 = F.greatest(
+        F.round(
+            _dot("vec", "vec") - 2 * _dot("vec", "cvec") + _dot("cvec", "cvec"), 4
+        ),
+        F.lit(0.0),
+    )
+    scored = assigned.crossJoin(F.broadcast(cent_fin)).select(
+        "vec_id", "cluster", "ocl", F.sqrt(d2).alias("dist")
+    )
+    s = scored.groupBy("vec_id", "cluster").agg(
+        F.max(F.when(F.col("ocl") == F.col("cluster"), F.col("dist"))).alias(
+            "a_dist"
+        ),
+        F.min(F.when(F.col("ocl") != F.col("cluster"), F.col("dist"))).alias(
+            "b_dist"
+        ),
+    )
+    sil = F.coalesce(
+        (F.col("b_dist") - F.col("a_dist"))
+        / F.nullif(F.greatest("a_dist", "b_dist"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return s.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        (F.round(F.avg(sil) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "mean_silhouette"
+        ),
+        F.round(F.avg("a_dist") + F.lit(1e-9), 4).alias("mean_intra_dist"),
+    )

@@ -2292,3 +2292,144 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_t), 4
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease — the classic readability screen, computed from
+# three regexp counts (words, sentence terminators, vowel-group
+# "syllables"). Low-readability outliers in a crawl are usually
+# boilerplate/navigation soup or OCR noise; the score joins the
+# quality family as another cheap scan-time signal.
+@register(
+    "text_readability_flesch",
+    tags=("text", "quality", "readability"),
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 + 1e-9, 4) + 0.0 AS flesch
+    FROM c WHERE n_words > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_words, n_sentences, n_syllables, flesch):
+    Flesch reading ease per doc from three regexp counts (vowel-group
+    syllable heuristic; sentence count floored at 1 so fragment docs
+    divide safely). Determinism: counts are integers; the score is
+    per-row scalar arithmetic evaluated in the SAME literal order in
+    both engines (no fold), with the +1e-9 bias and +0.0 signed-zero
+    guard (gotcha #3 — scores can be near-zero negative for
+    vowel-dense noise). Scale shape: pure scan-time projection, zero
+    shuffles; the three regexp passes are codegen'd per row."""
+    d = load_table(spark, sf_dir, "documents")
+    lo = F.lower(F.col("text"))
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(lo, F.lit("[a-z]+")).alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        ).alias("n_sentences"),
+        F.regexp_count(lo, F.lit("[aeiouy]+")).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        + F.lit(1e-9)
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        (F.round(flesch, 4) + F.lit(0.0)).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-class profile — the code/markup/script detector's feature
+# row: per doc, counts of alphabetic / digit / whitespace / other
+# characters (on the lowercased text, so "other" captures
+# punctuation, symbols, AND non-Latin script — the zh docs light up
+# here) plus ratio features and an integer cross-multiplied
+# symbol-heavy flag (the text_gopher_filters trick: no float
+# threshold compare).
+@register(
+    "text_charclass_profile",
+    tags=("text", "quality", "charclass"),
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+             len(regexp_extract_all(text, ' ')) AS n_space
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_alpha AS BIGINT) AS n_alpha,
+           CAST(n_digit AS BIGINT) AS n_digit,
+           CAST(n_chars - n_alpha - n_digit - n_space AS BIGINT) AS n_other,
+           round(CAST(n_alpha AS DOUBLE) / n_chars + 1e-9, 4) AS alpha_ratio,
+           round(CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+                 / n_chars + 1e-9, 4) AS other_ratio,
+           CAST(CASE WHEN (n_chars - n_alpha - n_digit - n_space) * 5
+                          > n_chars THEN 1 ELSE 0 END AS BIGINT)
+             AS symbol_heavy
+    FROM c WHERE n_chars > 0
+    """,
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_chars, n_alpha, n_digit, n_other, alpha_ratio,
+    other_ratio, symbol_heavy): character-class features per doc;
+    symbol_heavy fires when >20% of characters are neither Latin
+    letter, digit, nor space — integer cross-multiplication, never a
+    float threshold. Determinism: integer regexp counts; the two
+    ratios are single divisions of integer-derived doubles with the
+    +1e-9 rational-boundary bias (gotcha #3). Scale shape: pure
+    scan-time projection, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z]")).alias("n_alpha"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]")).alias("n_digit"),
+        F.regexp_count(F.col("text"), F.lit(" ")).alias("n_space"),
+    ).filter(F.col("n_chars") > 0)
+    other = F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col(
+        "n_space"
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_alpha").cast("bigint").alias("n_alpha"),
+        F.col("n_digit").cast("bigint").alias("n_digit"),
+        other.cast("bigint").alias("n_other"),
+        F.round(
+            F.col("n_alpha").cast("double") / F.col("n_chars") + F.lit(1e-9), 4
+        ).alias("alpha_ratio"),
+        F.round(
+            other.cast("double") / F.col("n_chars") + F.lit(1e-9), 4
+        ).alias("other_ratio"),
+        F.when(other * 5 > F.col("n_chars"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("symbol_heavy"),
+    )

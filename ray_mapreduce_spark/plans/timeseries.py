@@ -150,3 +150,82 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_obs", F.lit(0)).alias("n"),
         )
     )
+
+
+# Time-weighted average value (TWAP): each event's value "holds"
+# until the type's next event, so the mean is weighted by holding
+# duration — the correct average for irregularly-sampled series
+# (a reading that lasted an hour should count 3600x one that lasted
+# a second). Integer discipline end-to-end: values in 1e-4 quanta,
+# durations in whole seconds, so both engines sum identical integers
+# and divide once at output.
+@register(
+    "timeseries_twap",
+    tags=("timeseries", "window", "weighted-mean"),
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(round(value * 10000) AS BIGINT) AS vq,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS nxt_us
+      FROM events
+    ),
+    iv AS (
+      SELECT event_type, vq, (nxt_us - us) // 1000000 AS gap_s
+      FROM q WHERE nxt_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(gap_s) AS BIGINT) AS total_seconds,
+           round(CAST(sum(vq * gap_s) AS DOUBLE)
+                 / (10000.0 * nullif(sum(gap_s), 0)), 4) AS twap,
+           round(CAST(sum(vq) AS DOUBLE) / (10000.0 * count(*)), 4)
+             AS unweighted_mean
+    FROM iv GROUP BY 1
+    """,
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_intervals, total_seconds, twap, unweighted_mean):
+    duration-weighted vs plain mean per type. Determinism: the window
+    sorts on (us, event_id) — tied timestamps pair a 0-second gap
+    with whichever value, contributing 0 either way, and the LAST row
+    of a tie run is pinned by the event_id tiebreak; vq*gap_s stays
+    under 2^63 (|value| ~ 1e2 -> vq ~ 1e6; gap_s < 3e6 within the
+    one-month axis; ANSI would raise loudly, not corrupt, if data
+    scale ever grew past that — then switch vq to 1e-2 quanta).
+    Scale shape: ONE shuffle on event_type shared by the lead window
+    and the aggregate (the agg reuses the window's partitioning);
+    map-side partial agg on integer sums."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("vq"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    iv = (
+        e.withColumn("nxt_us", F.lead("us").over(w))
+        .filter(F.col("nxt_us").isNotNull())
+        .select(
+            "event_type",
+            "vq",
+            F.expr("(nxt_us - us) div 1000000").alias("gap_s"),
+        )
+    )
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("gap_s").cast("bigint").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("vq") * F.col("gap_s")).cast("double")
+            / (F.lit(10000.0) * F.nullif(F.sum("gap_s"), F.lit(0))),
+            4,
+        ).alias("twap"),
+        F.round(
+            F.sum("vq").cast("double") / (F.lit(10000.0) * F.count(F.lit(1))), 4
+        ).alias("unweighted_mean"),
+    )

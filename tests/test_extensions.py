@@ -1981,3 +1981,208 @@ def test_hhi_and_stickiness_bounds(spark, sf_dir):
         assert 1 <= r.n_days <= 7
         assert 0.0 < r.stickiness <= 1.0 + 1e-9, r
         assert r.dau_sum >= r.wau  # every weekly active is active >=1 day
+
+
+def test_twap_interval_accounting(spark, sf_dir):
+    """Per type: n_intervals must be exactly count-1, total_seconds
+    the floor-div span of the (min, max) timestamps minus the
+    per-interval sub-second losses (so bounded by the span), and
+    twap must lie within the type's [min, max] value range."""
+    rows = {r["event_type"]: r for r in _rows(spark, sf_dir, "timeseries_twap")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+                "span_s"
+            ),
+        )
+        .collect()
+    )
+    assert rows
+    for e in ev:
+        r = rows[e["event_type"]]
+        assert r["n_intervals"] == e["n"] - 1
+        assert 0 < r["total_seconds"] <= e["span_s"]
+        assert e["lo"] - 1e-4 <= r["twap"] <= e["hi"] + 1e-4
+        assert e["lo"] - 1e-4 <= r["unweighted_mean"] <= e["hi"] + 1e-4
+
+
+def test_dedup_aware_weights_unit_mass(spark, sf_dir):
+    """Every duplicate cluster must contribute exactly one unit of
+    total weight: rows with dup_count=k come in multiples of k, each
+    weighing round(1/k, 6); clusters of size >= 2 must exist (the
+    corpus plants head-fingerprint template families at every sf)."""
+    rows = _rows(spark, sf_dir, "sample_dedup_aware_weights")
+    by_k: dict[int, int] = {}
+    for r in rows:
+        by_k[r["dup_count"]] = by_k.get(r["dup_count"], 0) + 1
+        assert r["weight"] == round(1.0 / r["dup_count"], 6)
+    assert max(by_k) >= 2, "no duplicate clusters — trivial oracle"
+    for k, n in by_k.items():
+        assert n % k == 0, f"cluster-size-{k} rows not a multiple of {k}"
+
+
+def test_readability_flesch_python_replay(spark, sf_dir):
+    """Full python replay of the three regexp counts and the score
+    formula — the per-row arithmetic must match exactly (same
+    literals, same order, same +1e-9 bias and +0.0 guard)."""
+    import re
+
+    rows = {r["doc_id"]: r for r in _rows(spark, sf_dir, "text_readability_flesch")}
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    checked = 0
+    for d in docs[:200]:
+        lo = d["text"].lower()
+        w = len(re.findall("[a-z]+", lo))
+        if w == 0:
+            assert d["doc_id"] not in rows
+            continue
+        s = max(len(re.findall("[.!?]+", d["text"])), 1)
+        y = len(re.findall("[aeiouy]+", lo))
+        r = rows[d["doc_id"]]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        assert r["flesch"] == round(
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w) + 1e-9, 4
+        ) + 0.0
+        checked += 1
+    assert checked >= 100
+
+
+def test_l_diversity_covers_all_customers(spark, sf_dir):
+    """The per-nation audit must partition the customer table: n_rows
+    sums to the table count, at-risk counts are bounded by their
+    nation's totals, and min_l >= 1."""
+    rows = _rows(spark, sf_dir, "privacy_l_diversity")
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["min_l"]
+        assert r["n_low_l_groups"] <= r["n_groups"]
+        assert r["n_rows_at_risk"] <= r["n_rows"]
+
+
+def test_silhouette_consistent_with_kmeans(spark, sf_dir):
+    """Silhouette cells must be exactly the k-means cells (same
+    shared Lloyd helpers): per-cluster populations match
+    cluster_kmeans_assign, scores lie in [-1, 1], intra distances
+    are non-negative."""
+    sil = {r["cluster"]: r for r in _rows(spark, sf_dir, "cluster_silhouette_simplified")}
+    counts: dict[int, int] = {}
+    for r in _rows(spark, sf_dir, "cluster_kmeans_assign"):
+        counts[r["cluster"]] = counts.get(r["cluster"], 0) + 1
+    assert {c: r["n_points"] for c, r in sil.items()} == counts
+    for r in sil.values():
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert r["mean_intra_dist"] >= 0.0
+
+
+def test_curriculum_interleave_round_robin(spark, sf_dir):
+    """global_pos must be collision-free; per-lang ranks contiguous
+    from 1; and the first |langs| positions must hold each language's
+    best doc in lang order (the round-robin property)."""
+    rows = _rows(spark, sf_dir, "sample_curriculum_interleave")
+    pos = [r["global_pos"] for r in rows]
+    assert len(set(pos)) == len(pos)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rank_in_lang"])
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+    n_langs = len(by_lang)
+    head = sorted(rows, key=lambda r: r["global_pos"])[:n_langs]
+    assert [r["lang"] for r in head] == sorted(by_lang)
+    assert all(r["rank_in_lang"] == 1 for r in head)
+
+
+def test_gap_survival_monotone_and_complete(spark, sf_dir):
+    """Survival must be non-increasing over bands, band 0 must cover
+    everything (survival 1.0), and the gap count must equal
+    n_events - n_users (one lead per user-consecutive pair)."""
+    rows = sorted(_rows(spark, sf_dir, "events_gap_survival"), key=lambda r: r["band"])
+    ev = load_table(spark, sf_dir, "events")
+    n_gaps_expected = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_gaps_expected
+    assert rows[0]["n_surviving"] == n_gaps_expected
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    los = [r["band_lo_min"] for r in rows]
+    assert los == sorted(los)
+
+
+def test_charclass_profile_python_replay(spark, sf_dir):
+    """Exact python replay of the four counts, both ratios, and the
+    cross-multiplied flag for 200 docs."""
+    import re
+
+    rows = {r["doc_id"]: r for r in _rows(spark, sf_dir, "text_charclass_profile")}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs[:200]:
+        t = d["text"]
+        n = len(t)
+        a = len(re.findall("[a-z]", t.lower()))
+        g = len(re.findall("[0-9]", t))
+        s = t.count(" ")
+        o = n - a - g - s
+        r = rows[d["doc_id"]]
+        assert (r["n_chars"], r["n_alpha"], r["n_digit"], r["n_other"]) == (n, a, g, o)
+        assert r["alpha_ratio"] == round(a / n + 1e-9, 4)
+        assert r["other_ratio"] == round(o / n + 1e-9, 4)
+        assert r["symbol_heavy"] == (1 if o * 5 > n else 0)
+
+
+def test_ushape_attribution_python_replay(spark, sf_dir):
+    """Full python replay of the U-shaped credit rules over the raw
+    event stream — role touch counts and attributed micro-unit sums
+    must match exactly (conservation: credits sum to each group's
+    purchase value, which the replay asserts too)."""
+    rows = {r["role"]: r for r in _rows(spark, sf_dir, "events_attribution_ushape")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    tot = {"first": [0, 0], "last": [0, 0], "middle": [0, 0]}
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["us"], r["event_id"]))
+        groups: list[list] = [[]]
+        for r in rs:
+            groups[-1].append(r)
+            if r["event_type"] == "purchase":
+                groups.append([])
+        for grp in groups:
+            if not grp or grp[-1]["event_type"] != "purchase":
+                continue
+            vu = round(grp[-1]["value"] * 100) * 10000
+            n_t = len(grp) - 1
+            if n_t == 0:
+                continue
+            if n_t == 1:
+                f, l, m = vu, 0, 0
+            elif n_t == 2:
+                l = vu // 2
+                f, m = vu - l, 0
+            else:
+                f = l = (2 * vu) // 5
+                m = vu - f - l
+            assert f + l + m == vu
+            tot["first"][0] += 1
+            tot["first"][1] += f
+            if n_t >= 2:
+                tot["last"][0] += 1
+                tot["last"][1] += l
+            if n_t >= 3:
+                tot["middle"][0] += n_t - 2
+                tot["middle"][1] += m
+    for role, (n, u) in tot.items():
+        assert rows[role]["n_touches"] == n, role
+        assert rows[role]["attributed_value"] == round(u / 1e6 + 1e-9, 6), role

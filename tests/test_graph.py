@@ -67,3 +67,30 @@ def test_pagerank_matches_integer_replay(spark):
     assert got[6][1] == round(
         ((15 * (PR_SCALE // n)) // 100) / float(PR_SCALE), 6
     )
+
+
+def test_adamic_adar_planted(spark):
+    """C4 cycle 0-1-2-3: the two diagonals are the only non-adjacent
+    wedge pairs, each with BOTH opposite corners as common neighbors
+    (degree 2), so score = 2/ln(2); add pendant 4 off node 0 to vary
+    a degree: (1,4) and (3,4) share mid 0 (degree 3) -> 1/ln(3),
+    and (2,4)'s mids are none (distance 3) so it must be absent."""
+    import math
+
+    from ray_mapreduce_spark.plans.graph import adamic_adar_from_edges
+
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 4)]
+    prs = spark.createDataFrame(pairs, "src: long, dst: long").localCheckpoint(
+        eager=True
+    )
+    got = {
+        (r["u"], r["w"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar_from_edges(prs).collect()
+    }
+    ln2, ln3 = math.log(2.0), math.log(3.0)
+    assert got == {
+        (0, 2): (2, round(1 / ln2 + 1 / ln2, 6)),
+        (1, 3): (2, round(1 / ln3 + 1 / ln2, 6)),
+        (1, 4): (1, round(1 / ln3, 6)),
+        (3, 4): (1, round(1 / ln3, 6)),
+    }
