@@ -3838,3 +3838,187 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Activity-class migration — the churn/growth transition matrix:
+# classify each customer's order activity in the first vs second
+# half of the time axis ('0', '1', '2-3', '4+' orders) and count
+# customers per (before, after) cell. The '0' classes come from the
+# customer dim via a left join, so churned and newly-active
+# customers appear — the cells a pure orders-side rollup can't see.
+# Split point = integer micros midpoint of the axis (the
+# events_psi_drift discipline: div, never float).
+@register(
+    "orders_activity_migration",
+    tags=("orders", "migration", "cohort", "aggregate"),
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day
+      FROM orders
+    ),
+    b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+    h AS (
+      SELECT o_custkey,
+             sum(CASE WHEN day < b.mid THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN day >= b.mid THEN 1 ELSE 0 END) AS n2
+      FROM d CROSS JOIN b GROUP BY 1
+    ),
+    cls AS (
+      SELECT c.c_custkey,
+             CASE WHEN coalesce(h.n1, 0) = 0 THEN '0'
+                  WHEN h.n1 = 1 THEN '1'
+                  WHEN h.n1 <= 3 THEN '2-3' ELSE '4+' END AS seg_before,
+             CASE WHEN coalesce(h.n2, 0) = 0 THEN '0'
+                  WHEN h.n2 = 1 THEN '1'
+                  WHEN h.n2 <= 3 THEN '2-3' ELSE '4+' END AS seg_after
+      FROM customer c LEFT JOIN h ON h.o_custkey = c.c_custkey
+    )
+    SELECT seg_before, seg_after,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def orders_activity_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seg_before, seg_after, n_customers): customer activity-class
+    transition matrix across the two halves of the order-date axis.
+    Determinism: integer calendar-day axis (o_orderdate is NTZ —
+    unix_micros rejects it, the repeat-purchase lesson; datediff
+    gives exact integer days on both engines), integer midpoint
+    (div), integer counts, CASE ladders on integers. Scale shape: the midpoint is a 1-row
+    broadcast; ONE fact shuffle on custkey computes both half-counts
+    (single pass, conditional sums); the customer left join keys on
+    custkey UNHINTED (customer is fact-proportional — the
+    SCALING.md:33 rule: AQE broadcasts the half-count frame at bench
+    sf, SMJ at scale); the matrix agg runs on <=16 cells."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+    )
+    b = o.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    h = (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias(
+                "n2"
+            ),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = c.join(h, c.c_custkey == h.o_custkey, "left")
+
+    def cls(col: str):
+        n = F.coalesce(F.col(col), F.lit(0))
+        return (
+            F.when(n == 0, "0")
+            .when(n == 1, "1")
+            .when(n <= 3, "2-3")
+            .otherwise("4+")
+        )
+
+    return (
+        j.select(
+            cls("n1").alias("seg_before"), cls("n2").alias("seg_after")
+        )
+        .groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness — Goh-Barabasi B = (sigma - mu)/(sigma +
+# mu) over per-customer order gaps, reported per market segment:
+# B near -1 = periodic ordering, near 0 = Poisson, toward +1 =
+# bursty. Moments from EXPLICIT integer sums (sum, sumsq, n) of
+# whole-day gaps — never engine-native stddev (Welford vs naive
+# differ, the embedding_dim_stats rule).
+@register(
+    "orders_interarrival_burstiness",
+    tags=("orders", "burstiness", "window", "aggregate"),
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             lead(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE))) OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01',
+                                  CAST(o.o_orderdate AS DATE)), o.o_orderkey)
+             - date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS gap_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_d) AS BIGINT) AS s1,
+             CAST(sum(gap_d * gap_d) AS BIGINT) AS s2
+      FROM g WHERE gap_d IS NOT NULL GROUP BY 1
+    )
+    SELECT segment, n,
+           round(CAST(s1 AS DOUBLE) / n + 1e-9, 4) AS mean_gap_days,
+           round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0))
+                 + 1e-9, 4) AS std_gap_days,
+           round((sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0))
+                  - CAST(s1 AS DOUBLE) / n)
+                 / (sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0))
+                    + CAST(s1 AS DOUBLE) / n)
+                 + 1e-9, 4) + 0.0 AS burstiness
+    FROM m
+    """,
+)
+def orders_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n, mean_gap_days, std_gap_days, burstiness): Goh-
+    Barabasi burstiness of inter-order gaps per market segment.
+    Determinism: gaps are exact integer calendar-day differences
+    (NTZ-safe datediff axis, the repeat-purchase lesson) over a
+    (day, orderkey)-tiebroken window; (n, s1, s2) are order-free integer
+    sums, so mu/sigma are the SAME doubles cross-engine (identical
+    expression trees on identical inputs); +1e-9 pre-round bias and
+    +0.0 on the near-zero-capable B (gotcha #3). Scale shape: one
+    custkey-keyed window sort for the lead; the customer join keys
+    custkey UNHINTED (fact-proportional); the moment agg partial-
+    aggregates to |segments| rows map-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        "o_orderkey",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = (
+        o.withColumn("nxt", F.lead("day").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("o_custkey", (F.col("nxt") - F.col("day")).alias("gap_d"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    m = g.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap_d").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_d") * F.col("gap_d")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sig = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    return m.select(
+        "segment",
+        "n",
+        F.round(mu + F.lit(1e-9), 4).alias("mean_gap_days"),
+        F.round(sig + F.lit(1e-9), 4).alias("std_gap_days"),
+        (F.round((sig - mu) / (sig + mu) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "burstiness"
+        ),
+    )

@@ -1991,3 +1991,81 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard") + F.lit(1e-9), 4).alias("avg_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Jaccard threshold-sensitivity curve — before committing a near-dup
+# threshold, curation wants the removal-volume curve: how many pairs
+# clear each tenth from 0.1 to 1.0. One pass over the SAME inverted
+# index as dedup_ngram_jaccard; per pair the highest tenth cleared is
+# the INTEGER floor-div (10 * n_common) // union, so banding has no
+# float boundary at any scale, and the cumulative curve is a window
+# over a <=10-row histogram.
+@register(
+    "dedup_threshold_curve",
+    tags=("dedup", "ngram", "jaccard", "diagnostics"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS n_common,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS u
+      FROM shingled a JOIN shingled b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
+    tm AS (
+      SELECT (10 * n_common) // u AS tenth FROM pairs
+      WHERE n_common > 0
+    ),
+    h AS (SELECT tenth, count(*) AS n FROM tm GROUP BY 1)
+    SELECT CAST(tenth AS BIGINT) AS tenth,
+           round(tenth / 10.0, 1) AS threshold,
+           CAST(n AS BIGINT) AS n_pairs_in_band,
+           CAST(sum(n) OVER (ORDER BY tenth DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM h
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tenth, threshold, n_pairs_in_band, n_pairs_at_or_above):
+    near-dup pair volume per jaccard tenth; band 0 counts pairs that
+    share index evidence but fall below 0.1 (the candidate mass an
+    LSH stage would generate and discard). Determinism: band =
+    integer floor-div of exact shingle counts; counts are integers;
+    threshold is a 1dp round of tenth/10. Scale shape: rides
+    ``_ngram_common_counts`` unchanged (inverted index, df cap, one
+    shingle-key shuffle, exchange-reused self-join); the histogram
+    partial-aggregates to <=10 rows map-side, so the cumulative
+    window is free. The oracle re-derives pairs quadratically — the
+    builder never does. Cap semantics: the index's df cap excludes
+    boilerplate shingles from pair EVIDENCE exactly as in
+    dedup_ngram_jaccard (so low-band counts are conservative at
+    crawl scale); the uncapped oracle is equivalent at every test sf
+    — measured max shingle df is 14 at sf0.1 vs the 1000 cap."""
+    d = load_table(spark, sf_dir, "documents")
+    common = _ngram_common_counts(d)
+    tm = common.select(
+        F.expr("(10 * n_common) div (n_a + n_b - n_common)").alias("tenth")
+    )
+    h = tm.groupBy("tenth").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("tenth").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return h.select(
+        F.col("tenth").cast("bigint").alias("tenth"),
+        F.round(F.col("tenth") / 10.0, 1).alias("threshold"),
+        F.col("n").cast("bigint").alias("n_pairs_in_band"),
+        F.sum("n").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )

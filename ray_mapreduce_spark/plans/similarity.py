@@ -2520,3 +2520,64 @@ def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(F.avg("a_dist") + F.lit(1e-9), 4).alias("mean_intra_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Clip calibration — the feature-preprocessing readout: per embedding
+# dimension, the exact p01/p99 quantiles and how many values each
+# clip bound would truncate. Downstream normalizers clip to these
+# bounds before scaling; the n_below/n_above counts say how lossy
+# that is per dimension. Exact two-pass percentile (the
+# events_winsorize_stats pattern — Spark `percentile` and DuckDB
+# `quantile_cont` are bit-exact on doubles, verified r7).
+@register(
+    "embedding_clip_calibration",
+    tags=("embedding", "quantile", "calibration"),
+    oracle="""
+    WITH x AS (
+      SELECT t.i AS pos, CAST(e.embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings e, range(0, 64) t(i)
+    ),
+    q AS (
+      SELECT pos, quantile_cont(val, 0.01) AS lo, quantile_cont(val, 0.99) AS hi
+      FROM x GROUP BY 1
+    )
+    SELECT x.pos,
+           round(q.lo, 6) AS p01,
+           round(q.hi, 6) AS p99,
+           CAST(sum(CASE WHEN x.val < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN x.val > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM x JOIN q ON q.pos = x.pos
+    GROUP BY 1, 2, 3
+    """,
+)
+def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, p01, p99, n_below, n_above): exact clip bounds and
+    truncation counts per dimension. Determinism: both engines
+    compute the identical interpolated quantile on the identical
+    double multiset (bit-exact, the r7 winsorize finding), and the
+    clip comparison uses the UNROUNDED bound on both sides — counts
+    are then integers; bounds round 6dp at output only. Scale shape:
+    posexplode at scan speed, ONE shuffle on pos for the quantile
+    (64 groups), then the counting pass re-joins the 64-row bound
+    frame BROADCAST onto a second scan — two scans total, no
+    per-partition sort of the full corpus."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    x = v.select(F.posexplode("vec").alias("pos", "val"))
+    q = x.groupBy("pos").agg(
+        F.expr("percentile(val, 0.01)").alias("lo"),
+        F.expr("percentile(val, 0.99)").alias("hi"),
+    )
+    j = x.join(F.broadcast(q), "pos")
+    return j.groupBy("pos").agg(
+        F.round(F.first("lo"), 6).alias("p01"),
+        F.round(F.first("hi"), 6).alias("p99"),
+        F.sum(F.when(F.col("val") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(F.col("val") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+    )

@@ -2433,3 +2433,51 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("symbol_heavy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena ratio — per source, the share of its vocabulary
+# appearing exactly once in that source. A high hapax share marks
+# open productive text (the Zipf tail is intact); a low one marks
+# templated/boilerplate sources whose vocabulary recycles — the
+# cheap corpus-health reading next to text_zipf_head.
+@register(
+    "text_hapax_ratio",
+    tags=("text", "vocabulary", "diagnostics"),
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 4) AS hapax_share
+    FROM c GROUP BY 1
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, vocab, hapax, hapax_share): hapax share of
+    each source's vocabulary. Determinism: integer counts; one
+    division of integer-derived doubles with the rational-boundary
+    bias. Scale shape: explode + ONE shuffle on (source, token) with
+    map-side partial counts; the source report re-aggregates the
+    (source, token) frame on its own partitioning prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hap = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        hap.cast("bigint").alias("hapax"),
+        F.round(
+            hap.cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("hapax_share"),
+    )

@@ -2186,3 +2186,75 @@ def test_ushape_attribution_python_replay(spark, sf_dir):
     for role, (n, u) in tot.items():
         assert rows[role]["n_touches"] == n, role
         assert rows[role]["attributed_value"] == round(u / 1e6 + 1e-9, 6), role
+
+
+def test_threshold_curve_matches_jaccard_pairs(spark, sf_dir):
+    """The cumulative curve at tenth 6 must equal dedup_ngram_jaccard's
+    pair count exactly (jaccard >= 0.6 <=> 10*n_common >= 6*union —
+    both integer-exact), and the cumulative column must be the suffix
+    sum of the bands."""
+    rows = sorted(_rows(spark, sf_dir, "dedup_threshold_curve"), key=lambda r: -r["tenth"])
+    n_exact = len(_rows(spark, sf_dir, "dedup_ngram_jaccard"))
+    at6 = sum(r["n_pairs_in_band"] for r in rows if r["tenth"] >= 6)
+    assert at6 == n_exact
+    run = 0
+    for r in rows:
+        run += r["n_pairs_in_band"]
+        assert r["n_pairs_at_or_above"] == run
+
+
+def test_hapax_ratio_consistency(spark, sf_dir):
+    """Per-source token totals must match a direct count; hapax is
+    bounded by vocab; share = hapax/vocab re-derived."""
+    rows = {r["source"]: r for r in _rows(spark, sf_dir, "text_hapax_ratio")}
+    tot = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("k"))
+        .groupBy("source")
+        .agg(F.sum("k").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(tot)
+    for s, r in rows.items():
+        assert r["n_tokens"] == tot[s]
+        assert 0 <= r["hapax"] <= r["vocab"] <= r["n_tokens"]
+        assert r["hapax_share"] == round(r["hapax"] / r["vocab"] + 1e-9, 4)
+
+
+def test_activity_migration_partitions_customers(spark, sf_dir):
+    """The matrix must partition the customer table, use only the four
+    class labels, and orderless customers land in ('0','0')."""
+    rows = _rows(spark, sf_dir, "orders_activity_migration")
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    labels = {"0", "1", "2-3", "4+"}
+    for r in rows:
+        assert r["seg_before"] in labels and r["seg_after"] in labels
+        assert r["n_customers"] > 0
+
+
+def test_burstiness_bounds_and_gap_count(spark, sf_dir):
+    """B must lie in [-1, 1]; total gap count = orders - active
+    customers (one lead per consecutive pair per customer)."""
+    rows = _rows(spark, sf_dir, "orders_interarrival_burstiness")
+    o = load_table(spark, sf_dir, "orders")
+    expected = o.count() - o.select("o_custkey").distinct().count()
+    assert sum(r["n"] for r in rows) == expected
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert r["std_gap_days"] >= 0.0
+        assert r["mean_gap_days"] > 0.0
+
+
+def test_clip_calibration_tail_mass(spark, sf_dir):
+    """64 dims; bounds ordered; each clipped tail holds at most ~1% of
+    the corpus (interpolated quantile guarantees), never zero total
+    coverage."""
+    rows = _rows(spark, sf_dir, "embedding_clip_calibration")
+    assert len(rows) == 64
+    n = load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r["p01"] <= r["p99"]
+        assert 0 <= r["n_below"] <= int(0.011 * n) + 1
+        assert 0 <= r["n_above"] <= int(0.011 * n) + 1
