@@ -4022,3 +4022,306 @@ def orders_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
             "burstiness"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC analysis — the classic inventory/revenue concentration
+# classification: rank parts by revenue, class A = parts covering
+# the first 80% of cumulative revenue, B = to 95%, C = the tail.
+# Class boundaries by INTEGER cross-multiplication of exact cent
+# sums (cum * 100 <= 80 * total), so no float share ever decides a
+# class.
+@register(
+    "orders_abc_analysis",
+    tags=("orders", "abc", "window", "aggregate"),
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cents) OVER () AS total
+      FROM p
+    ),
+    c AS (
+      SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                  WHEN cum * 100 <= 95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM r
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / (SELECT CAST(sum(cents) AS DOUBLE) FROM p) + 1e-9, 4)
+             AS revenue_share
+    FROM c GROUP BY 1
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(abc_class, n_parts, revenue_cents, revenue_share): 80/95 ABC
+    classification of parts by revenue. Determinism: exact integer
+    cents; the cumulative window orders by (cents DESC, partkey) —
+    a unique key, so ties never reorder; class bounds are integer
+    cross-multiplications; the one float division is at output.
+    Scale shape: ONE fact shuffle to per-part cents (map-side
+    partial); the ranking window runs on the |parts| frame — a
+    global sort of the DIM-sized aggregate, not the fact (at crawl
+    scale: range-partitioned sort, the sort_limit_top100 discipline);
+    the class report is a 3-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    )
+    p = li.groupBy("l_partkey").agg(F.sum("c").cast("bigint").alias("cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    r = p.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        r.select(cls.alias("abc_class"), "cents", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.first("total") + F.lit(1e-9),
+                4,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Over-dispersion test — is daily event volume Poisson-like?
+# Per type, the dispersion index D = var/mean of daily counts:
+# D ~ 1 = Poisson arrivals, D >> 1 = bursty/clumped traffic (bots,
+# batch jobs), D < 1 = throttled/regular. Daily counts are integers,
+# moments are explicit integer sums (never engine-native variance).
+@register(
+    "events_overdispersion",
+    tags=("events", "dispersion", "aggregate"),
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(CAST(s1 AS DOUBLE) / n_days + 1e-9, 4) AS mean_daily,
+           round((CAST(s2 AS DOUBLE) / n_days
+                  - (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days))
+                 / (CAST(s1 AS DOUBLE) / n_days) + 1e-9, 4) AS dispersion
+    FROM m WHERE s1 > 0
+    """,
+)
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, mean_daily, dispersion): variance-to-mean
+    ratio of daily counts per type. Determinism: integer epoch-div
+    days, integer (n_days, s1, s2) moments — mean and population
+    variance are then the SAME doubles cross-engine (identical
+    expression order); +1e-9 pre-round. Scale shape: one (type, day)
+    partial-agg shuffle, then a |types|-row moment fold; nothing
+    downstream of the first exchange scales with the fact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    d = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_days")
+    return m.filter(F.col("s1") > 0).select(
+        "event_type",
+        "n_days",
+        F.round(mu + F.lit(1e-9), 4).alias("mean_daily"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_days") - mu * mu) / mu
+            + F.lit(1e-9),
+            4,
+        ).alias("dispersion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral entropy by activity band — how DIVERSE is each user's
+# event mix, and does diversity grow with activity? Per user,
+# Shannon entropy over event-type counts via the integer-count
+# identity H = ln(n) - (1/n) * sum(c * ln c); users then report by
+# doubling activity bands (integer threshold-sum banding, the
+# events_gap_survival pattern). Low-entropy high-activity users are
+# the single-action bot signature events_bot_score ranks. Bands are
+# width-5 linear (the per-user counts sit tightly in ~45-99 at every
+# sf — doubling bands would collapse to one cell; re-probe the axis
+# before picking a bucket, the dau_wau_stickiness lesson).
+ACTIVITY_BANDS = [50, 55, 60, 65, 70, 75, 80, 85, 90]
+_ACT_BAND_SQL = " + ".join(
+    f"(CASE WHEN n >= {t} THEN 1 ELSE 0 END)" for t in ACTIVITY_BANDS
+)
+
+
+@register(
+    "events_user_entropy_bands",
+    tags=("events", "entropy", "diagnostics"),
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(k) AS BIGINT) AS n,
+             ln(CAST(sum(k) AS DOUBLE))
+               - sum(k * ln(CAST(k AS DOUBLE))) / sum(k) AS h
+      FROM c GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST({_ACT_BAND_SQL} AS BIGINT) AS band, h FROM u
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(h) + 1e-9, 4) + 0.0 AS mean_entropy,
+           round(max(h) + 1e-9, 4) AS max_entropy
+    FROM b GROUP BY 1
+    """,
+)
+def events_user_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, n_users, mean_entropy, max_entropy): mean per-user
+    behavioral entropy per activity band. Determinism:
+    per-user H folds c*ln(c) over <=|types| integer-derived terms in
+    one group (transcendental values, n*ulp fold divergence far
+    under the bias); banding is integer threshold sums; the per-band
+    avg is bias-covered; +0.0 guards single-type users whose H
+    rounds to a signed zero (gotcha #3 — ln identities give exact-0
+    only up to fold residue). Scale shape: one (user, type) partial-
+    agg shuffle, a user-frame fold reusing the user prefix, then a
+    <=9-row band report."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    u = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        (
+            F.log(F.sum("k").cast("double"))
+            - F.sum(F.col("k") * F.log(F.col("k").cast("double")))
+            / F.sum("k")
+        ).alias("h"),
+    )
+    band = sum(
+        (F.col("n") >= t).cast("int") for t in ACTIVITY_BANDS
+    ).cast("bigint")
+    return (
+        u.select(band.alias("band"), "h")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (F.round(F.avg("h") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "mean_entropy"
+            ),
+            F.round(F.max("h") + F.lit(1e-9), 4).alias("max_entropy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily peak detection — local maxima of the per-type daily volume
+# series: days strictly above both calendar neighbors (lag/lead on
+# the aggregated day frame). The campaign-spike / incident shortlist
+# a monitoring dashboard renders. Gap days break peaks honestly: a
+# missing neighbor day means count 0 there, handled by comparing
+# against coalesce(neighbor, 0) only when the neighbor day is
+# ADJACENT (day +/- 1) — a lag across a gap is not a neighbor.
+@register(
+    "events_daily_peaks",
+    tags=("events", "peaks", "window", "timeseries"),
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, day, n,
+             lag(day)  OVER (PARTITION BY event_type ORDER BY day) AS pd,
+             lag(n)    OVER (PARTITION BY event_type ORDER BY day) AS pn,
+             lead(day) OVER (PARTITION BY event_type ORDER BY day) AS nd,
+             lead(n)   OVER (PARTITION BY event_type ORDER BY day) AS nn
+      FROM d
+    )
+    SELECT event_type, day, n,
+           CAST(CASE WHEN pd = day - 1 THEN pn ELSE 0 END AS BIGINT)
+             AS prev_n,
+           CAST(CASE WHEN nd = day + 1 THEN nn ELSE 0 END AS BIGINT)
+             AS next_n
+    FROM x
+    WHERE n > coalesce(CASE WHEN pd = day - 1 THEN pn ELSE 0 END, 0)
+      AND n > coalesce(CASE WHEN nd = day + 1 THEN nn ELSE 0 END, 0)
+      AND pd IS NOT NULL AND nd IS NOT NULL
+    """,
+)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n, prev_n, next_n): days strictly above both
+    calendar neighbors (axis-interior only — series endpoints can't
+    be peaks). Determinism: integer day buckets and counts; gap
+    days count 0 via the adjacency guard on both engines. Scale
+    shape: one (type, day) partial-agg shuffle; the lag/lead window
+    runs on the bounded day frame sharing one sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    x = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("day").over(w).alias("pd"),
+        F.lag("n").over(w).alias("pn"),
+        F.lead("day").over(w).alias("nd"),
+        F.lead("n").over(w).alias("nn"),
+    )
+    prev_n = F.when(F.col("pd") == F.col("day") - 1, F.col("pn")).otherwise(0)
+    next_n = F.when(F.col("nd") == F.col("day") + 1, F.col("nn")).otherwise(0)
+    return (
+        x.filter(
+            F.col("pd").isNotNull()
+            & F.col("nd").isNotNull()
+            & (F.col("n") > F.coalesce(prev_n, F.lit(0)))
+            & (F.col("n") > F.coalesce(next_n, F.lit(0)))
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            prev_n.cast("bigint").alias("prev_n"),
+            next_n.cast("bigint").alias("next_n"),
+        )
+    )

@@ -111,8 +111,10 @@ def register(
 # events_gap_survival, text_charclass_profile,
 # events_attribution_ushape, dedup_threshold_curve,
 # text_hapax_ratio, orders_activity_migration,
-# orders_interarrival_burstiness, embedding_clip_calibration — 38 by
-# now — plus any r10
+# orders_interarrival_burstiness, embedding_clip_calibration,
+# orders_abc_analysis, events_overdispersion,
+# events_user_entropy_bands, events_daily_peaks — 42 by now — plus
+# any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

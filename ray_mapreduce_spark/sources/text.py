@@ -79,6 +79,51 @@ def read_csv(
     return r.csv(path)
 
 
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str,
+    rejects_path: str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion with a dead-letter queue: PERMISSIVE parse against
+    an EXPLICIT schema, malformed rows captured in a corrupt-record
+    column and split off as a rejects frame (optionally persisted to
+    ``rejects_path`` as JSON for replay). Returns (good, rejects).
+
+    This is the production crawl-ingest shape: a bad row must neither
+    kill the job (FAILFAST) nor silently vanish (DROPMALFORMED) — it
+    lands in the DLQ with its raw text so the parser can be fixed and
+    the rows replayed. Scale notes: the corrupt-record column rides
+    the normal scan (no second pass); callers must cache/materialize
+    before filtering if they need Spark's corrupt-record query
+    restriction lifted — here the split goes through one
+    localCheckpoint-free filter each, which Spark 4 permits on a
+    separate column reference."""
+    corrupt = "_corrupt_record"
+    full = schema.rstrip() + f", {corrupt} STRING"
+    df = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(full)
+        .csv(path)
+        # Spark forbids filtering on the corrupt-record column straight
+        # off the scan (raw-data queries restriction) — materialize the
+        # column via cache() per the documented workaround.
+        .cache()
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    rejects = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw")
+    )
+    if rejects_path is not None:
+        rejects.write.mode("overwrite").json(rejects_path)
+    return good, rejects
+
+
 def read_manifest(spark: SparkSession, index_path: str) -> DataFrame:
     """Reference ``MapReduceWithMultipleFiles`` source (reference
     mapreduce.py:176-187): an index file lists one path per line; read

@@ -2258,3 +2258,84 @@ def test_clip_calibration_tail_mass(spark, sf_dir):
         assert r["p01"] <= r["p99"]
         assert 0 <= r["n_below"] <= int(0.011 * n) + 1
         assert 0 <= r["n_above"] <= int(0.011 * n) + 1
+
+
+def test_abc_analysis_partitions_revenue(spark, sf_dir):
+    """Classes partition the part set and the cent total; shares sum
+    to ~1; the A boundary respects the 80% rule (cum <= 80% for every
+    A part by construction, so A's share can't exceed 0.8 by more
+    than nothing — it is <= 0.8 + epsilon from rounding only)."""
+    rows = {r["abc_class"]: r for r in _rows(spark, sf_dir, "orders_abc_analysis")}
+    assert set(rows) == {"A", "B", "C"}
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    total = li.select(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert sum(r["revenue_cents"] for r in rows.values()) == total
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 5e-4
+    assert rows["A"]["revenue_share"] <= 0.8001
+
+
+def test_overdispersion_mean_consistency(spark, sf_dir):
+    """mean_daily must re-derive from the type's event count over its
+    active days; dispersion is non-negative."""
+    rows = {r["event_type"]: r for r in _rows(spark, sf_dir, "events_overdispersion")}
+    per_type = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("d").alias("days"))
+        .collect()
+    )
+    for t in per_type:
+        r = rows[t["event_type"]]
+        assert r["n_days"] == t["days"]
+        assert r["mean_daily"] == round(t["n"] / t["days"] + 1e-9, 4)
+        assert r["dispersion"] >= 0.0
+
+
+def test_user_entropy_bands_cover_users(spark, sf_dir):
+    """Band user counts partition the user set; entropies bounded by
+    ln(#event types)."""
+    import math
+
+    rows = _rows(spark, sf_dir, "events_user_entropy_bands")
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    cap = round(math.log(n_types) + 1e-4, 4)
+    for r in rows:
+        assert 0.0 <= r["mean_entropy"] <= r["max_entropy"] <= cap
+
+
+def test_daily_peaks_python_replay(spark, sf_dir):
+    """Exact replay: rebuild the daily series per type and recompute
+    interior strict local maxima with gap-as-zero semantics."""
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["prev_n"], r["next_n"])
+        for r in _rows(spark, sf_dir, "events_daily_peaks")
+    }
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    want = {}
+    for t, m in series.items():
+        days = sorted(m)
+        for i, d in enumerate(days):
+            if i == 0 or i == len(days) - 1:
+                continue
+            pn = m[d - 1] if d - 1 in m else 0
+            nn = m[d + 1] if d + 1 in m else 0
+            if m[d] > pn and m[d] > nn:
+                want[(t, d)] = (m[d], pn, nn)
+    assert got == want

@@ -337,3 +337,32 @@ def test_manifest_text_write_then_read_roundtrip(spark, tmp_path):
     )
     assert sorted(r.value for r in back.collect()) == sorted(vals)
     assert back.select("path").distinct().count() == 4
+
+
+def test_csv_with_rejects_dlq(spark, tmp_path):
+    """Malformed rows land in the DLQ with their raw text; good rows
+    parse clean; the persisted rejects file replays."""
+    from ray_mapreduce_spark.sources.text import read_csv_with_rejects
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,price,name\n"
+        "1,9.99,widget\n"
+        "2,notanumber,gadget\n"
+        "3,1.50,sprocket\n"
+        "broken row with no commas at all extra,fields,here,overflow\n"
+    )
+    rej_path = str(tmp_path / "rejects")
+    good, rejects = read_csv_with_rejects(
+        spark,
+        str(src),
+        "id INT, price DOUBLE, name STRING",
+        rejects_path=rej_path,
+    )
+    g = {r["id"]: (r["price"], r["name"]) for r in good.collect()}
+    assert g == {1: (9.99, "widget"), 3: (1.5, "sprocket")}
+    raws = [r["raw"] for r in rejects.collect()]
+    assert len(raws) == 2
+    assert any("notanumber" in r for r in raws)
+    replay = spark.read.json(rej_path)
+    assert replay.count() == 2
