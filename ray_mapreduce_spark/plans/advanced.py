@@ -4325,3 +4325,115 @@ def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             next_n.cast("bigint").alias("next_n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED readout — Controlled-experiment Using Pre-Experiment Data:
+# per event type, regress each user's second-half mean value on
+# their first-half mean; theta is the CUPED adjustment coefficient
+# and r^2 the variance-reduction share an experiment on this metric
+# would gain from the covariate. The A/B-test power-planning
+# companion to events_ab_test_zscore. Six-sum Pearson machinery
+# (the text_quality_length_corr pattern); the per-user means are
+# ratios of exact integer cent sums, so both engines fold identical
+# doubles.
+@register(
+    "events_cuped_readout",
+    tags=("events", "abtest", "cuped", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    u AS (
+      SELECT event_type, user_id,
+             sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS an,
+             sum(CASE WHEN day < mid THEN vc ELSE 0 END) AS asum,
+             sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS bn,
+             sum(CASE WHEN day >= mid THEN vc ELSE 0 END) AS bsum
+      FROM e CROSS JOIN mid GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(asum AS DOUBLE) / (100 * an) AS x,
+             CAST(bsum AS DOUBLE) / (100 * bn) AS y
+      FROM u WHERE an > 0 AND bn > 0
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy GROUP BY 1
+    )
+    SELECT event_type, n AS n_users,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) + 0.0
+             AS theta,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6)
+             AS var_reduction
+    FROM s WHERE n >= 3
+    """,
+)
+def events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_users, theta, var_reduction): CUPED adjustment
+    coefficient and r^2 variance-reduction share from regressing
+    users' second-half mean value on their first-half mean.
+    Determinism: integer cent sums per (type, user, half) in ONE
+    conditional-sum pass; x/y are single divisions of those integers
+    (identical doubles); the six-sum fold carries only n*ulp
+    divergence under the 6dp bias (the quality_length_corr
+    precedent); theta is signed-zero-guarded. Scale shape: one
+    (type, user) partial-agg shuffle with a 1-row broadcast
+    midpoint; the regression runs on |types| moment rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    mid = e.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias(
+                "an"
+            ),
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), F.col("vc")).otherwise(0)
+            ).alias("asum"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias(
+                "bn"
+            ),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid"), F.col("vc")).otherwise(0)
+            ).alias("bsum"),
+        )
+    )
+    xy = u.filter((F.col("an") > 0) & (F.col("bn") > 0)).select(
+        "event_type",
+        (F.col("asum").cast("double") / (100 * F.col("an"))).alias("x"),
+        (F.col("bsum").cast("double") / (100 * F.col("bn"))).alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.filter(F.col("n") >= 3).select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        (F.round(cov / vx + F.lit(1e-9), 6) + F.lit(0.0)).alias("theta"),
+        F.round((cov * cov) / (vx * vy) + F.lit(1e-9), 6).alias(
+            "var_reduction"
+        ),
+    )

@@ -1951,3 +1951,117 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier lead-time profile — ship lag (l_shipdate - o_orderdate, in
+# whole calendar days) per supplier: mean from integer sums, exact
+# p50/p90 via the verified percentile parity (Spark `percentile` ==
+# DuckDB `quantile_cont`, bit-exact on doubles — the r7
+# events_winsorize finding), plus the late share against a fixed
+# 100-day SLA by integer comparison. The operational readout behind
+# q21's late-order blame query.
+@register(
+    "supplier_lead_time",
+    tags=("supplier", "lead-time", "percentile", "aggregate"),
+    oracle="""
+    WITH g AS (
+      SELECT l.l_suppkey AS suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT suppkey,
+           CAST(count(*) AS BIGINT) AS n_ship,
+           round(CAST(sum(lag_d) AS DOUBLE) / count(*) + 1e-9, 4)
+             AS mean_lag_days,
+           round(quantile_cont(CAST(lag_d AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(lag_d AS DOUBLE), 0.9), 4) AS p90,
+           round(CAST(sum(CASE WHEN lag_d > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 4) AS late_share
+    FROM g GROUP BY 1
+    """,
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(suppkey, n_ship, mean_lag_days, p50, p90, late_share): order-
+    to-ship latency distribution per supplier. Determinism: integer
+    calendar-day lags (NTZ-safe datediff); mean/late_share from
+    integer sums; p50/p90 by the bit-exact percentile parity on the
+    identical double multiset. Scale shape: the orders join keys the
+    TWO FACTS on orderkey (one fact-fact exchange — never broadcast,
+    both sides sf-proportional); the supplier agg partial-aggregates
+    map-side; exact percentiles hold per-group sorted state bounded
+    by the supplier's lag multiset (swap to approx_percentile at
+    crawl scale — the sketches row — without changing the shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_d"),
+    )
+    return g.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ship"),
+        F.round(
+            F.sum("lag_d").cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
+        ).alias("mean_lag_days"),
+        F.round(F.expr("percentile(CAST(lag_d AS DOUBLE), 0.5)"), 4).alias(
+            "p50"
+        ),
+        F.round(F.expr("percentile(CAST(lag_d AS DOUBLE), 0.9)"), 4).alias(
+            "p90"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lag_d") > 100, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("late_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Assortment depth — catalog profiling of the part dimension: per
+# part type, how many parts and brands compete and the retail-price
+# band they span (exact integer cents). The merchandising readout
+# next to q16's supplier-variety count.
+@register(
+    "part_assortment_depth",
+    tags=("part", "profiling", "aggregate"),
+    oracle="""
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           CAST(min(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_price_cents,
+           CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_price_cents,
+           round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                 AS DOUBLE) / (100.0 * count(*)) + 1e-9, 4) AS avg_price
+    FROM part GROUP BY 1
+    """,
+)
+def part_assortment_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_type, n_parts, n_brands, min/max_price_cents, avg_price):
+    assortment breadth per part type. Determinism: exact integer
+    cents throughout; avg is one division of integer-derived doubles.
+    Scale shape: ONE partial-aggregated shuffle on p_type with a
+    two-phase distinct on brand (bounded brand cardinality collapses
+    map-side)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        "p_brand",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+        F.min("cents").cast("bigint").alias("min_price_cents"),
+        F.max("cents").cast("bigint").alias("max_price_cents"),
+        F.round(
+            F.sum("cents").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))
+            + F.lit(1e-9),
+            4,
+        ).alias("avg_price"),
+    )

@@ -2339,3 +2339,60 @@ def test_daily_peaks_python_replay(spark, sf_dir):
             if m[d] > pn and m[d] > nn:
                 want[(t, d)] = (m[d], pn, nn)
     assert got == want
+
+
+def test_lead_time_consistency(spark, sf_dir):
+    """Ship counts partition lineitem; percentiles ordered; numpy
+    linear-interpolation replay of p50/p90 for the three largest
+    suppliers (quantile_cont == numpy 'linear')."""
+    import numpy as np
+
+    rows = {r["suppkey"]: r for r in _rows(spark, sf_dir, "supplier_lead_time")}
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_ship"] for r in rows.values()) == li_n
+    top = sorted(rows.values(), key=lambda r: -r["n_ship"])[:3]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", F.datediff("l_shipdate", "o_orderdate").alias("d"))
+        .collect()
+    )
+    by_s: dict[int, list] = {}
+    for r in lags:
+        by_s.setdefault(r["l_suppkey"], []).append(r["d"])
+    for r in top:
+        arr = np.array(sorted(by_s[r["suppkey"]]), dtype=float)
+        assert r["p50"] == round(float(np.percentile(arr, 50)), 4)
+        assert r["p90"] == round(float(np.percentile(arr, 90)), 4)
+        assert r["p50"] <= r["p90"]
+
+
+def test_assortment_depth_partitions_parts(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "part_assortment_depth")
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    for r in rows:
+        assert 1 <= r["n_brands"] <= r["n_parts"]
+        assert r["min_price_cents"] <= r["max_price_cents"]
+        assert r["min_price_cents"] / 100 <= r["avg_price"] <= r["max_price_cents"] / 100 + 1e-6
+
+
+def test_cuped_readout_bounds(spark, sf_dir):
+    """r^2 in [0, 1]; theta sign matches the covariance sign implied
+    by r^2 ordering; user counts bounded by the type's distinct
+    users."""
+    rows = _rows(spark, sf_dir, "events_cuped_readout")
+    assert rows
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["var_reduction"] <= 1.0 + 1e-9
+        assert r["n_users"] <= per_type[r["event_type"]]
+        if r["var_reduction"] > 1e-6:
+            assert r["theta"] != 0.0
