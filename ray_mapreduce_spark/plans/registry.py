@@ -114,8 +114,9 @@ def register(
 # orders_interarrival_burstiness, embedding_clip_calibration,
 # orders_abc_analysis, events_overdispersion,
 # events_user_entropy_bands, events_daily_peaks,
-# supplier_lead_time, part_assortment_depth, events_cuped_readout —
-# 45 by now — plus any r10
+# supplier_lead_time, part_assortment_depth, events_cuped_readout,
+# similarity_topk_ivfpq (rows-only; adversarial-fixture recall gates
+# at two sizes) — 46 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

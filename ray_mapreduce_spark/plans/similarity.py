@@ -456,6 +456,15 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "vec")
         .persist(StorageLevel.MEMORY_AND_DISK)  # loop-invariant corpus
     )
+    return _ivf_probe_topk(v, _ivf_trained_centroids(v))
+
+
+def _ivf_trained_centroids(v: DataFrame) -> DataFrame:
+    """Lloyd-refined IVF cells over a persisted (vec_id, vec) frame,
+    seeded by the deterministic hash-ordered sample; returns the
+    eager-checkpointed (cell, cvec) frame (it feeds sibling broadcast
+    builds, gotcha #9). Shared by similarity_topk_ivf_kmeans and the
+    composed IVF-PQ pipeline."""
     seed_ids = (
         v.select("vec_id", F.xxhash64("vec_id").alias("h"))
         .orderBy("h", "vec_id")
@@ -496,8 +505,7 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cvec")
             )
         )
-    cent = cent.localCheckpoint(eager=True)
-    return _ivf_probe_topk(v, cent)
+    return cent.localCheckpoint(eager=True)
 
 
 # --------------------------------------------------------------------------
@@ -2580,4 +2588,106 @@ def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("val") > F.col("hi"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_above"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composed pipeline — the full production ANN architecture in
+# one plan: trained IVF cells bound the candidate set (a query only
+# meets vectors in its N_PROBE nearest cells), integer ADC scores
+# every candidate from PQ codes alone (no vectors ship to the
+# scorer), and the PQ_SHORTLIST survivors are reranked with exact
+# L2. This is the FAISS IVFPQ layout re-expressed as three bounded
+# DataFrame joins. Rows-only (trained cell + codebook layout is
+# engine-specific); recall gated in pytest against the exact
+# brute-force anchor at two SFs.
+@register(
+    "similarity_topk_ivfpq",
+    oracle=None,  # composed trained layout; recall pinned in pytest
+    tags=("similarity", "topk", "ivf", "pq", "ann", "pipeline"),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, l2, rk): exact-L2 top-{TOP_K} from the
+    IVF-bounded, ADC-shortlisted candidate set.
+
+    Scale shape: IVF training + PQ training each ride their shared
+    kernels (_ivf_trained_centroids / _pq_codebook — both
+    eager-checkpoint their tiny output because it feeds sibling
+    broadcast builds, gotcha #9). Candidate generation is an
+    equi-join on cell (shuffle O(n), never O(n^2)); ADC touches only
+    candidates and sums PQ_M integer lookups (order-free); the exact
+    scorer sees at most N_QUERIES*PQ_SHORTLIST pairs. Determinism:
+    trained cells/codebooks follow the kmeans rounding discipline,
+    ADC is integer, rerank ties break on neighbor_id."""
+    v = _persisted_corpus(spark, sf_dir)
+    ivf_cent = _ivf_trained_centroids(v)
+    assigned, pq_cent = _pq_codebook(v)
+
+    corpus = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec_n")
+    )
+    corpus_cells = _ranked_cells(corpus, ivf_cent, "cvec_n", 1).select(
+        "neighbor_id", "cell"
+    )
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    query_cells = _ranked_cells(queries, ivf_cent, "qvec", N_PROBE).select(
+        "query_id", "cell"
+    )
+    cand = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    qd2 = F.round(
+        _dot("qv", "qv") - 2 * _dot("qv", "cvec") + _dot("cvec", "cvec"), 4
+    )
+    lut = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+        .join(F.broadcast(pq_cent), "m")
+        .select(
+            "query_id",
+            "m",
+            "cluster",
+            F.round(qd2 * 10000, 0).cast("bigint").alias("d2i"),
+        )
+    )
+    codes = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cluster"
+    )
+    wshort = Window.partitionBy("query_id").orderBy("adci", "neighbor_id")
+    short = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cluster"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2i").alias("adci"))
+        .withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    d2 = (
+        _dot("nvec", "nvec") - 2 * _dot("qvec", "nvec") + _dot("qvec", "qvec")
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2", "neighbor_id")
+    return (
+        F.broadcast(short)
+        .join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 4).alias("l2"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= TOP_K)
     )

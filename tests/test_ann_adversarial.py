@@ -188,3 +188,31 @@ def test_pq_rerank_recall_on_clustered_corpus(spark, ann_fixture):
 # Measured r7 (seed 42): 1.00/0.78 at PQ_SHORTLIST=100 (0.68 at 50 —
 # shortlist depth, not codebook quality, is the n=4000 limiter).
 _PQ_RERANK_MIN = {400: 0.90, 4000: 0.70}
+
+
+def test_ivfpq_composed_recall_on_clustered_corpus(spark, ann_fixture):
+    """The composed IVF->ADC->rerank pipeline must match the plain
+    PQ-rerank serving quality — on clustered data the IVF candidate
+    bound costs nothing (trained cells capture the clusters), so any
+    drop below the rerank gate means the cell restriction is broken.
+    Measured r9 (seed 42): 1.00/0.78 — identical to PQ rerank
+    (shortlist depth is the limiter, not the IVF bound); pinned ~10%
+    below."""
+    import pandas as pd
+
+    emb = pd.read_parquet(ann_fixture["path"] + "/embeddings.parquet")
+    v = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(emb["vec_id"].to_numpy())
+    v = v[order]
+    true_l2 = {}
+    for q in range(10):
+        d = ((v - v[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        true_l2[q] = set(np.argsort(d)[:TOP_K])
+    rows = _Q["similarity_topk_ivfpq"].builder(spark, ann_fixture["path"]).collect()
+    rec = _topk_recall(rows, true_l2)
+    print(f"IVFPQ recall@{TOP_K} n={ann_fixture['n']}: {rec:.3f}")
+    assert rec >= _IVFPQ_MIN[ann_fixture["n"]], rec
+
+
+_IVFPQ_MIN = {400: 0.90, 4000: 0.70}
