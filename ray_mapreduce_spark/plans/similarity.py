@@ -2691,3 +2691,165 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank — Maximal Marginal Relevance over each
+# query's candidate pool: greedily pick the candidate maximizing
+# lambda*sim(q, d) - (1-lambda)*max_sim(d, already-picked). The
+# serving-side diversification step after any top-k retrieval (RRF,
+# IVF-PQ, brute): near-duplicate hits crowd a plain top-k, MMR
+# trades a little relevance for coverage. ORACLE-PAIRED despite the
+# greedy loop: every similarity is rounded to 6dp BEFORE the argmax
+# and ties break on neighbor_id (the kmeans rounding discipline), so
+# the unrolled DuckDB CTE replays each greedy step exactly.
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS = 0.3  # explicit literal shared by both engines (1-0.7
+# in float is 0.30000000000000004 — don't interpolate an expression)
+MMR_POOL = 20
+MMR_K = 5
+
+
+def _mmr_oracle(nq: int, pool: int, k: int, lam: float, oml: float) -> str:
+    cos = (
+        "round(list_inner_product({a}, {b})"
+        " / (sqrt(list_inner_product({a}, {a}))"
+        " * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+    qc = cos.format(a="q.vec", b="n.vec")
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"""pool AS (
+          SELECT query_id, nid, nvec, qcos FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS nid, n.vec AS nvec,
+                   {qc} AS qcos,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {qc} DESC, n.vec_id) AS rn
+            FROM v q JOIN v n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < {nq}
+          ) WHERE rn <= {pool})""",
+        f"""s1 AS (
+          SELECT query_id, nid, nvec, qcos, 1 AS mmr_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, nid) AS rn FROM pool
+          ) WHERE rn = 1)""",
+    ]
+    psim = cos.format(a="p.nvec", b="s.nvec")
+    for r in range(2, k + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""sc{r} AS (
+          SELECT p.query_id, p.nid, p.nvec, p.qcos,
+                 round({lam} * p.qcos - {oml} * max({psim}), 6) AS score
+          FROM pool p JOIN {prev} s ON s.query_id = p.query_id
+          WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                            WHERE x.query_id = p.query_id AND x.nid = p.nid)
+          GROUP BY p.query_id, p.nid, p.nvec, p.qcos)""",
+        )
+        parts.append(
+            f"""s{r} AS (
+          SELECT query_id, nid, nvec, qcos, mmr_rank FROM {prev}
+          UNION ALL
+          SELECT query_id, nid, nvec, qcos, {r} AS mmr_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, nid) AS rn FROM sc{r}
+          ) WHERE rn = 1)""",
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT query_id, nid AS neighbor_id,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank, qcos
+    FROM s{k}
+    """
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    tags=("similarity", "mmr", "rerank", "iterative", "serving"),
+    oracle=_mmr_oracle(N_QUERIES, MMR_POOL, MMR_K, MMR_LAMBDA, MMR_ONE_MINUS),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, mmr_rank, qcos): MMR_K diversified
+    picks per query from the MMR_POOL-deep cosine pool.
+    Determinism: pool ranking uses 6dp-rounded cosines with id
+    tiebreaks; every greedy step compares
+    6dp-rounded scores with id tiebreak — the unrolled DuckDB CTE
+    replays all MMR_K steps bit-for-bit. Scale shape: the pool is
+    built by ONE label-free broadcast of the {N_QUERIES} query
+    vectors against the corpus scan + a per-query window (the
+    topk_brute shape); the greedy loop then runs entirely on the
+    N_QUERIES x MMR_POOL pool frame — eager-checkpointed once (each
+    round joins pool against the growing selected set, sibling
+    consumers of one tiny lineage, gotcha #9) — so iteration cost is
+    independent of corpus size."""
+    v = _persisted_corpus(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    n = v.select(F.col("vec_id").alias("nid"), F.col("vec").alias("nvec"))
+    qcos = F.round(
+        _dot("qvec", "nvec") / (_norm("qvec") * _norm("nvec")), 6
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "nid")
+    pool = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("query_id"))
+        .select("query_id", "nid", "nvec", qcos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        pool.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("mmr_rank", F.lit(1))
+    )
+    psim = F.round(
+        _dot("p.nvec", "s.nvec") / (_norm("p.nvec") * _norm("s.nvec")), 6
+    )
+    for r in range(2, MMR_K + 1):
+        p = pool.alias("p")
+        s = sel.alias("s")
+        sc = (
+            p.join(s, F.col("p.query_id") == F.col("s.query_id"))
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("p.nid").alias("nid"),
+                F.col("p.nvec").alias("nvec"),
+                F.col("p.qcos").alias("qcos"),
+                psim.alias("ps"),
+            )
+            .groupBy("query_id", "nid", "nvec", "qcos")
+            .agg(F.max("ps").alias("maxsim"))
+            .join(
+                sel.select("query_id", "nid"), ["query_id", "nid"], "left_anti"
+            )
+            .withColumn(
+                "score",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("qcos")
+                    - F.lit(MMR_ONE_MINUS) * F.col("maxsim"),
+                    6,
+                ),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "nid"
+        )
+        nxt = (
+            sc.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "nid", "nvec", "qcos")
+            .withColumn("mmr_rank", F.lit(r))
+        )
+        sel = sel.union(nxt).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+        "qcos",
+    )
