@@ -4437,3 +4437,383 @@ def events_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Tukey-fence (IQR) outlier screen: the boxplot rule as a data-quality
+# operator. Cross-engine safety: Spark's `percentile` and DuckDB's
+# `quantile_cont` produce the SAME linear-interpolated double
+# (verified bit-exact by events_winsorize_stats, r7), so the fences
+# q1 - 1.5*IQR / q3 + 1.5*IQR — written with the identical operation
+# order on both engines — classify every row identically; counts are
+# integers and the share is a single division under the 4dp bias.
+@register(
+    "events_tukey_fences",
+    tags=("events", "outliers", "percentile", "aggregate"),
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(q.q1 + 1e-9, 6) + 0.0 AS q1,
+           round(q.q3 + 1e-9, 6) + 0.0 AS q3,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                               OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS outlier_share
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def events_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, q1, q3, n_outliers, outlier_share): classic
+    boxplot outlier screen per event type. Scale shape: pass 1 is a
+    per-type percentile aggregate (|types| rows), pass 2 re-scans the
+    fact with the quantile frame BROADCAST — the two-pass winsorize
+    pattern (events_winsorize_stats); no fact-side shuffle beyond the
+    partial aggregation."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    g = j.groupBy("event_type", "q1", "q3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        (F.round(F.col("q1") + F.lit(1e-9), 6) + F.lit(0.0)).alias("q1"),
+        (F.round(F.col("q3") + F.lit(1e-9), 6) + F.lit(0.0)).alias("q3"),
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n") + F.lit(1e-9), 6
+        ).alias("outlier_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pettitt rank-based change-point test on the daily count series: the
+# nonparametric companion to CUSUM (events_cusum_changepoint detects
+# mean shifts in VALUE; Pettitt detects distribution shifts in VOLUME
+# with no normality assumption). U_t = sum over i<=t, j>t of
+# sign(x_i - x_j); the candidate change point maximizes |U_t|.
+# Integer-exact end to end: x is a daily COUNT, sign() is -1/0/1, the
+# double loop over a ~31-row daily frame is a tiny self-join — the
+# quadratic is in DAYS, never rows, so it holds at any sf.
+@register(
+    "events_pettitt_changepoint",
+    tags=("events", "changepoint", "rank", "self-join"),
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT a.day AS day,
+             CAST(sum(CASE WHEN a2.cnt > b.cnt THEN 1
+                           WHEN a2.cnt < b.cnt THEN -1 ELSE 0 END) AS BIGINT)
+               AS u_t
+      FROM d a
+      JOIN d a2 ON a2.day <= a.day
+      JOIN d b ON b.day > a.day
+      GROUP BY a.day
+    )
+    SELECT day AS change_day, u_t,
+           abs(u_t) AS abs_u
+    FROM u
+    ORDER BY abs(u_t) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(change_day, u_t, abs_u): Pettitt statistic argmax — the most
+    likely volume change point. Determinism: integer counts, integer
+    sign sums, (abs_u DESC, day ASC) unique-key tiebreak on the LIMIT.
+    Scale shape: the fact collapses to one row per DAY first; the
+    O(days^2) wedge join runs on that tiny frame (31 rows here, ~3650
+    for a decade) — broadcast both sides, never the fact."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    a = d.select(F.col("day").alias("t"))
+    pre = d.select(F.col("day").alias("day_i"), F.col("cnt").alias("cnt_i"))
+    post = d.select(F.col("day").alias("day_j"), F.col("cnt").alias("cnt_j"))
+    u = (
+        a.join(F.broadcast(pre), F.col("day_i") <= F.col("t"))
+        .join(F.broadcast(post), F.col("day_j") > F.col("t"))
+        .groupBy(F.col("t").alias("change_day"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt_i") > F.col("cnt_j"), 1)
+                .when(F.col("cnt_i") < F.col("cnt_j"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("u_t")
+        )
+    )
+    return (
+        u.withColumn("abs_u", F.abs(F.col("u_t")))
+        .orderBy(F.col("abs_u").desc(), F.col("change_day").asc())
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — the third rung of the privacy ladder after
+# k-anonymity and l-diversity: within each QI group, how far is the
+# SENSITIVE-attribute distribution (market segment) from the global
+# one? Distance = total variation (1/2 * L1), the categorical EMD.
+# Missing categories contribute their full global share, folded in
+# WITHOUT enumerating absent rows: sum over present segments of
+# |p - q| plus (1 - sum of present q).
+@register(
+    "privacy_t_closeness",
+    tags=("privacy", "t-closeness", "aggregate"),
+    oracle=f"""
+    WITH base AS (
+      SELECT c_nationkey AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) // {KANON_BUCKET_CENTS}
+               AS bal_bucket,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    gseg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY 1
+    ),
+    cell AS (
+      SELECT nation, bal_bucket, seg, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    gsz AS (
+      SELECT nation, bal_bucket, CAST(sum(c) AS BIGINT) AS sz
+      FROM cell GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT cell.nation, cell.bal_bucket, gsz.sz,
+             round(0.5 * (
+               sum(abs(CAST(cell.c AS DOUBLE) / gsz.sz
+                       - CAST(gseg.g AS DOUBLE) / tot.n))
+               + (1 - sum(CAST(gseg.g AS DOUBLE) / tot.n))
+             ) + 1e-9, 6) AS t
+      FROM cell
+      JOIN gsz ON gsz.nation = cell.nation AND gsz.bal_bucket = cell.bal_bucket
+      JOIN gseg ON gseg.seg = cell.seg
+      CROSS JOIN tot
+      GROUP BY cell.nation, cell.bal_bucket, gsz.sz, tot.n
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           max(t) AS max_t,
+           CAST(sum(CASE WHEN t > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_03
+    FROM grp GROUP BY 1
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, n_groups, n_rows, max_t, n_over_03): per-nation
+    worst-case and count of QI groups whose segment distribution
+    strays beyond total-variation 0.3 from the corpus. Determinism:
+    shares are single divisions of exact integers; the per-group L1
+    fold sums <= |segments| (5) such terms, so cross-engine
+    divergence is a few ulp — the 6dp round with the 1e-9 bias locks
+    t BEFORE the threshold comparison and the max (never compare an
+    unrounded float against a constant across engines). Scale shape:
+    one shuffle to (QI, seg) cells, a window-free rollup of the
+    bounded cell frame, with the 5-row global-share frame and the
+    1-row total broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr(
+            f"CAST(round(c_acctbal * 100) AS BIGINT) div {KANON_BUCKET_CENTS}"
+        ).alias("bal_bucket"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cell = base.groupBy("nation", "bal_bucket", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = base.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("nation", "bal_bucket")
+    joined = (
+        cell.join(F.broadcast(glob), "seg")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("sz", F.sum("c").over(w).cast("bigint"))
+    )
+    grp = joined.groupBy("nation", "bal_bucket", "sz", "n").agg(
+        F.round(
+            0.5
+            * (
+                F.sum(
+                    F.abs(
+                        F.col("c").cast("double") / F.col("sz")
+                        - F.col("g").cast("double") / F.col("n")
+                    )
+                )
+                + (
+                    F.lit(1)
+                    - F.sum(F.col("g").cast("double") / F.col("n"))
+                )
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("t")
+    )
+    return grp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max("t").alias("max_t"),
+        F.sum(F.when(F.col("t") > 0.3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_03"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences readout: the 2x2 (treat/control x
+# pre/post) experiment table and the DiD estimate per event type.
+# Treatment is the deterministic multiplicative-hash coin on user_id
+# (the sample_split_assign discipline — identical integer arithmetic
+# on both engines, stable under re-runs); the period split is the
+# integer midpoint day (the CUPED convention).
+@register(
+    "events_did_readout",
+    tags=("events", "abtest", "did", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (user_id * 2654435761) % 4294967296 % 2 AS treat,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    cells AS (
+      SELECT event_type, treat,
+             CASE WHEN day >= mid THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS s
+      FROM e CROSS JOIN mid GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT event_type,
+             sum(CASE WHEN treat = 1 AND post = 1 THEN n ELSE 0 END) AS n_t1,
+             sum(CASE WHEN treat = 1 AND post = 0 THEN n ELSE 0 END) AS n_t0,
+             sum(CASE WHEN treat = 0 AND post = 1 THEN n ELSE 0 END) AS n_c1,
+             sum(CASE WHEN treat = 0 AND post = 0 THEN n ELSE 0 END) AS n_c0,
+             sum(CASE WHEN treat = 1 AND post = 1 THEN s ELSE 0 END) AS s_t1,
+             sum(CASE WHEN treat = 1 AND post = 0 THEN s ELSE 0 END) AS s_t0,
+             sum(CASE WHEN treat = 0 AND post = 1 THEN s ELSE 0 END) AS s_c1,
+             sum(CASE WHEN treat = 0 AND post = 0 THEN s ELSE 0 END) AS s_c0
+      FROM cells GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_t0 + n_t1 AS BIGINT) AS n_treat,
+           CAST(n_c0 + n_c1 AS BIGINT) AS n_control,
+           round(CAST(s_t0 AS DOUBLE) / (100 * n_t0) + 1e-9, 4) + 0.0
+             AS treat_pre,
+           round(CAST(s_t1 AS DOUBLE) / (100 * n_t1) + 1e-9, 4) + 0.0
+             AS treat_post,
+           round(CAST(s_c0 AS DOUBLE) / (100 * n_c0) + 1e-9, 4) + 0.0
+             AS control_pre,
+           round(CAST(s_c1 AS DOUBLE) / (100 * n_c1) + 1e-9, 4) + 0.0
+             AS control_post,
+           round((CAST(s_t1 AS DOUBLE) / (100 * n_t1)
+                  - CAST(s_t0 AS DOUBLE) / (100 * n_t0))
+                 - (CAST(s_c1 AS DOUBLE) / (100 * n_c1)
+                    - CAST(s_c0 AS DOUBLE) / (100 * n_c0)) + 1e-9, 4) + 0.0
+             AS did
+    FROM m
+    WHERE n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0 AND n_c1 > 0
+    """,
+)
+def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_treat, n_control, treat_pre, treat_post,
+    control_pre, control_post, did): the 2x2 cell means and the
+    difference-in-differences estimate. Determinism: every cell mean
+    is one division of exact integers (identical doubles); the DiD
+    combination uses the identical expression order on both engines;
+    rounds carry bias + signed-zero guards (values can be negative).
+    Scale shape: ONE conditional partial aggregation of the fact to
+    (type, treat, post) cells with a 1-row broadcast midpoint; the
+    2x2 algebra runs on |types| rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2).alias(
+            "treat"
+        ),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    mid = e.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    cells = (
+        e.crossJoin(F.broadcast(mid))
+        .withColumn(
+            "post", F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)
+        )
+        .groupBy("event_type", "treat", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vc").cast("bigint").alias("s"),
+        )
+    )
+
+    def cell(tr: int, po: int, col: str):
+        return F.sum(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+            .otherwise(F.lit(0))
+        )
+
+    m = cells.groupBy("event_type").agg(
+        cell(1, 1, "n").alias("n_t1"),
+        cell(1, 0, "n").alias("n_t0"),
+        cell(0, 1, "n").alias("n_c1"),
+        cell(0, 0, "n").alias("n_c0"),
+        cell(1, 1, "s").alias("s_t1"),
+        cell(1, 0, "s").alias("s_t0"),
+        cell(0, 1, "s").alias("s_c1"),
+        cell(0, 0, "s").alias("s_c0"),
+    )
+
+    def mean(s: str, n: str):
+        return F.col(s).cast("double") / (100 * F.col(n))
+
+    r4 = lambda c: F.round(c + F.lit(1e-9), 4) + F.lit(0.0)  # noqa: E731
+    return m.filter(
+        (F.col("n_t0") > 0)
+        & (F.col("n_t1") > 0)
+        & (F.col("n_c0") > 0)
+        & (F.col("n_c1") > 0)
+    ).select(
+        "event_type",
+        (F.col("n_t0") + F.col("n_t1")).cast("bigint").alias("n_treat"),
+        (F.col("n_c0") + F.col("n_c1")).cast("bigint").alias("n_control"),
+        r4(mean("s_t0", "n_t0")).alias("treat_pre"),
+        r4(mean("s_t1", "n_t1")).alias("treat_post"),
+        r4(mean("s_c0", "n_c0")).alias("control_pre"),
+        r4(mean("s_c1", "n_c1")).alias("control_post"),
+        r4(
+            (mean("s_t1", "n_t1") - mean("s_t0", "n_t0"))
+            - (mean("s_c1", "n_c1") - mean("s_c0", "n_c0"))
+        ).alias("did"),
+    )

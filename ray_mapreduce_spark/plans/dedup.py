@@ -2069,3 +2069,142 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs_in_band"),
         F.sum("n").over(w).cast("bigint").alias("n_pairs_at_or_above"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup: the crawl-ingest pattern where
+# the standing corpus's digest set is summarized into a DISTRIBUTED
+# BLOOM FILTER (a bit_or-aggregated bitmap frame, k=4 xxhash64 probes
+# into 2^22 bits) that is BROADCAST to the batch side. Most batch docs
+# miss at least one probe and are admitted map-side without ever
+# shuffling toward the corpus; only bloom CANDIDATES (true dups +
+# false positives) pay the exact digest semi-join. Bloom filters have
+# NO false negatives, so the final classification is exactly the
+# anti-join semantics — which is what the DuckDB oracle checks,
+# end-to-end, with the bloom stage as a pure physical optimization.
+@register(
+    "dedup_bloom_prefilter",
+    tags=("dedup", "bloom", "incremental", "broadcast"),
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, lang, sha256(text) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT sha256(text) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.lang, b.h,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS in_corpus,
+             row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+      FROM batch b
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_corpus,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_in_batch,
+           CAST(sum(CASE WHEN NOT in_corpus AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM flagged GROUP BY 1
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_batch, n_dup_vs_corpus, n_dup_in_batch, n_admitted):
+    today's batch (doc_id % 5 == 0) classified against the standing
+    corpus. Physical plan: corpus digests -> 4 probe positions each ->
+    bit_or bitmap frame (<= 65536 one-long rows, broadcast); batch
+    docs probe the bitmap and only all-4-hit candidates take the
+    exact corpus semi-join. The corpus digest frame feeds two
+    DEPENDENCY-ORDERED consumers (bitmap build materializes first
+    under the broadcast barrier, the confirm join later) -> lazy
+    persist, the gotcha-#9 rule. At 100 TB the bitmap is sized
+    m ~ 10 bits/key (here 2^22 fixed for the test corpus) and built
+    incrementally per ingest; the batch side never shuffles except
+    for its own in-batch digest window."""
+    from pyspark import StorageLevel
+
+    m_bits = 1 << 22
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = d.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    corpus = (
+        d.filter(F.pmod("doc_id", F.lit(5)) != 0)
+        .select("h")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    probes = F.array(*[F.lit(i) for i in range(4)])
+
+    def positions(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("h1", F.xxhash64("h"))
+            .withColumn("h2", F.xxhash64("h", F.lit("bloom-salt")))
+            .withColumn("i", F.explode(probes))
+            # pmod the raw hashes into [0, m) BEFORE the double-hash
+            # combine: ANSI mode raises on bigint overflow and the raw
+            # xxhash64 values span the full long range (gotcha: h1 +
+            # i*h2 on raw hashes overflows).
+            .withColumn(
+                "pos",
+                F.pmod(
+                    F.pmod("h1", F.lit(m_bits))
+                    + F.col("i") * F.pmod("h2", F.lit(m_bits)),
+                    F.lit(m_bits),
+                ),
+            )
+            .withColumn("word", F.expr("pos div 64"))
+            .withColumn(
+                "mask",
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"),
+            )
+        )
+
+    bitmap = (
+        positions(corpus)
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probed = (
+        positions(batch)
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("bits & mask") == F.col("mask")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "lang", "h")
+        .agg((F.sum("hit") == 4).alias("candidate"))
+    )
+    # Exact confirm: only candidate digests join the corpus set.
+    confirmed = (
+        probed.filter("candidate")
+        .select("h")
+        .distinct()
+        .join(corpus, "h", "left_semi")
+        .withColumn("in_corpus", F.lit(True))
+    )
+    flagged = probed.join(confirmed, "h", "left").withColumn(
+        "in_corpus", F.coalesce(F.col("in_corpus"), F.lit(False))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    final = flagged.withColumn("rn", F.row_number().over(w))
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_vs_corpus"),
+        F.sum(F.when(~F.col("in_corpus") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_in_batch"),
+        F.sum(F.when(~F.col("in_corpus") & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_admitted"),
+    )

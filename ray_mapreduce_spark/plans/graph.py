@@ -36,22 +36,37 @@ from .similarity import _dot, _norm, _with_vec
 # against the HOF kernel in dedup_embedding_cosine.
 EDGE_COS_THRESHOLD = 0.35
 
+# Link prediction needs WEDGES (paths of length 2), not just edges:
+# at the 0.35 near-dup threshold the driver graph is matching-shaped
+# (max degree 1 at sf0.001 — zero wedges, empty output, a trivially
+# matching oracle; the graph_kcore_peel lesson). Adamic-Adar therefore
+# runs on a denser 0.30 similarity graph — measured wedge-pair counts
+# 25/39/1948 at sf0.001/0.01/0.1 — while the dedup-family queries keep
+# the shared 0.35 rule.
+LINKPRED_COS_THRESHOLD = 0.30
+
 PR_ITERS = 3
 PR_SCALE = 10**12  # rank mass in integer micro-units
-# damping 0.85 expressed as integer numerator/denominator
-_PR_EDGE_SQL = f"""
+
+
+def _edge_sql(threshold: float) -> str:
+    return f"""
     v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
     ),
     prs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.vec, b.vec) >= {EDGE_COS_THRESHOLD}
+      WHERE list_cosine_similarity(a.vec, b.vec) >= {threshold}
     )
 """
 
 
-def _pair_edges(v: DataFrame) -> DataFrame:
+# damping 0.85 expressed as integer numerator/denominator
+_PR_EDGE_SQL = _edge_sql(EDGE_COS_THRESHOLD)
+
+
+def _pair_edges(v: DataFrame, threshold: float = EDGE_COS_THRESHOLD) -> DataFrame:
     """Canonical (src < dst) near-dup edges from a _with_vec frame.
     Self-join of one identical subtree — AQE runtime exchange-reuse
     computes the projection once (gotcha #14, self-join case)."""
@@ -65,7 +80,7 @@ def _pair_edges(v: DataFrame) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cos", cos)
-        .filter(F.col("cos") >= EDGE_COS_THRESHOLD)
+        .filter(F.col("cos") >= threshold)
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
 
@@ -551,7 +566,7 @@ def kcore_peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     "graph_adamic_adar_linkpred",
     tags=("graph", "linkpred", "wedge"),
     oracle=f"""
-    WITH {_PR_EDGE_SQL.strip()},
+    WITH {_edge_sql(LINKPRED_COS_THRESHOLD).strip()},
     edges AS (
       SELECT src, dst FROM prs UNION ALL SELECT dst AS src, src AS dst FROM prs
     ),
@@ -587,9 +602,12 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (exchange-reused); the anti-join keys on the canonical
     (u, w) pair; no all-pairs anywhere — cost is sum over mid of
     deg(mid)^2, the banded-graph wedge bound shared with
-    graph_triangle_count."""
+    graph_triangle_count. Runs on the denser LINKPRED graph (0.30):
+    the 0.35 near-dup graph is matching-shaped (max degree 1 at
+    sf0.001 — zero wedges, empty output; see the
+    LINKPRED_COS_THRESHOLD note)."""
     v = _with_vec(load_table(spark, sf_dir, "embeddings"))
-    prs = _pair_edges(v).localCheckpoint(eager=True)
+    prs = _pair_edges(v, LINKPRED_COS_THRESHOLD).localCheckpoint(eager=True)
     return adamic_adar_from_edges(prs)
 
 

@@ -90,7 +90,7 @@ def register(
 # fresh driver rows) = exactly 50. Displaced by the additions (new >
 # stale — the sample_split_assign precedent): the r6 dedup-text
 # block AND the last 15 stale r5 names — both LEAD ROUND 10.
-# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) the 23
+# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) the
 # LATE-r9 ops registered after this window was pinned (no driver row
 # yet; each oracle-green at 3 SFs + partition-deterministic
 # in-round): embedding_truncation_fidelity,
@@ -116,7 +116,12 @@ def register(
 # events_user_entropy_bands, events_daily_peaks,
 # supplier_lead_time, part_assortment_depth, events_cuped_readout,
 # similarity_topk_ivfpq (rows-only; adversarial-fixture recall gates
-# at two sizes) — 46 by now — plus any r10
+# at two sizes), events_tukey_fences, events_pettitt_changepoint,
+# privacy_t_closeness, events_did_readout, dedup_bloom_prefilter,
+# lineitem_discount_elasticity, sample_hard_negatives,
+# text_code_detection, timeseries_acf_lags,
+# timeseries_rolling_median, lineitem_returnflag_anova,
+# orders_scd2_intervals — 58 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -2065,3 +2065,293 @@ def part_assortment_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Discount elasticity: per return-flag OLS of quantity on the discount
+# level — "does a deeper discount move more units?". Tolerance-FREE
+# cross-engine parity: x = discount in integer PERCENT POINTS
+# (l_discount is 2dp), y = quantity (integral double -> exact bigint),
+# so all six OLS sums are EXACT integers; slope/r^2 are single
+# divisions of integers < 2^53 (identical doubles), and the intercept
+# re-uses the already-identical slope in the identical expression
+# order. At crawl sf the bigint cross-products approach 2^63 around
+# sf~100 — promote the moment sums to DECIMAL(38,0) there; the plan
+# shape (one partial-agg pass) is unchanged.
+@register(
+    "lineitem_discount_elasticity",
+    tags=("relational", "regression", "aggregate"),
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) + 0.0
+             AS slope_qty_per_point,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n + 1e-9, 6) + 0.0 AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) + 1e-9, 6)
+             AS r2
+    FROM m
+    """,
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, n, slope_qty_per_point, intercept, r2): closed-
+    form OLS of quantity on discount points, exact-integer moments.
+    Scale shape: ONE partial-aggregated scan of lineitem (6 algebraic
+    sums per group); the regression algebra runs on |flags| rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / vx
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.round(slope + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "slope_qty_per_point"
+        ),
+        (
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        F.round(cov * cov / (vx * vy) + F.lit(1e-9), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA across return flags: does mean quantity differ by flag?
+# The multi-group continuous hypothesis test (chi-square covers
+# categorical composition, the A/B z-score covers two groups; this is
+# the k-group F test). Tolerance-free parity via the CUSUM ordered-
+# fold discipline: per-mode moments are EXACT integers; the one float
+# reduction (sum over modes of s_g^2/n_g) runs as a RUNNING window
+# sum in flag order on BOTH engines, adding identical
+# correctly-rounded doubles in identical order; every later quantity
+# derives from those identical doubles in identical expression order.
+@register(
+    "lineitem_returnflag_anova",
+    tags=("relational", "anova", "statistics", "aggregate"),
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+      FROM lineitem GROUP BY 1
+    ),
+    folded AS (
+      SELECT l_returnflag,
+             row_number() OVER (ORDER BY l_returnflag) AS rk,
+             count(*) OVER () AS k,
+             sum(n) OVER w AS cn, sum(s) OVER w AS cs, sum(ss) OVER w AS css,
+             sum(CAST(s * s AS DOUBLE) / n) OVER w AS cterm
+      FROM m
+      WINDOW w AS (ORDER BY l_returnflag ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded WHERE rk = k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(cn AS BIGINT) AS n,
+           round(cterm - CAST(cs * cs AS DOUBLE) / cn + 1e-9, 6)
+             AS ss_between,
+           round(CAST(css AS DOUBLE) - cterm + 1e-9, 6) AS ss_within,
+           round(((cterm - CAST(cs * cs AS DOUBLE) / cn) / (k - 1))
+                 / ((CAST(css AS DOUBLE) - cterm) / (cn - k)) + 1e-9, 6)
+             AS f_stat,
+           round((cterm - CAST(cs * cs AS DOUBLE) / cn)
+                 / (CAST(css AS DOUBLE) - CAST(cs * cs AS DOUBLE) / cn)
+                 + 1e-9, 6) AS eta_sq
+    FROM last
+    """,
+)
+def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, n, ss_between, ss_within, f_stat, eta_sq): one-way ANOVA
+    of quantity across the return flags, closed-form from integer
+    moments. Determinism: s_g^2 stays under 2^53 through sf~10
+    (exact double), the quotient s_g^2/n_g is correctly rounded
+    (identical cross-engine), and the mode-ordered running-window sum
+    adds those identical doubles in identical order (the CUSUM
+    precedent) — so SSB/SSW/F/eta^2 are bit-identical before the 6dp
+    round. At crawl sf promote the integer moments to DECIMAL(38,0)
+    (the discount-elasticity note); the plan shape is unchanged.
+    Scale shape: ONE partial-aggregated fact scan to |flags| rows;
+    the fold and algebra run on that |flags|-row frame."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("q")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+    )
+    w = (
+        Window.orderBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = m.select(
+        "l_returnflag",
+        F.row_number().over(Window.orderBy("l_returnflag")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("ss").over(w).alias("css"),
+        F.sum((F.col("s") * F.col("s")).cast("double") / F.col("n"))
+        .over(w)
+        .alias("cterm"),
+    )
+    last = folded.filter(F.col("rk") == F.col("k"))
+    ssb = F.col("cterm") - (F.col("cs") * F.col("cs")).cast("double") / F.col(
+        "cn"
+    )
+    ssw = F.col("css").cast("double") - F.col("cterm")
+    sst = F.col("css").cast("double") - (
+        F.col("cs") * F.col("cs")
+    ).cast("double") / F.col("cn")
+    return last.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("cn").cast("bigint").alias("n"),
+        F.round(ssb + F.lit(1e-9), 6).alias("ss_between"),
+        F.round(ssw + F.lit(1e-9), 6).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("cn") - F.col("k")))
+            + F.lit(1e-9),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / sst + F.lit(1e-9), 6).alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 history build: collapse each customer's order stream
+# into validity intervals of the o_orderpriority attribute — the
+# slowly-changing-dimension shape every warehouse maintains (version
+# rows with valid_from/valid_to instead of overwritten attributes).
+# Gaps-and-islands via lag + running sum so the run detection and the
+# run numbering share ONE custkey-keyed window sort; the run
+# aggregation and the lead() rejoin both reuse that partitioning
+# (hash(custkey) satisfies the (custkey, run_id) clustering — the
+# sessionize precedent).
+@register(
+    "orders_scd2_intervals",
+    tags=("relational", "scd2", "window", "islands"),
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ),
+    r AS (
+      SELECT o_custkey, ts, o_orderpriority,
+             sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+      FROM o
+    ),
+    runs AS (
+      SELECT o_custkey, run_id, max(o_orderpriority) AS priority,
+             min(ts) AS vf, CAST(count(*) AS BIGINT) AS n_orders
+      FROM r GROUP BY 1, 2
+    )
+    SELECT o_custkey AS custkey,
+           CAST(run_id AS BIGINT) AS version,
+           priority,
+           CAST(CAST(vf AS DATE) AS VARCHAR) AS valid_from,
+           coalesce(
+             CAST(CAST(lead(vf) OVER (
+               PARTITION BY o_custkey ORDER BY run_id) AS DATE) AS VARCHAR),
+             'CURRENT') AS valid_to,
+           n_orders
+    FROM runs
+    """,
+)
+def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, version, priority, valid_from, valid_to, n_orders):
+    type-2 validity intervals of each customer's order priority.
+    Determinism: (o_orderdate, o_orderkey) is a unique total order
+    per customer, so run boundaries, version numbers and interval
+    endpoints are all exact; dates export as strings (pairing rule).
+    Scale shape: ONE hash(custkey) exchange — lag and the running
+    run_id share the sort, the run aggregation and the lead() window
+    reuse the custkey partitioning; no fact re-scan anywhere."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = o.withColumn("prev", F.lag("o_orderpriority").over(w)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("prev") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    runs = r.groupBy("o_custkey", "run_id").agg(
+        F.max("o_orderpriority").alias("priority"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return runs.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("run_id").cast("bigint").alias("version"),
+        "priority",
+        F.col("vf").cast("date").cast("string").alias("valid_from"),
+        F.coalesce(
+            F.lead("vf").over(w2).cast("date").cast("string"),
+            F.lit("CURRENT"),
+        ).alias("valid_to"),
+        "n_orders",
+    )

@@ -2853,3 +2853,86 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
         "qcos",
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: for each anchor in the bounded audit panel,
+# the top-k most-similar vectors with a DIFFERENT label — the
+# contrastive-training staple (the highest-cosine wrong-label
+# examples are exactly the negatives a retrieval model must learn to
+# separate). Same bounded-panel/broadcast discipline as
+# embedding_label_agreement; at crawl scale the mining runs over the
+# IVF/PQ shortlist instead of the exact scan.
+HARDNEG_K = 5
+
+
+@register(
+    "sample_hard_negatives",
+    tags=("similarity", "sampling", "contrastive", "knn"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {KNN_AUDIT_N}),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS anchor_label,
+             c.label AS neg_label, c.vec_id AS neg_id,
+             round(list_cosine_similarity(q.vec, c.vec), 4) AS cos
+      FROM q JOIN v c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT qid, anchor_label, CAST(rk AS BIGINT) AS rk, neg_id, neg_label,
+           cos + 0.0 AS cos
+    FROM (
+      SELECT qid, anchor_label, neg_id, neg_label, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neg_id)
+               AS rk
+      FROM scored
+    )
+    WHERE rk <= {HARDNEG_K}
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, anchor_label, rk, neg_id, neg_label, cos): the HARDNEG_K
+    highest-cosine different-label vectors per panel anchor.
+    Determinism: rank on the 4dp-rounded cosine with a neg_id
+    tiebreak (the brute-force discipline); the rounded cosine is an
+    OUTPUT here, so it carries the +0.0 signed-zero guard on both
+    engines. Scale shape: the panel broadcasts (bounded by
+    construction, never corpus-proportional); one narrow corpus
+    scan; per-anchor top-k collapses via the rank window's group
+    limit."""
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    q = v.filter(F.col("vec_id") < KNN_AUDIT_N).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") != F.col("anchor_label"))
+        )
+        .select(
+            "qid",
+            "anchor_label",
+            F.col("label").alias("neg_label"),
+            F.col("vec_id").alias("neg_id"),
+            F.round(
+                _dot("vec", "qvec") / (_norm("vec") * _norm("qvec")), 4
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HARDNEG_K)
+        .select(
+            "qid",
+            "anchor_label",
+            F.col("rk").cast("bigint").alias("rk"),
+            "neg_id",
+            "neg_label",
+            (F.col("cos") + F.lit(0.0)).alias("cos"),
+        )
+    )

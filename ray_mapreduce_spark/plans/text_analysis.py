@@ -2481,3 +2481,109 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             hap.cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 4
         ).alias("hapax_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose screen: a pretraining corpus router needs to split
+# code-looking documents from natural language before applying
+# language-specific quality filters. Markers are counted with
+# REPLACE-based occurrence arithmetic (len(t) - len(replace(t, m, '')))
+# on both engines — byte-identical semantics, no regex-dialect risk —
+# and the score is pure integer arithmetic per doc.
+CODE_CHAR_MARKERS = ["{", "}", ";", "=", "(", ")"]
+CODE_KEYWORDS = ["def ", "return ", "import ", "void ", "func ", "class "]
+CODE_SCORE_THRESHOLD_MILLI = 120  # score >= this (per-token millis) => code
+
+
+def _occurrences_sql(marker: str) -> str:
+    esc = marker.replace("'", "''")
+    return f"(length(text) - length(replace(text, '{esc}', ''))) // {len(marker)}"
+
+
+@register(
+    "text_code_detection",
+    tags=("text", "quality", "classifier", "code"),
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             ({" + ".join(_occurrences_sql(m) for m in CODE_CHAR_MARKERS)})
+               AS n_punct,
+             ({" + ".join(_occurrences_sql(k) for k in CODE_KEYWORDS)})
+               AS n_kw
+      FROM documents
+    ),
+    s AS (
+      SELECT source, n_tokens,
+             (1000 * (n_punct + 10 * n_kw)) // greatest(n_tokens, 1)
+               AS score_milli
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_milli >= {CODE_SCORE_THRESHOLD_MILLI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           round(CAST(sum(CASE WHEN score_milli >= {CODE_SCORE_THRESHOLD_MILLI}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS code_share,
+           round(CAST(CAST(sum(score_milli) AS BIGINT) AS DOUBLE)
+                 / (1000.0 * count(*)) + 1e-9, 6) AS mean_score
+    FROM s GROUP BY 1
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_code, code_share, mean_score): per-source
+    share of code-looking documents under the integer marker score
+    (punct markers + 10x keywords, per-kilotoken). Determinism: the
+    per-doc score is integer `div` arithmetic from replace-based
+    counts; shares and means are single divisions of exact integers.
+    Scale shape: zero-shuffle per-doc scoring at scan speed
+    (codegen'd string ops, no regex engine), one partial-aggregated
+    groupBy(source). The driver corpus is prose, so n_code ~ 0 here —
+    the pytest gate plants synthetic code docs and pins separation."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def occurrences(marker: str):
+        # (len(t) - len(replace(t, marker))) div len(marker): exact
+        # integer occurrence count, byte-identical across engines.
+        return F.expr(
+            "(length(text) - length(replace(text, "
+            f"'{marker}'))) div {len(marker)}"
+        )
+
+    n_punct = sum(
+        (occurrences(m) for m in CODE_CHAR_MARKERS[1:]),
+        occurrences(CODE_CHAR_MARKERS[0]),
+    )
+    n_kw = sum(
+        (occurrences(k) for k in CODE_KEYWORDS[1:]),
+        occurrences(CODE_KEYWORDS[0]),
+    )
+    scored = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        n_punct.cast("bigint").alias("n_punct"),
+        n_kw.cast("bigint").alias("n_kw"),
+    ).select(
+        "source",
+        F.expr(
+            "(1000 * (n_punct + 10 * n_kw)) "
+            "div greatest(n_tokens, CAST(1 AS BIGINT))"
+        ).alias("score_milli"),
+    )
+    is_code = F.when(
+        F.col("score_milli") >= CODE_SCORE_THRESHOLD_MILLI, 1
+    ).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_code).cast("bigint").alias("n_code"),
+        F.round(
+            F.sum(is_code).cast("double") / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("code_share"),
+        F.round(
+            F.sum("score_milli").cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)))
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_score"),
+    )

@@ -229,3 +229,186 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vq").cast("double") / (F.lit(10000.0) * F.count(F.lit(1))), 4
         ).alias("unweighted_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function at lags 1..7 of the daily series — the
+# seasonality/persistence diagnostic behind forecast-model choice
+# (weekly cadence shows as a lag-7 peak). Two series per lag: the
+# daily event COUNT (integer-exact: products and sums of bigints,
+# identical ratios cross-engine) and the daily MEAN value (6dp-locked
+# first — the CUSUM discipline — then six-sum Pearson under the bias).
+@register(
+    "timeseries_acf_lags",
+    tags=("timeseries", "autocorrelation", "aggregate"),
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / (100.0 * count(*)), 6) AS meanv
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT l.lag, a.cnt AS xc, b.cnt AS yc, a.meanv AS xv, b.meanv AS yv
+      FROM (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + l.lag
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sxc, CAST(sum(yc) AS BIGINT) AS syc,
+             CAST(sum(xc * xc) AS BIGINT) AS sxxc,
+             CAST(sum(yc * yc) AS BIGINT) AS syyc,
+             CAST(sum(xc * yc) AS BIGINT) AS sxyc,
+             sum(xv) AS sxv, sum(yv) AS syv, sum(xv * xv) AS sxxv,
+             sum(yv * yv) AS syyv, sum(xv * yv) AS sxyv
+      FROM p GROUP BY 1
+    )
+    SELECT lag, n AS n_pairs,
+           round(CAST(n * sxyc - sxc * syc AS DOUBLE)
+                 / sqrt(CAST(n * sxxc - sxc * sxc AS DOUBLE)
+                        * CAST(n * syyc - syc * syc AS DOUBLE)) + 1e-9, 6)
+             + 0.0 AS r_count,
+           round((n * sxyv - sxv * syv)
+                 / sqrt((n * sxxv - sxv * sxv) * (n * syyv - syv * syv))
+                 + 1e-9, 6) + 0.0 AS r_value
+    FROM s
+    """,
+)
+def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lag, n_pairs, r_count, r_value): sample ACF at lags 1..7 over
+    the daily count and daily mean-value series. Determinism: the
+    fact collapses to one row per day FIRST (integer cent sums); the
+    count-series Pearson is exact-integer arithmetic, the value
+    series is 6dp-locked before the six-sum fold so the only
+    cross-engine divergence is n*ulp under the 1e-9 bias; sqrt is
+    IEEE correctly-rounded (the temperature-mixture precedent).
+    Scale shape: one per-day partial aggregation of the fact; the
+    lag joins and the Pearson folds run on the tiny daily frame
+    (days x 7 rows) with the 7-row lag spine broadcast."""
+    e = _events(spark, sf_dir)
+    d = e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            6,
+        ).alias("meanv"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("day") + F.col("lag")).alias("day_j"),
+        F.col("cnt").alias("xc"),
+        F.col("meanv").alias("xv"),
+    )
+    b = d.select(
+        F.col("day").alias("day_j"), F.col("cnt").alias("yc"), F.col("meanv").alias("yv")
+    )
+    p = a.join(b, "day_j")
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sxc"),
+        F.sum("yc").cast("bigint").alias("syc"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("sxxc"),
+        F.sum(F.col("yc") * F.col("yc")).cast("bigint").alias("syyc"),
+        F.sum(F.col("xc") * F.col("yc")).cast("bigint").alias("sxyc"),
+        F.sum("xv").alias("sxv"),
+        F.sum("yv").alias("syv"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxxv"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syyv"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxyv"),
+    )
+    covc = F.col("n") * F.col("sxyc") - F.col("sxc") * F.col("syc")
+    vxc = F.col("n") * F.col("sxxc") - F.col("sxc") * F.col("sxc")
+    vyc = F.col("n") * F.col("syyc") - F.col("syc") * F.col("syc")
+    covv = F.col("n") * F.col("sxyv") - F.col("sxv") * F.col("syv")
+    vxv = F.col("n") * F.col("sxxv") - F.col("sxv") * F.col("sxv")
+    vyv = F.col("n") * F.col("syyv") - F.col("syv") * F.col("syv")
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (
+            F.round(
+                covc.cast("double")
+                / F.sqrt(vxc.cast("double") * vyc.cast("double"))
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r_count"),
+        (
+            F.round(
+                covv / F.sqrt(vxv * vyv) + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day exact median per event type: the robust smoother a
+# monitoring pipeline runs where a rolling MEAN would chase outliers.
+# Cross-engine parity: the daily mean is 6dp-LOCKED first (integer
+# cents, the CUSUM discipline), the ROWS window frames the same 7
+# observed days on both engines (day is a unique ordering key within
+# type), and Spark `percentile` == DuckDB `quantile_cont` produce the
+# SAME linear-interpolated double over identical inputs (bit-exact —
+# verified by events_winsorize_stats, r7).
+@register(
+    "timeseries_rolling_median",
+    tags=("timeseries", "window", "percentile", "robust"),
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / (100.0 * count(*)), 6) AS meanv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           meanv + 0.0 AS day_mean,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+           round(quantile_cont(meanv, 0.5) OVER w + 1e-9, 6) + 0.0
+             AS rolling_median
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, day_mean, n_in_window, rolling_median):
+    trailing-7-observed-days median of the daily mean value.
+    Determinism: locked daily means, unique (type, day) ordering,
+    identical interpolated medians (see header note). Scale shape:
+    the fact partial-aggregates to one row per (type, day); the
+    rolling window runs on that tiny calendar-sized frame — one
+    type-keyed exchange past the first aggregation."""
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    d = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.round(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            6,
+        ).alias("meanv")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "event_type",
+        "day",
+        (F.col("meanv") + F.lit(0.0)).alias("day_mean"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window"),
+        (
+            F.round(
+                F.expr("percentile(meanv, 0.5)").over(w) + F.lit(1e-9), 6
+            )
+            + F.lit(0.0)
+        ).alias("rolling_median"),
+    )

@@ -2396,3 +2396,360 @@ def test_cuped_readout_bounds(spark, sf_dir):
         assert r["n_users"] <= per_type[r["event_type"]]
         if r["var_reduction"] > 1e-6:
             assert r["theta"] != 0.0
+
+
+def test_tukey_fences_consistency(spark, sf_dir):
+    """Fences partition events; python replay of the outlier count
+    from the emitted quantiles."""
+    rows = _rows(spark, sf_dir, "events_tukey_fences")
+    by_type = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        src = by_type[r["event_type"]]
+        assert r["n"] == src["n"]
+        assert r["q1"] <= r["q3"]
+        assert 0.0 <= r["outlier_share"] <= 0.5
+        # replay with the emitted (rounded) quantiles: the rounded
+        # fence classification can differ from the exact one only for
+        # values within 1e-6 of a fence — assert the count is close
+        # and exactly right for clearly-outside values.
+        iqr = r["q3"] - r["q1"]
+        lo, hi = r["q1"] - 1.5 * iqr, r["q3"] + 1.5 * iqr
+        clearly = sum(1 for v in src["vals"] if v < lo - 1e-5 or v > hi + 1e-5)
+        loose = sum(1 for v in src["vals"] if v < lo + 1e-5 or v > hi - 1e-5)
+        assert clearly <= r["n_outliers"] <= loose
+
+
+def test_pettitt_python_replay(spark, sf_dir):
+    """Exact replay: rebuild the daily count series and recompute the
+    full Pettitt U_t argmax in python."""
+    got = _rows(spark, sf_dir, "events_pettitt_changepoint")[0]
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    series = sorted((r["day"], r["cnt"]) for r in daily)
+    best = None
+    for ti in range(len(series)):
+        t = series[ti][0]
+        u = 0
+        for di, ci in series[: ti + 1]:
+            for dj, cj in series[ti + 1 :]:
+                u += (ci > cj) - (ci < cj)
+        cand = (abs(u), -t, u)
+        if best is None or cand > best:
+            best = cand
+    assert got["u_t"] == best[2]
+    assert got["change_day"] == -best[1]
+    assert got["abs_u"] == best[0]
+
+
+def test_acf_lags_bounds(spark, sf_dir):
+    """Pearson r bounded; pair counts shrink (weakly) with lag and
+    match the day-overlap arithmetic."""
+    rows = {r["lag"]: r for r in _rows(spark, sf_dir, "timeseries_acf_lags")}
+    assert set(rows) == set(range(1, 8))
+    days = {
+        r["day"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .distinct()
+        .collect()
+    }
+    for lag, r in rows.items():
+        assert -1.0 <= r["r_count"] <= 1.0
+        assert -1.0 <= r["r_value"] <= 1.0
+        assert r["n_pairs"] == sum(1 for d in days if d + lag in days)
+
+
+def test_discount_elasticity_numpy_replay(spark, sf_dir):
+    """np.polyfit replay of the per-flag OLS to 1e-6."""
+    np = pytest.importorskip("numpy")
+    rows = _rows(spark, sf_dir, "lineitem_discount_elasticity")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_discount", "l_quantity")
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_discount"] * 100), r["l_quantity"])
+        )
+    for r in rows:
+        xs, ys = zip(*by_flag[r["l_returnflag"]])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        cc = np.corrcoef(xs, ys)[0, 1]
+        assert r["n"] == len(xs)
+        assert abs(r["slope_qty_per_point"] - slope) < 1e-5
+        assert abs(r["intercept"] - intercept) < 1e-4
+        assert abs(r["r2"] - cc * cc) < 1e-5
+
+
+def test_bloom_prefilter_agrees_with_plain_antijoin(spark, sf_dir):
+    """End-to-end equivalence: the bloom stage is physical-only, so
+    the classification must equal the direct EXISTS semantics; also
+    replay the bloom's no-false-negative property in python — every
+    true corpus dup must be a bloom candidate."""
+    got = {r["lang"]: r for r in _rows(spark, sf_dir, "dedup_bloom_prefilter")}
+    d = [
+        (r["doc_id"], r["lang"], r["h"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.sha2(F.col("text"), 256).alias("h"))
+        .collect()
+    ]
+    corpus = {h for doc_id, _, h in d if doc_id % 5 != 0}
+    batch = sorted((doc_id, lang, h) for doc_id, lang, h in d if doc_id % 5 == 0)
+    want: dict[str, list[int]] = {}
+    seen: set[str] = set()
+    for doc_id, lang, h in batch:
+        w = want.setdefault(lang, [0, 0, 0, 0])
+        w[0] += 1
+        if h in corpus:
+            w[1] += 1
+        elif h in seen:
+            w[2] += 1
+        else:
+            w[3] += 1
+            seen.add(h)
+    assert set(got) == set(want)
+    for lang, (nb, ndc, ndb, na) in want.items():
+        r = got[lang]
+        assert (r["n_batch"], r["n_dup_vs_corpus"], r["n_dup_in_batch"], r["n_admitted"]) == (
+            nb, ndc, ndb, na
+        ), lang
+
+
+def test_code_detection_separates_planted_code(spark, tmp_path):
+    """Planted separation: code-looking docs (braces, semicolons,
+    keywords) must cross the integer score threshold; prose must not
+    — the routing signal the screen exists to produce."""
+    import os
+
+    code = (
+        "def frob(x): { return x; } import os ; class Foo { void bar() "
+        "{ a = b ; } } func main() { x = (a + b) ; return x ; } " * 6
+    )
+    prose = (
+        "the quiet library held many old maps and letters from distant "
+        "travelers who wrote about rivers mountains and long roads home " * 6
+    )
+    rows = [(i, code, "en", "codey", len(code)) for i in range(15)] + [
+        (100 + i, prose, "en", "prosey", len(prose)) for i in range(15)
+    ]
+    fx = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = {r["source"]: r for r in _rows(spark, str(tmp_path), "text_code_detection")}
+    assert got["codey"]["code_share"] == 1.0, got
+    assert got["prosey"]["code_share"] == 0.0, got
+    assert got["codey"]["mean_score"] > got["prosey"]["mean_score"] * 3
+
+
+def test_did_readout_python_replay(spark, sf_dir):
+    """Exact replay of the 2x2 cell means and the DiD estimate from
+    the raw events (integer-cent arithmetic, hash coin, midpoint)."""
+    rows = {r["event_type"]: r for r in _rows(spark, sf_dir, "events_did_readout")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        )
+        .collect()
+    )
+    days = [r["day"] for r in ev]
+    mid = (min(days) + max(days) + 1) // 2
+    cells: dict[tuple, list[int]] = {}
+    for r in ev:
+        treat = (r["user_id"] * 2654435761) % 4294967296 % 2
+        post = 1 if r["day"] >= mid else 0
+        c = cells.setdefault((r["event_type"], treat, post), [0, 0])
+        c[0] += 1
+        c[1] += r["vc"]
+    types = {k[0] for k in cells}
+    for t in types:
+        by = {(tr, po): cells.get((t, tr, po), [0, 0]) for tr in (0, 1) for po in (0, 1)}
+        if any(by[k][0] == 0 for k in by):
+            assert t not in rows
+            continue
+        mean = {k: by[k][1] / (100 * by[k][0]) for k in by}
+        r = rows[t]
+        assert r["n_treat"] == by[(1, 0)][0] + by[(1, 1)][0]
+        assert r["n_control"] == by[(0, 0)][0] + by[(0, 1)][0]
+        assert abs(r["treat_pre"] - mean[(1, 0)]) < 1e-3
+        assert abs(r["did"] - ((mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)]))) < 1e-3
+
+
+def test_t_closeness_python_replay(spark, sf_dir):
+    """Full python replay of the per-nation max total-variation
+    distance and group counts from the raw customer rows."""
+    from ray_mapreduce_spark.plans.advanced import KANON_BUCKET_CENTS
+
+    got = {r["nation"]: r for r in _rows(spark, sf_dir, "privacy_t_closeness")}
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.expr(
+                f"CAST(round(c_acctbal * 100) AS BIGINT) div {KANON_BUCKET_CENTS}"
+            ).alias("bucket"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .collect()
+    )
+    n_tot = len(cust)
+    glob: dict[str, int] = {}
+    groups: dict[tuple, dict[str, int]] = {}
+    for r in cust:
+        glob[r["seg"]] = glob.get(r["seg"], 0) + 1
+        g = groups.setdefault((r["nation"], r["bucket"]), {})
+        g[r["seg"]] = g.get(r["seg"], 0) + 1
+    per_nation: dict[int, list] = {}
+    for (nation, _), segs in groups.items():
+        sz = sum(segs.values())
+        t = 0.5 * (
+            sum(abs(c / sz - glob[s] / n_tot) for s, c in segs.items())
+            + (1 - sum(glob[s] / n_tot for s in segs))
+        )
+        per_nation.setdefault(nation, []).append((sz, round(t + 1e-9, 6)))
+    assert set(got) == set(per_nation)
+    for nation, gs in per_nation.items():
+        r = got[nation]
+        assert r["n_groups"] == len(gs)
+        assert r["n_rows"] == sum(sz for sz, _ in gs)
+        assert abs(r["max_t"] - max(t for _, t in gs)) < 1e-9
+        assert r["n_over_03"] == sum(1 for _, t in gs if t > 0.3)
+        assert 0.0 <= r["max_t"] <= 1.0 + 1e-9
+
+
+def test_hard_negatives_numpy_replay(spark, sf_dir):
+    """Top-k replay: every returned negative has a different label,
+    ranks are 1..K with cosine non-increasing, and the set matches
+    the numpy brute-force top-k under the same (round(cos,4), id)
+    order."""
+    import numpy as np
+
+    from ray_mapreduce_spark.plans.similarity import HARDNEG_K, KNN_AUDIT_N
+
+    rows = _rows(spark, sf_dir, "sample_hard_negatives")
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    panel = [i for i in vecs if i < KNN_AUDIT_N]
+    assert set(by_q) == {i for i in panel if any(labels[j] != labels[i] for j in vecs)}
+    for qid, got in by_q.items():
+        got.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in got] == list(range(1, len(got) + 1))
+        assert all(r["neg_label"] != labels[qid] for r in got)
+        qv = vecs[qid]
+        cand = []
+        for vid, v in vecs.items():
+            if vid == qid or labels[vid] == labels[qid]:
+                continue
+            cos = float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            cand.append((-round(cos, 4), vid))
+        cand.sort()
+        want = cand[:HARDNEG_K]
+        assert [(r["neg_id"]) for r in got] == [vid for _, vid in want]
+        for r, (negcos, _) in zip(got, want):
+            assert abs(r["cos"] - (-negcos)) < 5e-4
+
+
+def test_rolling_median_python_replay(spark, sf_dir):
+    """Replay the trailing-7 median from the emitted locked daily
+    means (statistics.median interpolates identically for the
+    odd/even cases produced by quantile_cont at 0.5)."""
+    import statistics
+
+    rows = _rows(spark, sf_dir, "timeseries_rolling_median")
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        means = [r["day_mean"] for r in series]
+        for i, r in enumerate(series):
+            window = means[max(0, i - 6) : i + 1]
+            assert r["n_in_window"] == len(window)
+            assert abs(r["rolling_median"] - statistics.median(window)) < 2e-6
+
+
+def test_returnflag_anova_numpy_replay(spark, sf_dir):
+    """Closed-form F replay from the raw quantities."""
+    import numpy as np
+
+    got = _rows(spark, sf_dir, "lineitem_returnflag_anova")[0]
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list[float]] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(float(r["l_quantity"]))
+    k, n = len(groups), len(li)
+    grand = sum(sum(g) for g in groups.values()) / n
+    ssb = sum(len(g) * (np.mean(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(sum((x - np.mean(g)) ** 2 for x in g) for g in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == k and got["n"] == n
+    assert abs(got["ss_between"] - ssb) < max(1e-3, 1e-9 * abs(ssb))
+    assert abs(got["f_stat"] - f) < 1e-4
+    assert abs(got["eta_sq"] - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_scd2_intervals_python_replay(spark, sf_dir):
+    """Exact replay of the run segmentation; interval-chain
+    invariants (versions contiguous, valid_to = next valid_from,
+    last = CURRENT, n_orders partitions the order count)."""
+    rows = _rows(spark, sf_dir, "orders_scd2_intervals")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .collect()
+    )
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"], r["o_orderpriority"])
+        )
+    want: dict[int, list] = {}
+    for cust, os_ in by_cust.items():
+        os_.sort()
+        runs = []
+        for ts, _, prio in os_:
+            if runs and runs[-1][0] == prio:
+                runs[-1][2] += 1
+            else:
+                runs.append([prio, ts, 1])
+        want[cust] = runs
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["custkey"], r["version"])):
+        got.setdefault(r["custkey"], []).append(r)
+    assert set(got) == set(want)
+    for cust, runs in want.items():
+        g = got[cust]
+        assert [r["version"] for r in g] == list(range(1, len(runs) + 1))
+        assert sum(r["n_orders"] for r in g) == len(by_cust[cust])
+        for i, (r, (prio, ts, n)) in enumerate(zip(g, runs)):
+            assert r["priority"] == prio
+            assert r["n_orders"] == n
+            assert r["valid_from"] == str(ts.date())
+            if i + 1 < len(runs):
+                assert r["valid_to"] == g[i + 1]["valid_from"]
+            else:
+                assert r["valid_to"] == "CURRENT"
