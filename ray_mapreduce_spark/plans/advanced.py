@@ -4817,3 +4817,187 @@ def events_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (mean("s_c1", "n_c1") - mean("s_c0", "n_c0"))
         ).alias("did"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test per event type: did the VALUE
+# distribution's SHAPE change between the first and second half of
+# the window? (CUSUM/Pettitt detect level shifts; chi-square detects
+# categorical composition; KS detects arbitrary distributional
+# change.) PURE-INTEGER exactness: D's numerator is
+# max |cum_pre * n_post - cum_post * n_pre| over the merged value
+# grid — exact bigints — and every float (D, the critical threshold)
+# is a single division / sqrt of identical integers, so even the
+# significance COMPARISON is cross-engine safe.
+@register(
+    "events_ks_two_sample",
+    tags=("events", "ks-test", "distribution", "window"),
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+    v AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pre,
+             CAST(sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_post
+      FROM e CROSS JOIN mid GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type,
+             sum(n_pre) OVER w AS cpre, sum(n_post) OVER w AS cpost,
+             sum(n_pre) OVER t AS n1, sum(n_post) OVER t AS n2
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_pre,
+           CAST(max(n2) AS BIGINT) AS n_post,
+           round(CAST(max(abs(cpre * n2 - cpost * n1)) AS DOUBLE)
+                 / (max(n1) * max(n2)) + 1e-9, 6) AS d_stat,
+           CAST(
+             CAST(max(abs(cpre * n2 - cpost * n1)) AS DOUBLE)
+               / (max(n1) * max(n2))
+             > 1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE)
+                            / (max(n1) * max(n2)))
+             AS BOOLEAN) AS significant_05
+    FROM c GROUP BY 1
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_pre, n_post, d_stat, significant_05):
+    two-sample KS statistic between window halves with the alpha=.05
+    asymptotic decision. Determinism: the D numerator is an exact
+    bigint max; D and the threshold are identical doubles both
+    engines (single division / sqrt of integers), so the > compare
+    never straddles. Scale shape: one partial agg to the per-(type,
+    value) grid, one type-keyed window sort over that (distinct
+    values, not events), constant output rows. Bigint bound:
+    cum * n < n^2 — exceeds 2^63 only past ~3e9 rows PER TYPE
+    (promote to DECIMAL(38,0) there)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    mid = e.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    v = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pre"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_post"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        F.sum("n_pre").over(w).alias("cpre"),
+        F.sum("n_post").over(w).alias("cpost"),
+        F.sum("n_pre").over(t).alias("n1"),
+        F.sum("n_post").over(t).alias("n2"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n_pre"),
+        F.max("n2").cast("bigint").alias("n_post"),
+        F.max(
+            F.abs(F.col("cpre") * F.col("n2") - F.col("cpost") * F.col("n1"))
+        ).alias("dnum"),
+    )
+    d = F.col("dnum").cast("double") / (F.col("n_pre") * F.col("n_post"))
+    thresh = F.lit(1.358) * F.sqrt(
+        (F.col("n_pre") + F.col("n_post")).cast("double")
+        / (F.col("n_pre") * F.col("n_post"))
+    )
+    return g.select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        F.round(d + F.lit(1e-9), 6).alias("d_stat"),
+        (d > thresh).alias("significant_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator per event type: over the top-HILL_K order
+# statistics, alpha = 1 / mean(ln(x_(i) / x_(k))) — the standard
+# power-law tail exponent (pairs with the Zipf/Pareto heads: those
+# describe RANK structure, this estimates the DISTRIBUTION tail).
+# Determinism: rank ties share a value, so the top-k VALUE multiset
+# is order-free; each ln term is an identical double (single divide
+# of parquet doubles, correctly-rounded libm ln — the decayed-score
+# precedent); the k-1-term mean's summation-order noise is ~1e-13,
+# far under the 6dp bias.
+HILL_K = 100
+
+
+@register(
+    "events_hill_tail_index",
+    tags=("events", "tail", "hill", "window"),
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id
+             ) AS rk
+      FROM events
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {HILL_K}),
+    xk AS (
+      SELECT event_type, value AS x_k FROM topk WHERE rk = {HILL_K}
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS k_used,
+           round(max(xk.x_k) + 1e-9, 6) AS x_k,
+           round(avg(ln(t.value / xk.x_k)) + 1e-9, 6) AS hill_mean,
+           round(1.0 / avg(ln(t.value / xk.x_k)) + 1e-9, 6) AS tail_alpha
+    FROM topk t JOIN xk USING (event_type)
+    WHERE t.rk < {HILL_K}
+    GROUP BY 1
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, k_used, x_k, hill_mean, tail_alpha): Hill
+    estimator over the top-100 values per type (events values are
+    strictly positive in this corpus; a crawl deployment filters
+    value > 0 first). Scale shape: the per-type top-k collapses via
+    WindowGroupLimit (per-partition heaps before the rank), so the
+    window sort never materializes the full fact; everything after
+    runs on k rows per type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    topk = e.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= HILL_K
+    )
+    t = Window.partitionBy("event_type")
+    withxk = topk.withColumn(
+        "x_k", F.max(F.when(F.col("rk") == HILL_K, F.col("value"))).over(t)
+    ).filter(F.col("rk") < HILL_K)
+    lnterm = F.log(F.col("value") / F.col("x_k"))
+    return withxk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.round(F.max("x_k") + F.lit(1e-9), 6).alias("x_k"),
+        F.round(F.avg(lnterm) + F.lit(1e-9), 6).alias("hill_mean"),
+        F.round(F.lit(1.0) / F.avg(lnterm) + F.lit(1e-9), 6).alias(
+            "tail_alpha"
+        ),
+    )

@@ -121,7 +121,9 @@ def register(
 # lineitem_discount_elasticity, sample_hard_negatives,
 # text_code_detection, timeseries_acf_lags,
 # timeseries_rolling_median, lineitem_returnflag_anova,
-# orders_scd2_intervals — 58 by now — plus any r10
+# orders_scd2_intervals, events_ks_two_sample,
+# events_hill_tail_index, orders_reactivation — 61 by now — plus any
+# r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -2355,3 +2355,81 @@ def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "n_orders",
     )
+
+
+# --------------------------------------------------------------------------
+# Dormancy / reactivation readout: an order placed after a >180-day
+# gap is a WIN-BACK — the lifecycle-marketing counterpart of
+# retention (which measures staying; this measures coming back).
+# Integer calendar-day gaps (the q4/repeat-purchase discipline — NTZ
+# dates, never float quotients); month buckets as integer yyyymm.
+REACTIVATION_GAP_DAYS = 180
+
+
+@register(
+    "orders_reactivation",
+    tags=("relational", "lifecycle", "window", "aggregate"),
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             o_orderkey,
+             year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_d
+      FROM orders
+    )
+    SELECT yyyymm,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(sum(CASE WHEN prev_d IS NOT NULL
+                          AND date_diff('day', prev_d, d)
+                              > {REACTIVATION_GAP_DAYS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reactivated,
+           round(CAST(sum(CASE WHEN prev_d IS NOT NULL
+                               AND date_diff('day', prev_d, d)
+                                   > {REACTIVATION_GAP_DAYS}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS reactivation_share
+    FROM o GROUP BY 1
+    """,
+)
+def orders_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(yyyymm, n_orders, n_first, n_reactivated, reactivation_share):
+    monthly win-back counts — orders following a >180-day silence.
+    Determinism: integer day gaps on a unique (date, orderkey)
+    ordering; share is one division of exact integers. Scale shape:
+    one custkey-keyed window sort (the SCD2 exchange), then a
+    calendar-sized month aggregation."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "yyyymm"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    r = o.withColumn("prev_d", F.lag("d").over(w))
+    is_react = F.col("prev_d").isNotNull() & (
+        F.datediff(F.col("d"), F.col("prev_d")) > REACTIVATION_GAP_DAYS
+    )
+    return r.groupBy("yyyymm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(is_react, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reactivated"),
+        F.round(
+            F.sum(F.when(is_react, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("reactivation_share"),
+    )

@@ -2753,3 +2753,100 @@ def test_scd2_intervals_python_replay(spark, sf_dir):
                 assert r["valid_to"] == g[i + 1]["valid_from"]
             else:
                 assert r["valid_to"] == "CURRENT"
+
+
+def test_ks_two_sample_python_replay(spark, sf_dir):
+    """Exact integer replay of the KS D numerator and the decision."""
+    import math
+
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "events_ks_two_sample")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "value",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .collect()
+    )
+    days = [r["day"] for r in ev]
+    mid = (min(days) + max(days) + 1) // 2
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["day"] >= mid))
+    for t, vals in by_type.items():
+        pre = sorted(v for v, post in vals if not post)
+        post = sorted(v for v, p in vals if p)
+        n1, n2 = len(pre), len(post)
+        grid = sorted(set(pre) | set(post))
+        import bisect
+
+        dnum = max(
+            abs(bisect.bisect_right(pre, x) * n2 - bisect.bisect_right(post, x) * n1)
+            for x in grid
+        )
+        r = got[t]
+        assert (r["n_pre"], r["n_post"]) == (n1, n2)
+        d = dnum / (n1 * n2)
+        assert abs(r["d_stat"] - d) < 2e-6
+        assert r["significant_05"] == (d > 1.358 * math.sqrt((n1 + n2) / (n1 * n2)))
+
+
+def test_hill_tail_index_python_replay(spark, sf_dir):
+    """Replay the Hill mean over the top-k value multiset."""
+    import math
+
+    from ray_mapreduce_spark.plans.advanced import HILL_K
+
+    got = {r["event_type"]: r for r in _rows(spark, sf_dir, "events_hill_tail_index")}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, vals in by_type.items():
+        vals.sort(reverse=True)
+        if len(vals) < HILL_K:
+            assert t not in got
+            continue
+        xk = vals[HILL_K - 1]
+        hill = sum(math.log(v / xk) for v in vals[: HILL_K - 1]) / (HILL_K - 1)
+        r = got[t]
+        assert r["k_used"] == HILL_K - 1
+        assert abs(r["x_k"] - xk) < 1e-6
+        assert abs(r["hill_mean"] - hill) < 1e-5
+        assert abs(r["tail_alpha"] - 1.0 / hill) < 1e-4
+
+
+def test_reactivation_python_replay(spark, sf_dir):
+    """Replay monthly win-back counts from the raw order stream."""
+    from ray_mapreduce_spark.plans.relational import REACTIVATION_GAP_DAYS
+
+    got = {r["yyyymm"]: r for r in _rows(spark, sf_dir, "orders_reactivation")}
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"].date(), r["o_orderkey"])
+        )
+    want: dict[int, list[int]] = {}
+    for os_ in by_cust.values():
+        os_.sort()
+        prev = None
+        for d, _ in os_:
+            m = d.year * 100 + d.month
+            w = want.setdefault(m, [0, 0, 0])
+            w[0] += 1
+            if prev is None:
+                w[1] += 1
+            elif (d - prev).days > REACTIVATION_GAP_DAYS:
+                w[2] += 1
+            prev = d
+    assert set(got) == set(want)
+    for m, (n, nf, nr) in want.items():
+        r = got[m]
+        assert (r["n_orders"], r["n_first"], r["n_reactivated"]) == (n, nf, nr)
+        assert abs(r["reactivation_share"] - nr / n) < 2e-6
