@@ -5001,3 +5001,156 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_alpha"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile treatment effect: the DISTRIBUTIONAL A/B readout —
+# events_did_readout gives the mean effect; this gives the effect at
+# every decile (a treatment that helps the median but hurts the tail
+# is invisible to means). Same deterministic hash coin; both arms'
+# decile vectors come from ONE aggregation pass via FILTERed
+# percentile aggregates (no self-join of an aggregated frame — the
+# gotcha-#14 non-reuse class avoided by construction). Spark
+# `percentile` == DuckDB `quantile_cont` bit-exact on identical
+# inputs, so qte subtracts identical doubles.
+QTE_DECILES = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+@register(
+    "events_quantile_treatment_effect",
+    tags=("events", "abtest", "percentile", "aggregate"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value,
+             (user_id * 2654435761) % 4294967296 % 2 AS treat
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE treat = 1) AS BIGINT) AS n_treat,
+             CAST(count(*) FILTER (WHERE treat = 0) AS BIGINT) AS n_control,
+             quantile_cont(value, {QTE_DECILES}) FILTER (WHERE treat = 1)
+               AS qt,
+             quantile_cont(value, {QTE_DECILES}) FILTER (WHERE treat = 0)
+               AS qc
+      FROM e GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(t.k + 1 AS BIGINT) AS decile,
+           n_treat, n_control,
+           round(qt[t.k + 1] + 1e-9, 6) + 0.0 AS q_treat,
+           round(qc[t.k + 1] + 1e-9, 6) + 0.0 AS q_control,
+           round(qt[t.k + 1] - qc[t.k + 1] + 1e-9, 6) + 0.0 AS qte
+    FROM g, range(9) t(k)
+    """,
+)
+def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, decile, n_treat, n_control, q_treat, q_control,
+    qte): per-decile treated-minus-control value quantiles.
+    Determinism: identical interpolated percentiles (see header), the
+    subtraction runs on those identical doubles, rounds carry bias +
+    signed-zero guards. Scale shape: ONE partial-aggregated fact scan
+    (two filtered percentile sketches per type); the decile explode
+    runs on |types| rows."""
+    qs = "array(" + ",".join(str(q) for q in QTE_DECILES) + ")"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2).alias(
+            "treat"
+        ),
+    )
+    g = e.groupBy("event_type").agg(
+        F.expr("count(*) FILTER (WHERE treat = 1)")
+        .cast("bigint")
+        .alias("n_treat"),
+        F.expr("count(*) FILTER (WHERE treat = 0)")
+        .cast("bigint")
+        .alias("n_control"),
+        F.expr(f"percentile(value, {qs}) FILTER (WHERE treat = 1)").alias(
+            "qt"
+        ),
+        F.expr(f"percentile(value, {qs}) FILTER (WHERE treat = 0)").alias(
+            "qc"
+        ),
+    )
+    x = g.select(
+        "event_type",
+        "n_treat",
+        "n_control",
+        F.posexplode(F.arrays_zip("qt", "qc")).alias("pos", "z"),
+    )
+    return x.select(
+        "event_type",
+        (F.col("pos") + 1).cast("bigint").alias("decile"),
+        "n_treat",
+        "n_control",
+        (F.round(F.col("z.qt") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "q_treat"
+        ),
+        (F.round(F.col("z.qc") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "q_control"
+        ),
+        (
+            F.round(F.col("z.qt") - F.col("z.qc") + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("qte"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekday x hour activity heatmap: the calendar-grid load profile
+# behind capacity planning and anomaly triage (hourly_seasonality
+# gives the hour axis, daily_peaks the day axis; this is the joint
+# grid). DIALECT-FREE day-of-week: (epoch_day + 3) % 7 (1970-01-01
+# was a Thursday -> 0=Monday) — Spark dayofweek() is 1=Sunday while
+# DuckDB dayofweek() is 0=Sunday, so NEITHER engine-native function
+# appears anywhere; pure integer arithmetic on both sides.
+@register(
+    "events_weekday_hour_heatmap",
+    tags=("events", "calendar", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour
+      FROM events
+    ),
+    g AS (
+      SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2
+    )
+    SELECT dow, hour, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY dow) + 1e-9, 6) AS dow_share,
+           round(CAST(n AS DOUBLE) / sum(n) OVER () + 1e-9, 6)
+             AS corpus_share
+    FROM g
+    """,
+)
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hour, n, dow_share, corpus_share): 7x24 activity grid,
+    0=Monday. Determinism: integer div/mod bucketing, shares are
+    single divisions of exact integers. Scale shape: one partial
+    aggregation of the fact to <=168 rows; the share windows run on
+    that bounded grid (the grouped-frame-global-window rule)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("(unix_micros(ts) div 86400000000 + 3) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+    )
+    g = e.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wd = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    return g.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wd) + F.lit(1e-9), 6
+        ).alias("dow_share"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wall) + F.lit(1e-9),
+            6,
+        ).alias("corpus_share"),
+    )

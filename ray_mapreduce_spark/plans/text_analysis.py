@@ -2587,3 +2587,101 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-retention curve: what does each quality bar COST? For each
+# decile cutoff of the (shared) quality score, the docs and token
+# mass that survive a `quality >= cutoff` filter — the
+# corpus-engineering readout behind choosing a filtering threshold
+# (calibration_deciles profiles score calibration; this prices the
+# cut). Cutoffs are quality percentiles (bit-exact cross-engine);
+# the 9 retention sums come from ONE conditional aggregation after a
+# 1-row broadcast — the two-pass winsorize pattern, never a global
+# ntile sort of the corpus.
+@register(
+    "text_quality_retention_curve",
+    tags=("text", "quality", "percentile", "aggregate"),
+    oracle=f"""
+    WITH d AS (
+      SELECT round({QUALITY_RAW_SQL} + 1e-9, 4) AS q,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(ntok) AS BIGINT) AS tok_all
+      FROM d
+    )
+    SELECT CAST(t.k + 1 AS BIGINT) AS cutoff_decile,
+           round(b.bs[t.k + 1] + 1e-9, 6) + 0.0 AS cutoff_quality,
+           CAST(sum(CASE WHEN d.q >= b.bs[t.k + 1] THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.q >= b.bs[t.k + 1] THEN d.ntok ELSE 0 END)
+                AS BIGINT) AS n_tokens,
+           round(CAST(sum(CASE WHEN d.q >= b.bs[t.k + 1] THEN 1 ELSE 0 END)
+                      AS DOUBLE) / max(b.n_all) + 1e-9, 6) AS doc_share,
+           round(CAST(sum(CASE WHEN d.q >= b.bs[t.k + 1] THEN d.ntok
+                          ELSE 0 END) AS DOUBLE) / max(b.tok_all) + 1e-9, 6)
+             AS token_share
+    FROM d CROSS JOIN b CROSS JOIN range(9) t(k)
+    GROUP BY t.k, b.bs[t.k + 1]
+    """,
+)
+def text_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cutoff_decile, cutoff_quality, n_docs, n_tokens, doc_share,
+    token_share): survivors of `quality >= k-th decile` for k=1..9.
+    Determinism: quality is the shared 4dp-locked formula; cutoffs
+    are identical interpolated percentiles; every comparison pits
+    identical doubles; counts/token sums are exact integers. Scale
+    shape: pass 1 = one percentile aggregate (1 row, broadcast);
+    pass 2 = one fact re-scan with NINE conditional sums folded into
+    a single partial aggregation (the 9-way spine explode is
+    map-side and collapses immediately) — no global sort, no ntile
+    over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.round(quality_raw_col() + F.lit(1e-9), 4).alias("q"),
+        F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+    )
+    b = d.agg(
+        F.expr(
+            "percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("ntok").cast("bigint").alias("tok_all"),
+    )
+    x = (
+        d.crossJoin(F.broadcast(b))
+        .select(
+            "q",
+            "ntok",
+            "n_all",
+            "tok_all",
+            F.posexplode("bs").alias("k", "cutoff"),
+        )
+    )
+    keep = F.col("q") >= F.col("cutoff")
+    g = x.groupBy("k", "cutoff").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(keep, F.col("ntok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.max("n_all").alias("n_all"),
+        F.max("tok_all").alias("tok_all"),
+    )
+    return g.select(
+        (F.col("k") + 1).cast("bigint").alias("cutoff_decile"),
+        (F.round(F.col("cutoff") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "cutoff_quality"
+        ),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_all") + F.lit(1e-9), 6
+        ).alias("doc_share"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tok_all") + F.lit(1e-9),
+            6,
+        ).alias("token_share"),
+    )

@@ -2850,3 +2850,91 @@ def test_reactivation_python_replay(spark, sf_dir):
         r = got[m]
         assert (r["n_orders"], r["n_first"], r["n_reactivated"]) == (n, nf, nr)
         assert abs(r["reactivation_share"] - nr / n) < 2e-6
+
+
+def test_qte_python_replay(spark, sf_dir):
+    """Replay per-arm linear-interpolated deciles and the QTE."""
+    import numpy as np
+
+    rows = _rows(spark, sf_dir, "events_quantile_treatment_effect")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    arms: dict[tuple, list] = {}
+    for r in ev:
+        treat = (r["user_id"] * 2654435761) % 4294967296 % 2
+        arms.setdefault((r["event_type"], treat), []).append(r["value"])
+    got: dict[tuple, dict] = {(r["event_type"], r["decile"]): r for r in rows}
+    types = {t for t, _ in arms}
+    for t in types:
+        qt = np.quantile(arms[(t, 1)], [0.1 * k for k in range(1, 10)])
+        qc = np.quantile(arms[(t, 0)], [0.1 * k for k in range(1, 10)])
+        for k in range(1, 10):
+            r = got[(t, k)]
+            assert r["n_treat"] == len(arms[(t, 1)])
+            assert r["n_control"] == len(arms[(t, 0)])
+            assert abs(r["q_treat"] - qt[k - 1]) < 2e-6
+            assert abs(r["q_control"] - qc[k - 1]) < 2e-6
+            assert abs(r["qte"] - (qt[k - 1] - qc[k - 1])) < 4e-6
+
+
+def test_quality_retention_curve_monotone(spark, sf_dir):
+    """Retention must be monotone non-increasing in the cutoff and
+    anchored: ~90% of docs survive the decile-1 cutoff (interpolated
+    boundary), ~10% the decile-9 cutoff; token replay vs direct
+    filter at each emitted cutoff."""
+    rows = sorted(
+        _rows(spark, sf_dir, "text_quality_retention_curve"),
+        key=lambda r: r["cutoff_decile"],
+    )
+    assert [r["cutoff_decile"] for r in rows] == list(range(1, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] >= b["n_docs"]
+        assert a["n_tokens"] >= b["n_tokens"]
+        assert a["cutoff_quality"] <= b["cutoff_quality"]
+    n_all = round(rows[0]["n_docs"] / rows[0]["doc_share"])
+    assert abs(rows[0]["doc_share"] - 0.9) < 0.05
+    assert abs(rows[-1]["doc_share"] - 0.1) < 0.05
+    # direct replay of one cutoff (the median)
+    from ray_mapreduce_spark.plans.text_analysis import quality_raw_col
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.round(quality_raw_col() + F.lit(1e-9), 4).alias("q"),
+            F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+        )
+        .collect()
+    )
+    assert n_all == len(d)
+    mid = rows[4]
+    keep = [r for r in d if r["q"] >= mid["cutoff_quality"] - 5e-7]
+    strict = [r for r in d if r["q"] >= mid["cutoff_quality"] + 5e-7]
+    assert len(strict) <= mid["n_docs"] <= len(keep)
+
+
+def test_weekday_hour_heatmap_replay(spark, sf_dir):
+    """Exact integer replay of the 7x24 grid."""
+    got = {(r["dow"], r["hour"]): r for r in _rows(spark, sf_dir, "events_weekday_hour_heatmap")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts)").alias("us"))
+        .collect()
+    )
+    want: dict[tuple, int] = {}
+    for r in ev:
+        dow = (r["us"] // 86400000000 + 3) % 7
+        hour = (r["us"] // 3600000000) % 24
+        want[(dow, hour)] = want.get((dow, hour), 0) + 1
+    assert set(got) == set(want)
+    dow_tot: dict[int, int] = {}
+    for (dow, _), n in want.items():
+        dow_tot[dow] = dow_tot.get(dow, 0) + n
+    total = sum(want.values())
+    for k, n in want.items():
+        r = got[k]
+        assert r["n"] == n
+        assert abs(r["dow_share"] - n / dow_tot[k[0]]) < 2e-6
+        assert abs(r["corpus_share"] - n / total) < 2e-6
