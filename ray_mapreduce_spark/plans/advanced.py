@@ -5154,3 +5154,80 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corpus_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# User-base growth curve: per day, new users (first-ever appearance),
+# cumulative users to date, and actives — the north-star adoption
+# readout (DAU/WAU measures a sliding window; this measures the
+# irreversible frontier). All integers: first-appearance day per
+# user, a day-keyed count, and a running sum over the calendar frame.
+@register(
+    "events_user_growth_curve",
+    tags=("events", "growth", "window", "aggregate"),
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    act AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM e GROUP BY 1
+    ),
+    fst AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+    nw AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM fst GROUP BY 1
+    )
+    SELECT act.day, act.n_events, act.n_active,
+           CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(sum(coalesce(nw.n_new, 0)) OVER (
+             ORDER BY act.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_cum_users,
+           round(CAST(coalesce(nw.n_new, 0) AS DOUBLE) / act.n_active
+                 + 1e-9, 6) AS new_share_of_active
+    FROM act LEFT JOIN nw ON nw.day = act.day
+    """,
+)
+def events_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_events, n_active, n_new_users, n_cum_users,
+    new_share_of_active): daily adoption frontier. Determinism: all
+    counts exact integers on a unique day axis. Scale shape: one
+    user-keyed partial agg (first day) and one day-keyed agg with a
+    partial-distinct; both collapse to calendar-sized frames where
+    the join + running window run — the cumulative never touches the
+    fact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    act = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+    )
+    nw = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    j = act.join(nw, "day", "left").withColumn(
+        "n_new_users", F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        "n_events",
+        "n_active",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("n_cum_users"),
+        F.round(
+            F.col("n_new_users").cast("double") / F.col("n_active")
+            + F.lit(1e-9),
+            6,
+        ).alias("new_share_of_active"),
+    )

@@ -124,7 +124,8 @@ def register(
 # orders_scd2_intervals, events_ks_two_sample,
 # events_hill_tail_index, orders_reactivation,
 # events_quantile_treatment_effect, text_quality_retention_curve,
-# events_weekday_hour_heatmap — 64 by now — plus any r10
+# events_weekday_hour_heatmap, events_user_growth_curve,
+# sample_recency_decay — 66 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -840,3 +840,103 @@ def sample_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("global_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recency-decay sampling: keep an event with probability 2^-w where
+# w = full WEEKS of age at the corpus frontier — the deterministic
+# "forgetting" sampler behind replay buffers and sliding training
+# corpora (fresh data kept whole, history thinned geometrically).
+# PURE-INTEGER acceptance: h < 2^24 is the sha-uniform
+# (sample_weighted_priority idiom) and the test is
+# h * 2^w < 2^24 — exact bigints, no float anywhere, so the kept SET
+# is bit-identical cross-engine (contrast exp()-thresholded designs,
+# where a 1-ulp libm divergence can flip a row).
+RECENCY_HALF_LIFE_DAYS = 7
+RECENCY_MAX_W = 20  # cap the shift so h * 2^w stays far under 2^63
+
+
+@register(
+    "sample_recency_decay",
+    tags=("sampling", "recency", "deterministic", "aggregate"),
+    oracle=f"""
+    WITH mx AS (
+      SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx_us FROM events
+    ),
+    e AS (
+      SELECT event_type,
+             least((mx.mx_us - epoch_us(CAST(ts AS TIMESTAMP)))
+                   // (86400000000 * {RECENCY_HALF_LIFE_DAYS}),
+                   {RECENCY_MAX_W}) AS w,
+             CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS h
+      FROM events CROSS JOIN mx
+    )
+    SELECT event_type, CAST(w AS BIGINT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN h * (1 << w) < {_HASH_SPACE} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN h * (1 << w) < {_HASH_SPACE}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 1e-9, 6)
+             AS kept_rate,
+           round(1.0 / (1 << w) + 1e-9, 6) AS expected_rate
+    FROM e GROUP BY event_type, w
+    """,
+)
+def sample_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, age_weeks, n_total, n_kept, kept_rate,
+    expected_rate): geometric thinning by age bucket, anchored at the
+    corpus max timestamp (the decayed-score convention).
+    Determinism: integer week buckets, integer hash acceptance
+    (header note), shares are single divisions of exact integers.
+    Scale shape: 1-row max-ts broadcast; acceptance is a scan-speed
+    row-local predicate (the sampler itself needs NO shuffle at all —
+    this readout adds one bounded (type, week) aggregation)."""
+    from ..sources import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.expr("unix_micros(ts)")).alias("mx_us"))
+    x = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.least(
+            F.expr(
+                f"(mx_us - unix_micros(ts)) div "
+                f"{86400000000 * RECENCY_HALF_LIFE_DAYS}"
+            ),
+            F.lit(RECENCY_MAX_W),
+        ).alias("w"),
+        F.conv(
+            F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 6),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    kept = F.expr(
+        f"h * shiftleft(CAST(1 AS BIGINT), CAST(w AS INT)) < {_HASH_SPACE}"
+    )
+    g = x.groupBy(
+        "event_type", F.col("w").cast("bigint").alias("age_weeks")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+    return g.select(
+        "event_type",
+        "age_weeks",
+        "n_total",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_total") + F.lit(1e-9),
+            6,
+        ).alias("kept_rate"),
+        F.round(
+            F.lit(1.0)
+            / F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT))"
+            ).cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("expected_rate"),
+    )

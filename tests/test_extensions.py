@@ -2938,3 +2938,73 @@ def test_weekday_hour_heatmap_replay(spark, sf_dir):
         assert r["n"] == n
         assert abs(r["dow_share"] - n / dow_tot[k[0]]) < 2e-6
         assert abs(r["corpus_share"] - n / total) < 2e-6
+
+
+def test_user_growth_curve_replay(spark, sf_dir):
+    """Exact integer replay of the adoption frontier."""
+    rows = sorted(
+        _rows(spark, sf_dir, "events_user_growth_curve"), key=lambda r: r["day"]
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .collect()
+    )
+    first: dict[int, int] = {}
+    per_day: dict[int, set] = {}
+    n_events: dict[int, int] = {}
+    for r in ev:
+        first[r["user_id"]] = min(first.get(r["user_id"], r["day"]), r["day"])
+        per_day.setdefault(r["day"], set()).add(r["user_id"])
+        n_events[r["day"]] = n_events.get(r["day"], 0) + 1
+    new_per_day: dict[int, int] = {}
+    for u, d in first.items():
+        new_per_day[d] = new_per_day.get(d, 0) + 1
+    assert [r["day"] for r in rows] == sorted(per_day)
+    cum = 0
+    for r in rows:
+        cum += new_per_day.get(r["day"], 0)
+        assert r["n_events"] == n_events[r["day"]]
+        assert r["n_active"] == len(per_day[r["day"]])
+        assert r["n_new_users"] == new_per_day.get(r["day"], 0)
+        assert r["n_cum_users"] == cum
+    assert rows[-1]["n_cum_users"] == len(first)
+
+
+def test_recency_decay_replay_and_calibration(spark, sf_dir):
+    """Full python replay of the integer acceptance rule; the kept
+    rate of the freshest bucket is exactly 1 and rates decay."""
+    import hashlib
+
+    from ray_mapreduce_spark.plans.sampling import (
+        _HASH_SPACE,
+        RECENCY_HALF_LIFE_DAYS,
+        RECENCY_MAX_W,
+    )
+
+    got = {(r["event_type"], r["age_weeks"]): r
+           for r in _rows(spark, sf_dir, "sample_recency_decay")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", F.expr("unix_micros(ts)").alias("us"))
+        .collect()
+    )
+    mx = max(r["us"] for r in ev)
+    want: dict[tuple, list[int]] = {}
+    for r in ev:
+        w = min((mx - r["us"]) // (86400000000 * RECENCY_HALF_LIFE_DAYS),
+                RECENCY_MAX_W)
+        h = int(hashlib.sha256(str(r["event_id"]).encode()).hexdigest()[:6], 16)
+        c = want.setdefault((r["event_type"], w), [0, 0])
+        c[0] += 1
+        if h * (1 << w) < _HASH_SPACE:
+            c[1] += 1
+    assert set(got) == set(want)
+    for k, (nt, nk) in want.items():
+        r = got[k]
+        assert (r["n_total"], r["n_kept"]) == (nt, nk), k
+        assert abs(r["expected_rate"] - 1.0 / (1 << k[1])) < 2e-6
+    # freshest bucket keeps everything
+    for (t, w), (nt, nk) in want.items():
+        if w == 0:
+            assert nk == nt
