@@ -161,6 +161,27 @@ EXTRA = (
     "events_next_event_accuracy",
     "supplier_brand_hhi",
     "events_dau_wau_stickiness",
+    # fourth r9 session
+    "events_tukey_fences",
+    "events_pettitt_changepoint",
+    "privacy_t_closeness",
+    "events_did_readout",
+    "dedup_bloom_prefilter",
+    "lineitem_discount_elasticity",
+    "sample_hard_negatives",
+    "text_code_detection",
+    "timeseries_acf_lags",
+    "timeseries_rolling_median",
+    "lineitem_returnflag_anova",
+    "orders_scd2_intervals",
+    "events_ks_two_sample",
+    "events_hill_tail_index",
+    "orders_reactivation",
+    "events_quantile_treatment_effect",
+    "text_quality_retention_curve",
+    "events_weekday_hour_heatmap",
+    "events_user_growth_curve",
+    "sample_recency_decay",
 )
 
 
