@@ -37,7 +37,10 @@ DEFAULT = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefixfilter",
-    "dedup_simhash_pairs",  # saturation guard must NOT trip at 10x
+    "dedup_simhash_pairs",  # @10x the saturation guard FIRES by design
+    # (50k docs in one blocked population crosses the 16-bit-band
+    # saturation line — the probe documents the loud error, see
+    # SCALING.md's stress section); at 1x it must stay under the guard.
     "similarity_pq_adc_topk",
 ]
 
