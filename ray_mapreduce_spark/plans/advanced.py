@@ -5231,3 +5231,136 @@ def events_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("new_share_of_active"),
     )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel: the max funnel depth each user reaches with ALL steps
+# inside one WINDOW_FUNNEL_HOURS span anchored at the view — the
+# ClickHouse windowFunnel(window)(...) semantics, distinct from
+# funnel_view_click_purchase (which is unbounded-lifetime) and
+# funnel_time_to_convert (which measures latency). Depth flags are
+# EXISTS over anchor joins with the time bound as a RESIDUAL
+# predicate (the proven funnel_time_to_convert shape), so every count
+# is an exact integer and ties are irrelevant.
+WINDOW_FUNNEL_HOURS = 24
+
+
+@register(
+    "events_window_funnel",
+    tags=("events", "funnel", "window-funnel", "join"),
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    d2 AS (
+      SELECT DISTINCT v.user_id
+      FROM e v JOIN e c ON c.user_id = v.user_id
+      WHERE v.event_type = 'view' AND c.event_type = 'click'
+        AND c.us > v.us
+        AND c.us <= v.us + {WINDOW_FUNNEL_HOURS} * 3600000000
+    ),
+    d3 AS (
+      SELECT DISTINCT v.user_id
+      FROM e v
+      JOIN e c ON c.user_id = v.user_id
+      JOIN e p ON p.user_id = v.user_id
+      WHERE v.event_type = 'view' AND c.event_type = 'click'
+        AND p.event_type = 'purchase'
+        AND c.us > v.us
+        AND c.us <= v.us + {WINDOW_FUNNEL_HOURS} * 3600000000
+        AND p.us > c.us
+        AND p.us <= v.us + {WINDOW_FUNNEL_HOURS} * 3600000000
+    ),
+    depth AS (
+      SELECT u.user_id,
+             CASE WHEN d3.user_id IS NOT NULL THEN 3
+                  WHEN d2.user_id IS NOT NULL THEN 2
+                  WHEN d1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM users u
+      LEFT JOIN d1 ON d1.user_id = u.user_id
+      LEFT JOIN d2 ON d2.user_id = u.user_id
+      LEFT JOIN d3 ON d3.user_id = u.user_id
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM users) + 1e-9, 6) AS user_share
+    FROM depth GROUP BY 1
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(depth, n_users, user_share): users by the deepest
+    view->click->purchase chain completed inside one 24h window.
+    Scale shape: the step joins are USER-keyed equi joins with the
+    time bounds as residual predicates (never time-range join keys —
+    the funnel_time_to_convert rule); per-user fan-out is bounded by
+    events/user. The d2 subtree is a prefix of d3's, and the depth
+    classification folds via MAX over per-user flags — one exchange
+    family on user_id end-to-end."""
+    W = WINDOW_FUNNEL_HOURS * 3600000000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("us").alias("v_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("us").alias("c_us")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u3"), F.col("us").alias("p_us")
+    )
+    vc = v.join(
+        c,
+        (F.col("u") == F.col("u2"))
+        & (F.col("c_us") > F.col("v_us"))
+        & (F.col("c_us") <= F.col("v_us") + F.lit(W)),
+    )
+    d2 = vc.select(F.col("u").alias("user_id")).distinct().withColumn(
+        "f2", F.lit(1)
+    )
+    vcp = vc.join(
+        p,
+        (F.col("u") == F.col("u3"))
+        & (F.col("p_us") > F.col("c_us"))
+        & (F.col("p_us") <= F.col("v_us") + F.lit(W)),
+    )
+    d3 = vcp.select(F.col("u").alias("user_id")).distinct().withColumn(
+        "f3", F.lit(1)
+    )
+    d1 = v.select(F.col("u").alias("user_id")).distinct().withColumn(
+        "f1", F.lit(1)
+    )
+    users = e.select("user_id").distinct()
+    depth = (
+        users.join(d1, "user_id", "left")
+        .join(d2, "user_id", "left")
+        .join(d3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("f3").isNotNull(), 3)
+            .when(F.col("f2").isNotNull(), 2)
+            .when(F.col("f1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("depth"),
+        )
+    )
+    tot = users.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    return (
+        depth.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_all")
+                + F.lit(1e-9),
+                6,
+            ).alias("user_share"),
+        )
+    )

@@ -2685,3 +2685,202 @@ def text_quality_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trained multinomial Naive Bayes language ID, evaluated on a held-out
+# half — the TRAINED-classifier counterpart of the marker-heuristic
+# text_lang_id / text_langid_confusion (train on doc_id%2==0, score
+# doc_id%2==1). INTEGER MICRO-UNIT scores (the PageRank discipline):
+# each Laplace log-likelihood term is quantized to round(ln(..)*1e6)
+# BEFORE summation, so per-doc per-lang scores are exact bigint sums —
+# order-free, and the argmax (score DESC, lang ASC) can never flip on
+# cross-engine summation order. Transcendentals never sit on the 0.5
+# quantization boundary (the decayed-score precedent); the 1e-9 bias
+# guards it anyway.
+NB_SCALE = 1_000_000
+
+
+@register(
+    "text_naive_bayes_langid",
+    tags=("text", "classifier", "naive-bayes", "train-eval"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    train_tok AS (
+      SELECT lang, unnest(t) AS tok FROM d WHERE doc_id % 2 = 0
+    ),
+    c AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM train_tok WHERE tok <> '' GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM train_tok WHERE tok <> ''
+    ),
+    langs AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train
+      FROM d GROUP BY 1
+    ),
+    lt AS (
+      SELECT l.lang, l.n_train,
+             CAST(coalesce(sum(c.c), 0) AS BIGINT) AS t_total
+      FROM langs l LEFT JOIN c ON c.lang = l.lang
+      GROUP BY 1, 2
+    ),
+    ltot AS (SELECT CAST(sum(n_train) AS BIGINT) AS n_all,
+                    CAST(count(*) AS BIGINT) AS k FROM lt),
+    prior AS (
+      SELECT lt.lang, lt.t_total,
+             CAST(round(ln(CAST(lt.n_train + 1 AS DOUBLE)
+                           / (ltot.n_all + ltot.k)) * {NB_SCALE} + 1e-9)
+                  AS BIGINT) AS prior_i
+      FROM lt CROSS JOIN ltot
+    ),
+    test_tok AS (
+      SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, lang, unnest(t) AS tok FROM d WHERE doc_id % 2 = 1)
+      WHERE tok <> '' GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT tt.doc_id, tt.true_lang, p.lang,
+             p.prior_i
+             + sum(tt.cnt * CAST(round(
+                 ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                    / (p.t_total + vocab.v)) * {NB_SCALE} + 1e-9)
+                 AS BIGINT)) AS score_i
+      FROM test_tok tt
+      CROSS JOIN prior p
+      CROSS JOIN vocab
+      LEFT JOIN c ON c.lang = p.lang AND c.tok = tt.tok
+      GROUP BY tt.doc_id, tt.true_lang, p.lang, p.prior_i
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_i DESC, lang) AS rk
+      FROM scored
+    )
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) AS accuracy
+    FROM pred WHERE rk = 1 GROUP BY 1
+    """,
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_lang, n_test, n_correct, accuracy): held-out accuracy of
+    a Laplace-smoothed multinomial NB language model. Scale shape:
+    train counts partial-aggregate to the (lang, tok) table (joined
+    on tok — vocabulary-sized, sf-proportional but UNHINTED, AQE
+    picks); the k-lang fan-out multiplies test TOKENS by |langs|
+    before collapsing in the same aggregation; priors/vocab are
+    broadcast scalars. Determinism: header note — all-integer
+    scores."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("t")
+    )
+    train_tok = (
+        d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        .select("lang", F.explode("t").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    c = train_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vocab = train_tok.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    langs = d.groupBy("lang").agg(
+        F.sum(F.when(F.pmod("doc_id", F.lit(2)) == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train")
+    )
+    lt = (
+        langs.join(c.groupBy("lang").agg(F.sum("c").alias("s")), "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("t_total"),
+        )
+    )
+    ltot = lt.agg(
+        F.sum("n_train").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    prior = (
+        lt.crossJoin(F.broadcast(ltot))
+        .select(
+            "lang",
+            "t_total",
+            F.expr(
+                f"CAST(round(ln(CAST(n_train + 1 AS DOUBLE)"
+                f" / (n_all + k)) * {NB_SCALE} + 1e-9) AS BIGINT)"
+            ).alias("prior_i"),
+        )
+    )
+    test_tok = (
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("t").alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pl = prior.select(
+        F.col("lang").alias("nb_lang"), "t_total", "prior_i"
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(pl))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            c.select(
+                F.col("lang").alias("nb_lang"),
+                F.col("tok").alias("tok"),
+                "c",
+            ),
+            ["nb_lang", "tok"],
+            "left",
+        )
+        .withColumn(
+            "term_i",
+            F.expr(
+                f"CAST(round(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)"
+                f" / (t_total + v)) * {NB_SCALE} + 1e-9) AS BIGINT)"
+            ),
+        )
+        .groupBy("doc_id", "true_lang", "nb_lang", "prior_i")
+        .agg(F.sum(F.col("cnt") * F.col("term_i")).alias("ll_i"))
+        .withColumn("score_i", F.col("prior_i") + F.col("ll_i"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_i").desc(), "nb_lang"
+    )
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return pred.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("nb_lang") == F.col("true_lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("nb_lang") == F.col("true_lang"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("accuracy"),
+    )
