@@ -5364,3 +5364,90 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SLO error-budget burn rate with multi-window alerting: per hour,
+# the 'error' share of events vs a 99% availability SLO, plus the
+# trailing-6h burn — and the classic SRE page condition (fast burn
+# 14.4x AND slow burn 6x, both windows over budget). All counts are
+# integers; rates and burns are single divisions of exact integers;
+# the alert compares identical doubles against Python-literal
+# thresholds on both engines.
+SLO_TARGET_MILLI = 990  # 99.0% availability
+SLO_FAST_BURN = 14.4
+SLO_SLOW_BURN = 6.0
+
+
+@register(
+    "events_slo_burn_rate",
+    tags=("events", "slo", "sre", "window"),
+    oracle=f"""
+    WITH h AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT hour, n, n_err,
+             CAST(sum(n) OVER w AS BIGINT) AS n6,
+             CAST(sum(n_err) OVER w AS BIGINT) AS n_err6
+      FROM h
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour, n, n_err,
+           round(CAST(n_err AS DOUBLE) / n
+                 / ((1000 - {SLO_TARGET_MILLI}) / 1000.0) + 1e-9, 6)
+             AS burn_1h,
+           round(CAST(n_err6 AS DOUBLE) / n6
+                 / ((1000 - {SLO_TARGET_MILLI}) / 1000.0) + 1e-9, 6)
+             AS burn_6h,
+           CAST(
+             (CAST(n_err AS DOUBLE) / n
+              / ((1000 - {SLO_TARGET_MILLI}) / 1000.0) > {SLO_FAST_BURN})
+             AND
+             (CAST(n_err6 AS DOUBLE) / n6
+              / ((1000 - {SLO_TARGET_MILLI}) / 1000.0) > {SLO_SLOW_BURN})
+             AS BOOLEAN) AS page
+    FROM r
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour, n, n_err, burn_1h, burn_6h, page): error-budget burn
+    per hour with the multi-window page condition. Determinism:
+    integer hour buckets and counts; burns are exact-integer
+    divisions by a literal budget; the page comparison pits identical
+    doubles against Python literals interpolated into both engines.
+    Scale shape: the fact partial-aggregates to one row per hour; the
+    rolling window and alert logic run on the calendar frame."""
+    budget = (1000 - SLO_TARGET_MILLI) / 1000.0
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+    )
+    h = e.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_err").cast("bigint").alias("n_err"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-5, 0)
+    r = h.select(
+        "hour",
+        "n",
+        "n_err",
+        F.sum("n").over(w).cast("bigint").alias("n6"),
+        F.sum("n_err").over(w).cast("bigint").alias("n_err6"),
+    )
+    burn1 = F.col("n_err").cast("double") / F.col("n") / F.lit(budget)
+    burn6 = F.col("n_err6").cast("double") / F.col("n6") / F.lit(budget)
+    return r.select(
+        "hour",
+        "n",
+        "n_err",
+        F.round(burn1 + F.lit(1e-9), 6).alias("burn_1h"),
+        F.round(burn6 + F.lit(1e-9), 6).alias("burn_6h"),
+        ((burn1 > F.lit(SLO_FAST_BURN)) & (burn6 > F.lit(SLO_SLOW_BURN))).alias(
+            "page"
+        ),
+    )

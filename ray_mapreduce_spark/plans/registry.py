@@ -126,7 +126,8 @@ def register(
 # events_quantile_treatment_effect, text_quality_retention_curve,
 # events_weekday_hour_heatmap, events_user_growth_curve,
 # sample_recency_decay, events_window_funnel,
-# text_naive_bayes_langid — 68 by now — plus any r10
+# text_naive_bayes_langid, events_slo_burn_rate,
+# orders_duplicate_payment_screen — 70 by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -3099,3 +3099,71 @@ def test_naive_bayes_langid_separable_fixture(spark, tmp_path):
     assert set(got) == set(vocab)
     for lang, r in got.items():
         assert r["accuracy"] == 1.0, (lang, r)
+
+
+def test_slo_burn_rate_replay(spark, sf_dir):
+    """Exact replay of hourly burn rates and the page condition."""
+    from ray_mapreduce_spark.plans.advanced import (
+        SLO_FAST_BURN,
+        SLO_SLOW_BURN,
+        SLO_TARGET_MILLI,
+    )
+
+    budget = (1000 - SLO_TARGET_MILLI) / 1000.0
+    rows = sorted(_rows(spark, sf_dir, "events_slo_burn_rate"), key=lambda r: r["hour"])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"), "event_type"
+        )
+        .collect()
+    )
+    agg: dict[int, list[int]] = {}
+    for r in ev:
+        c = agg.setdefault(r["hour"], [0, 0])
+        c[0] += 1
+        if r["event_type"] == "error":
+            c[1] += 1
+    hours = sorted(agg)
+    assert [r["hour"] for r in rows] == hours
+    for i, r in enumerate(rows):
+        n, n_err = agg[r["hour"]]
+        w = hours[max(0, i - 5) : i + 1]
+        n6 = sum(agg[h][0] for h in w)
+        e6 = sum(agg[h][1] for h in w)
+        assert (r["n"], r["n_err"]) == (n, n_err)
+        b1, b6 = n_err / n / budget, e6 / n6 / budget
+        assert abs(r["burn_1h"] - b1) < 2e-6
+        assert abs(r["burn_6h"] - b6) < 2e-6
+        assert r["page"] == (b1 > SLO_FAST_BURN and b6 > SLO_SLOW_BURN)
+
+
+def test_duplicate_payment_screen_replay(spark, sf_dir):
+    """Exact pair replay of the (custkey, cents, <=7d) screen."""
+    from ray_mapreduce_spark.plans.relational import DUPPAY_WINDOW_DAYS
+
+    rows = _rows(spark, sf_dir, "orders_duplicate_payment_screen")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .collect()
+    )
+    by_key: dict[tuple, list] = {}
+    for r in orders:
+        by_key.setdefault((r["o_custkey"], r["cents"]), []).append(
+            (r["d"], r["o_orderkey"])
+        )
+    want = set()
+    for (ck, cents), lst in by_key.items():
+        lst.sort()
+        for i, (da, ka) in enumerate(lst):
+            for db, kb in lst[i + 1 :]:
+                if (db - da).days <= DUPPAY_WINDOW_DAYS:
+                    want.add((ck, cents, ka, kb, (db - da).days))
+    got = {(r["custkey"], r["cents"], r["order_a"], r["order_b"], r["gap_days"]) for r in rows}
+    assert got == want
