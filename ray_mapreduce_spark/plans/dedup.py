@@ -2208,3 +2208,70 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_admitted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup screen: which docs in today's batch
+# (doc_id % 5 == 0, the standing batch convention) are fuzzy
+# duplicates of the standing corpus? Completes the incremental family
+# — dedup_incremental_merge is the exact-digest anti-join; this is
+# its jaccard sibling. Plan: ONE inverted-index self-join over the
+# whole frame (identical subtrees -> runtime ReusedExchange, one
+# shingle lineage) with the batch/corpus orientation applied as a
+# post-filter on the pair frame. At crawl scale the standing corpus
+# keeps a persisted shingle-index TABLE (written once per ingest, the
+# text_bm25_incremental stats pattern) and only the batch side is
+# shingled + joined — no corpus re-scan; the post-filter form here
+# keeps the single-scan exchange-reuse shape at test sf.
+@register(
+    "dedup_incremental_neardup",
+    tags=("dedup", "incremental", "ngram", "jaccard"),
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, lang,
+             list_distinct([
+               string_split(lower(text), ' ')[i] || ' ' ||
+               string_split(lower(text), ' ')[i+1] || ' ' ||
+               string_split(lower(text), ' ')[i+2]
+               FOR i IN range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1))
+             ]) AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {SHINGLE_K}
+    ),
+    prs AS (
+      SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+             round(CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE)
+                   / (len(b.shingles) + len(c.shingles)
+                      - len(list_intersect(b.shingles, c.shingles))), 4)
+               AS jaccard
+      FROM shingled b JOIN shingled c
+        ON b.lang = c.lang AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+      WHERE CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE)
+            / (len(b.shingles) + len(c.shingles)
+               - len(list_intersect(b.shingles, c.shingles)))
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT batch_doc, corpus_doc, jaccard FROM prs
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(batch_doc, corpus_doc, jaccard): fuzzy hits of the new batch
+    against the standing corpus at the shared 0.6 threshold.
+    Determinism: the shared exact-jaccard rule (integer shingle
+    counts, 4dp round). Scale shape: header note — single scan with
+    runtime exchange reuse here; persisted shingle index at crawl."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    a_is_batch = F.pmod("doc_a", F.lit(5)) == 0
+    b_is_batch = F.pmod("doc_b", F.lit(5)) == 0
+    cross = pairs.filter(a_is_batch != b_is_batch)
+    return cross.select(
+        F.when(a_is_batch, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "batch_doc"
+        ),
+        F.when(a_is_batch, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "corpus_doc"
+        ),
+        "jaccard",
+    )

@@ -2518,3 +2518,111 @@ def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFra
             "gap_days"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# User-user collaborative-filtering neighborhoods: top customer pairs
+# by Jaccard over their purchased part sets, restricted to
+# DISCRIMINATIVE parts (2 <= part df <= CF_DF_CAP — ubiquitous parts
+# carry no signal and quadratic fan-out; the cap is the standard CF
+# popularity prune AND the inverted index's scale lever, shared with
+# the ngram-jaccard discipline). The recommender building block.
+CF_DF_CAP = 50
+CF_TOP_N = 100
+
+
+@register(
+    "orders_user_similarity_jaccard",
+    tags=("relational", "cf", "similarity", "self-join", "topk"),
+    oracle=f"""
+    WITH bp AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    df AS (SELECT pk, count(*) AS c FROM bp GROUP BY 1),
+    b AS (
+      SELECT bp.ck, bp.pk FROM bp JOIN df USING (pk)
+      WHERE df.c BETWEEN 2 AND {CF_DF_CAP}
+    ),
+    sz AS (SELECT ck, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+    common AS (
+      SELECT a.ck AS cust_a, b2.ck AS cust_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM b a JOIN b b2 ON a.pk = b2.pk AND a.ck < b2.ck
+      GROUP BY 1, 2
+    )
+    SELECT cust_a, cust_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.ck = cust_a
+    JOIN sz sb ON sb.ck = cust_b
+    WHERE n_common >= 2
+    ORDER BY round(CAST(n_common AS DOUBLE)
+                   / (sa.n + sb.n - n_common), 6) DESC, cust_a, cust_b
+    LIMIT {CF_TOP_N}
+    """,
+)
+def orders_user_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cust_a, cust_b, n_common, n_a, n_b, jaccard): the CF_TOP_N
+    most-similar customer pairs over discriminative purchased parts.
+    Determinism: jaccard is a single division of exact integers,
+    ranked on the 6dp round with the (cust_a, cust_b) unique LIMIT
+    tiebreak. Scale shape: basket distinct + df window share one
+    part-keyed exchange; the pair join consumes two IDENTICAL
+    subtrees (runtime ReusedExchange, the ngram rule); fan-out is
+    capped at CF_DF_CAP^2 per part; the top-N rides
+    TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    wdf = Window.partitionBy("pk")
+    b = (
+        bp.withColumn("c", F.count(F.lit(1)).over(wdf))
+        .filter((F.col("c") >= 2) & (F.col("c") <= CF_DF_CAP))
+        .drop("c")
+    )
+    wsz = Window.partitionBy("ck")
+    bn = b.withColumn("n", F.count(F.lit(1)).over(wsz))
+    a2 = bn.alias("a")
+    b2 = bn.alias("b")
+    common = (
+        a2.join(
+            b2,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.ck") < F.col("b.ck")),
+        )
+        .groupBy(
+            F.col("a.ck").alias("cust_a"),
+            F.col("b.ck").alias("cust_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .orderBy(F.col("jaccard").desc(), "cust_a", "cust_b")
+        .limit(CF_TOP_N)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "jaccard",
+        )
+    )

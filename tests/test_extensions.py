@@ -3167,3 +3167,65 @@ def test_duplicate_payment_screen_replay(spark, sf_dir):
                     want.add((ck, cents, ka, kb, (db - da).days))
     got = {(r["custkey"], r["cents"], r["order_a"], r["order_b"], r["gap_days"]) for r in rows}
     assert got == want
+
+
+def test_incremental_neardup_consistency(spark, sf_dir):
+    """Every reported hit must be a true cross pair from the full
+    pair set, and every cross pair must be reported (orientation
+    batch->corpus)."""
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in _rows(spark, sf_dir, "dedup_ngram_jaccard")}
+    got = {(r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+           for r in _rows(spark, sf_dir, "dedup_incremental_neardup")}
+    want = {}
+    for (a, b), j in full.items():
+        fa, fb = a % 5 == 0, b % 5 == 0
+        if fa != fb:
+            want[(a, b) if fa else (b, a)] = j
+    assert got == want
+    for (bd, cd) in got:
+        assert bd % 5 == 0 and cd % 5 != 0
+
+
+def test_user_similarity_python_replay(spark, sf_dir):
+    """Replay the capped-universe jaccard top-N in python."""
+    from ray_mapreduce_spark.plans.relational import CF_DF_CAP, CF_TOP_N
+
+    rows = _rows(spark, sf_dir, "orders_user_similarity_jaccard")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    cust = {r["o_orderkey"]: r["o_custkey"] for r in od}
+    bp = {(cust[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    from collections import defaultdict
+
+    df: dict[int, int] = defaultdict(int)
+    for _, pk in bp:
+        df[pk] += 1
+    keep = {(ck, pk) for ck, pk in bp if 2 <= df[pk] <= CF_DF_CAP}
+    by_part: dict[int, list] = defaultdict(list)
+    sz: dict[int, int] = defaultdict(int)
+    for ck, pk in keep:
+        by_part[pk].append(ck)
+        sz[ck] += 1
+    nc: dict[tuple, int] = defaultdict(int)
+    for pk, cks in by_part.items():
+        cks.sort()
+        for i, a in enumerate(cks):
+            for b in cks[i + 1 :]:
+                nc[(a, b)] += 1
+    cand = sorted(
+        (
+            -round(n / (sz[a] + sz[b] - n), 6),
+            a,
+            b,
+            n,
+        )
+        for (a, b), n in nc.items()
+        if n >= 2
+    )[:CF_TOP_N]
+    assert len(rows) == min(CF_TOP_N, len(cand))
+    got = [(-r["jaccard"], r["cust_a"], r["cust_b"], r["n_common"]) for r in
+           sorted(rows, key=lambda r: (-r["jaccard"], r["cust_a"], r["cust_b"]))]
+    for g, w in zip(got, cand):
+        assert g[1:] == w[1:]
+        assert abs(g[0] - w[0]) < 2e-6
