@@ -5451,3 +5451,118 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting (the "quick ratio" ledger): per day, users split
+# into NEW (first-ever day), RETAINED (also active the previous
+# day), RESURRECTED (returning after a gap), and the previous day's
+# CHURNED (active yesterday, silent today) — the decomposition every
+# growth team reads alongside the raw DAU curve
+# (events_user_growth_curve gives the frontier; this explains each
+# day's composition). All exact integers from one (user, day)
+# distinct frame: lag(day) per user classifies NEW/RETAINED/
+# RESURRECTED; churn counts come from the same frame keyed on
+# day + 1.
+@register(
+    "events_lifecycle_stages",
+    tags=("events", "growth", "lifecycle", "window"),
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM ud
+    ),
+    stage AS (
+      SELECT day,
+             CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM c GROUP BY 1
+    ),
+    churn AS (
+      SELECT a.day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+      FROM ud a
+      LEFT JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+      WHERE b.user_id IS NULL
+      GROUP BY 1
+    )
+    SELECT s.day, s.n_new, s.n_retained, s.n_resurrected,
+           CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned_from_prev,
+           round(CAST(s.n_new + s.n_resurrected AS DOUBLE)
+                 / greatest(coalesce(ch.n_churned, 0), 1) + 1e-9, 6)
+             AS quick_ratio
+    FROM stage s LEFT JOIN churn ch ON ch.day = s.day
+    """,
+)
+def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_new, n_retained, n_resurrected, n_churned_from_prev,
+    quick_ratio): daily growth-accounting ledger; quick_ratio =
+    (new + resurrected) / max(churned, 1). Determinism: exact
+    integers on a unique (user, day) frame. Scale shape: ONE
+    user-keyed window sort classifies every stage; the churn
+    anti-join self-joins the SAME distinct frame on (user, day+1) —
+    identical scan-rooted subtrees, runtime exchange reuse; final
+    aggs land on calendar frames."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    ud = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    c = ud.withColumn("prev_day", F.lag("day").over(w))
+    stage = c.groupBy("day").agg(
+        F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_day") == F.col("day") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.col("day") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    a = ud.select("user_id", F.col("day").alias("d_a"))
+    b = ud.select(
+        F.col("user_id").alias("uid2"), F.col("day").alias("d_b")
+    )
+    churn = (
+        a.join(
+            b,
+            (F.col("uid2") == F.col("user_id"))
+            & (F.col("d_b") == F.col("d_a") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("d_a") + 1).alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    j = stage.join(churn, "day", "left").withColumn(
+        "n_churned_from_prev",
+        F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint"),
+    )
+    return j.select(
+        "day",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned_from_prev",
+        F.round(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.greatest(F.col("n_churned_from_prev"), F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("quick_ratio"),
+    )

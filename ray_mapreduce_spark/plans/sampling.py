@@ -940,3 +940,84 @@ def sample_recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Class-balanced sampling: equalize per-language doc counts to the
+# smallest class by keeping each language's n_min smallest-hash docs
+# — the deterministic downsampling a multilingual training mix uses
+# to stop the head language drowning the tail. Acceptance is a
+# rank over the sha-uniform (integer hash, doc_id tiebreak), so the
+# kept set is exact and re-runnable; the readout reports per-lang
+# kept counts (all == n_min) and the hash cutoff.
+@register(
+    "sample_balanced_langs",
+    tags=("sampling", "balanced", "deterministic"),
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    szs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    nmin AS (SELECT min(n) AS n_min FROM szs),
+    ranked AS (
+      SELECT d.*, row_number() OVER (
+        PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM d
+    ),
+    kept AS (
+      SELECT ranked.* FROM ranked CROSS JOIN nmin
+      WHERE rk <= nmin.n_min
+    )
+    SELECT k.lang,
+           szs.n AS n_before,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(k.h) AS BIGINT) AS max_hash_kept,
+           round(CAST(count(*) AS DOUBLE) / szs.n + 1e-9, 6) AS keep_rate
+    FROM kept k JOIN szs ON szs.lang = k.lang
+    GROUP BY k.lang, szs.n
+    """,
+)
+def sample_balanced_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_before, n_kept, max_hash_kept, keep_rate): per-lang
+    counts after balancing every language down to the smallest one.
+    Determinism: integer sha-hash ranking with doc_id tiebreak; the
+    1-row n_min broadcast. Scale shape: one lang-keyed window sort
+    (per-lang top-n_min could also ride WindowGroupLimit if n_min
+    were a literal; it is data-dependent, so the rank filter follows
+    the broadcast), aggregation on the kept frame."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 6), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    szs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nmin = szs.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    kept = ranked.crossJoin(F.broadcast(nmin)).filter(
+        F.col("rk") <= F.col("n_min")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("h").cast("bigint").alias("max_hash_kept"),
+        )
+        .join(F.broadcast(szs), "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            "n_kept",
+            "max_hash_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n") + F.lit(1e-9), 6
+            ).alias("keep_rate"),
+        )
+    )

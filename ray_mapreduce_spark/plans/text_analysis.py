@@ -2884,3 +2884,109 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary a dataset release ships —
+# sizes, composition, duplication, quality, length profile. Composes
+# already-verified primitives (digest groups, the shared quality
+# formula, bit-exact percentile) into a single readout; each field's
+# determinism rule is the one its source query proved.
+@register(
+    "pipeline_dataset_card",
+    tags=("text", "pipeline", "governance", "aggregate"),
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, sha256(text) AS h,
+             len(string_split(text, ' ')) AS ntok,
+             round({QUALITY_RAW_SQL} + 1e-9, 4) AS q
+      FROM documents
+    ),
+    dup AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup FROM (
+        SELECT count(*) AS c FROM d GROUP BY h HAVING count(*) > 1)
+    ),
+    lt AS (
+      SELECT lang, count(*) AS c FROM d GROUP BY 1
+      ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           (SELECT n_dup FROM dup) AS n_exact_dup_rows,
+           round((SELECT CAST(n_dup AS DOUBLE) FROM dup) / count(*)
+                 + 1e-9, 6) AS exact_dup_rate,
+           round(avg(q) + 1e-9, 6) AS mean_quality,
+           round(quantile_cont(CAST(ntok AS DOUBLE), 0.5) + 1e-9, 6)
+             AS p50_tokens,
+           (SELECT lang FROM lt) AS top_lang,
+           round((SELECT CAST(c AS DOUBLE) FROM lt) / count(*) + 1e-9, 6)
+             AS top_lang_share
+    FROM d
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (sizes, composition, duplication rate,
+    mean quality, median length, dominant language). Scale shape:
+    one scan feeds the main aggregate; the digest-group dup count is
+    its own hash-keyed aggregation; the 1-row top-lang frame rides
+    TakeOrdered — every piece collapses before any join; the final
+    assembly is broadcasts of 1-row frames."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(F.split("text", " ")).alias("ntok"),
+        F.round(quality_raw_col() + F.lit(1e-9), 4).alias("q"),
+    )
+    dup = (
+        d.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup")
+        )
+    )
+    lt = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    main = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.round(F.avg("q") + F.lit(1e-9), 6).alias("mean_quality"),
+        F.round(
+            F.expr("percentile(CAST(ntok AS DOUBLE), 0.5)") + F.lit(1e-9), 6
+        ).alias("p50_tokens"),
+    )
+    return (
+        main.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(lt))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            F.col("n_dup").alias("n_exact_dup_rows"),
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("exact_dup_rate"),
+            "mean_quality",
+            "p50_tokens",
+            "top_lang",
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_docs") + F.lit(1e-9),
+                6,
+            ).alias("top_lang_share"),
+        )
+    )

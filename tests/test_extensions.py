@@ -3229,3 +3229,104 @@ def test_user_similarity_python_replay(spark, sf_dir):
     for g, w in zip(got, cand):
         assert g[1:] == w[1:]
         assert abs(g[0] - w[0]) < 2e-6
+
+
+def test_lifecycle_stages_replay(spark, sf_dir):
+    """Exact replay of the growth-accounting ledger, plus the
+    identity n_active(day) = new + retained + resurrected."""
+    rows = {r["day"]: r for r in _rows(spark, sf_dir, "events_lifecycle_stages")}
+    ud = {
+        (r["user_id"], r["day"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .distinct()
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for u, d in ud:
+        by_user.setdefault(u, []).append(d)
+    want: dict[int, list[int]] = {}
+    active: dict[int, set] = {}
+    for u, days in by_user.items():
+        days.sort()
+        prev = None
+        for d in days:
+            w = want.setdefault(d, [0, 0, 0, 0])
+            active.setdefault(d, set()).add(u)
+            if prev is None:
+                w[0] += 1
+            elif prev == d - 1:
+                w[1] += 1
+            else:
+                w[2] += 1
+            prev = d
+    for u, days in by_user.items():
+        ds = set(days)
+        for d in days:
+            if d + 1 not in ds and (d + 1) in want:
+                want[d + 1][3] += 1
+    assert set(rows) == set(want)
+    for d, (nn, nr, nres, nch) in want.items():
+        r = rows[d]
+        assert (r["n_new"], r["n_retained"], r["n_resurrected"]) == (nn, nr, nres)
+        assert r["n_churned_from_prev"] == nch
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == len(active[d])
+        assert abs(r["quick_ratio"] - (nn + nres) / max(nch, 1)) < 2e-6
+
+
+def test_balanced_langs_replay(spark, sf_dir):
+    """Every lang keeps exactly n_min docs, chosen by smallest hash."""
+    import hashlib
+
+    rows = {r["lang"]: r for r in _rows(spark, sf_dir, "sample_balanced_langs")}
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    by_lang: dict[str, list] = {}
+    for r in d:
+        h = int(hashlib.sha256(str(r["doc_id"]).encode()).hexdigest()[:6], 16)
+        by_lang.setdefault(r["lang"], []).append((h, r["doc_id"]))
+    n_min = min(len(v) for v in by_lang.values())
+    assert set(rows) == set(by_lang)
+    for lang, lst in by_lang.items():
+        lst.sort()
+        r = rows[lang]
+        assert r["n_before"] == len(lst)
+        assert r["n_kept"] == n_min
+        assert r["max_hash_kept"] == max(h for h, _ in lst[:n_min])
+        assert abs(r["keep_rate"] - n_min / len(lst)) < 2e-6
+
+
+def test_dataset_card_replay(spark, sf_dir):
+    """Field-by-field replay of the one-row card."""
+    import statistics
+
+    from ray_mapreduce_spark.plans.text_analysis import quality_raw_col
+
+    card = _rows(spark, sf_dir, "pipeline_dataset_card")[0]
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "source",
+            F.sha2(F.col("text"), 256).alias("h"),
+            F.size(F.split("text", " ")).alias("ntok"),
+            F.round(quality_raw_col() + F.lit(1e-9), 4).alias("q"),
+        )
+        .collect()
+    )
+    n = len(d)
+    assert card["n_docs"] == n
+    assert card["n_tokens"] == sum(r["ntok"] for r in d)
+    assert card["n_langs"] == len({r["lang"] for r in d})
+    assert card["n_sources"] == len({r["source"] for r in d})
+    from collections import Counter
+
+    hc = Counter(r["h"] for r in d)
+    n_dup = sum(c - 1 for c in hc.values() if c > 1)
+    assert card["n_exact_dup_rows"] == n_dup
+    assert abs(card["exact_dup_rate"] - n_dup / n) < 2e-6
+    assert abs(card["mean_quality"] - sum(r["q"] for r in d) / n) < 1e-5
+    assert abs(card["p50_tokens"] - statistics.median(r["ntok"] for r in d)) < 1e-6
+    lc = Counter(r["lang"] for r in d)
+    top = sorted(lc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert card["top_lang"] == top[0]
+    assert abs(card["top_lang_share"] - top[1] / n) < 2e-6
