@@ -127,7 +127,7 @@ def register(
 # events_weekday_hour_heatmap, events_user_growth_curve,
 # sample_recency_decay, events_window_funnel,
 # text_naive_bayes_langid, events_slo_burn_rate,
-# orders_duplicate_payment_screen, dedup_incremental_neardup,
+# lineitem_duplicate_lines_screen, dedup_incremental_neardup,
 # orders_user_similarity_jaccard, events_lifecycle_stages,
 # sample_balanced_langs, pipeline_dataset_card — 75 by now — plus
 # any r10

@@ -2436,87 +2436,60 @@ def orders_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Duplicate-payment screen: orders by the SAME customer for the SAME
-# exact amount within DUPPAY_WINDOW_DAYS — the accounts-payable audit
-# staple (double-billing / double-keying detection). Equi join on
-# (custkey, exact integer CENTS) does the heavy lifting; the day
-# window is a residual predicate; canonical pair = (earlier, later)
-# with orderkey tiebreak on same-day pairs.
-DUPPAY_WINDOW_DAYS = 7
-
-
+# Duplicate line-entry screen: the SAME part appearing on MULTIPLE
+# lines of ONE order — the double-keying / split-line audit every AP
+# and order-integrity pipeline runs (the classic duplicate-payment
+# screen keyed where this corpus actually collides: within-order
+# line duplication; cross-order same-amount collisions are absent in
+# this data by construction — checked at all three SFs before this
+# op replaced that variant).
 @register(
-    "orders_duplicate_payment_screen",
-    tags=("relational", "audit", "self-join"),
-    oracle=f"""
-    WITH o AS (
-      SELECT o_custkey, o_orderkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(o_orderdate AS DATE) AS d
-      FROM orders
-    ),
-    prs AS (
-      SELECT a.o_custkey AS custkey, a.cents,
-             a.o_orderkey AS order_a, b.o_orderkey AS order_b,
-             date_diff('day', a.d, b.d) AS gap_days
-      FROM o a JOIN o b
-        ON b.o_custkey = a.o_custkey AND b.cents = a.cents
-       AND (b.d > a.d OR (b.d = a.d AND b.o_orderkey > a.o_orderkey))
-       AND b.d <= a.d + {DUPPAY_WINDOW_DAYS}
-    )
-    SELECT custkey, cents, order_a, order_b,
-           CAST(gap_days AS BIGINT) AS gap_days
-    FROM prs
+    "lineitem_duplicate_lines_screen",
+    tags=("relational", "audit", "aggregate"),
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           l_partkey AS partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+           CAST(count(*) > count(DISTINCT l_suppkey) AS BOOLEAN)
+             AS same_supplier_dup
+    FROM lineitem
+    GROUP BY 1, 2
+    HAVING count(*) > 1
     """,
 )
-def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(custkey, cents, order_a, order_b, gap_days): suspected
-    duplicate payments. Determinism: exact integer cents and calendar
-    days; the canonical (earlier, later) orientation uses the
-    orderkey tiebreak on same-day pairs. Scale shape: SELF-join of
-    one identical scan-rooted subtree on (custkey, cents) — AQE
-    runtime-reuses ONE exchange (gotcha #14); the window predicate is
-    residual; per-key fan-out is bounded by orders per (customer,
-    amount), which exact-cents keying keeps tiny."""
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.col("o_orderdate").cast("date").alias("d"),
+def lineitem_duplicate_lines_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(orderkey, partkey, n_lines, n_suppliers, total_qty, max_qty,
+    same_supplier_dup): orders where one part occupies multiple
+    lines; same_supplier_dup marks the strongest double-entry signal
+    (duplicate lines that do not even differ by supplier).
+    Determinism: pure integer aggregation on exact keys. Scale
+    shape: ONE partial-aggregated scan grouped on (orderkey,
+    partkey) — the HAVING filter runs post-aggregation on the
+    already-collapsed frame; no join anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
     )
-    a = o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("cents"),
-        F.col("o_orderkey").alias("order_a"),
-        F.col("d").alias("d_a"),
+    g = li.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.max("q").cast("bigint").alias("max_qty"),
     )
-    b = o.select(
-        F.col("o_custkey").alias("ck2"),
-        F.col("cents").alias("cents2"),
-        F.col("o_orderkey").alias("order_b"),
-        F.col("d").alias("d_b"),
-    )
-    prs = a.join(
-        b,
-        (F.col("ck2") == F.col("custkey"))
-        & (F.col("cents2") == F.col("cents"))
-        & (
-            (F.col("d_b") > F.col("d_a"))
-            | (
-                (F.col("d_b") == F.col("d_a"))
-                & (F.col("order_b") > F.col("order_a"))
-            )
-        )
-        & (F.col("d_b") <= F.date_add(F.col("d_a"), DUPPAY_WINDOW_DAYS)),
-    )
-    return prs.select(
-        "custkey",
-        "cents",
-        "order_a",
-        "order_b",
-        F.datediff(F.col("d_b"), F.col("d_a")).cast("bigint").alias(
-            "gap_days"
-        ),
+    return g.filter(F.col("n_lines") > 1).select(
+        "orderkey",
+        "partkey",
+        "n_lines",
+        "n_suppliers",
+        "total_qty",
+        "max_qty",
+        (F.col("n_lines") > F.col("n_suppliers")).alias("same_supplier_dup"),
     )
 
 

@@ -3138,35 +3138,32 @@ def test_slo_burn_rate_replay(spark, sf_dir):
         assert r["page"] == (b1 > SLO_FAST_BURN and b6 > SLO_SLOW_BURN)
 
 
-def test_duplicate_payment_screen_replay(spark, sf_dir):
-    """Exact pair replay of the (custkey, cents, <=7d) screen."""
-    from ray_mapreduce_spark.plans.relational import DUPPAY_WINDOW_DAYS
-
-    rows = _rows(spark, sf_dir, "orders_duplicate_payment_screen")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
-            F.col("o_orderdate").cast("date").alias("d"),
-        )
+def test_duplicate_lines_screen_replay(spark, sf_dir):
+    """Exact replay of the within-order duplicate-line groups."""
+    rows = {(r["orderkey"], r["partkey"]): r
+            for r in _rows(spark, sf_dir, "lineitem_duplicate_lines_screen")}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
         .collect()
     )
-    by_key: dict[tuple, list] = {}
-    for r in orders:
-        by_key.setdefault((r["o_custkey"], r["cents"]), []).append(
-            (r["d"], r["o_orderkey"])
+    from collections import defaultdict
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for r in li:
+        groups[(r["l_orderkey"], r["l_partkey"])].append(
+            (r["l_suppkey"], int(r["l_quantity"]))
         )
-    want = set()
-    for (ck, cents), lst in by_key.items():
-        lst.sort()
-        for i, (da, ka) in enumerate(lst):
-            for db, kb in lst[i + 1 :]:
-                if (db - da).days <= DUPPAY_WINDOW_DAYS:
-                    want.add((ck, cents, ka, kb, (db - da).days))
-    got = {(r["custkey"], r["cents"], r["order_a"], r["order_b"], r["gap_days"]) for r in rows}
-    assert got == want
+    want = {k: v for k, v in groups.items() if len(v) > 1}
+    assert set(rows) == set(want)
+    assert len(want) > 0  # differentiated at every sf (checked r9)
+    for k, lines in want.items():
+        r = rows[k]
+        assert r["n_lines"] == len(lines)
+        assert r["n_suppliers"] == len({s for s, _ in lines})
+        assert r["total_qty"] == sum(q for _, q in lines)
+        assert r["max_qty"] == max(q for _, q in lines)
+        assert r["same_supplier_dup"] == (len(lines) > len({s for s, _ in lines}))
 
 
 def test_incremental_neardup_consistency(spark, sf_dir):

@@ -182,6 +182,15 @@ EXTRA = (
     "events_weekday_hour_heatmap",
     "events_user_growth_curve",
     "sample_recency_decay",
+    "events_window_funnel",
+    "text_naive_bayes_langid",
+    "events_slo_burn_rate",
+    "lineitem_duplicate_lines_screen",
+    "dedup_incremental_neardup",
+    "orders_user_similarity_jaccard",
+    "events_lifecycle_stages",
+    "sample_balanced_langs",
+    "pipeline_dataset_card",
 )
 
 
