@@ -5566,3 +5566,76 @@ def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quick_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency: how many sessions are open at once — the
+# interval sweep-line (room-occupancy) analytic, here over the shared
+# gap-sessionization intervals. Endpoints: +1 at start_us, -1 at
+# end_us + 1 (end-inclusive sessions); the running sum over the
+# UNIQUE total order (us, delta, user_id, session_no) counts exact
+# concurrency after every arrival; the per-day peak takes the max
+# over arrival rows. The sweep runs over the SESSIONS frame
+# (aggregated, far smaller than the fact) — at crawl scale partition
+# the sweep by day with boundary carry-in counts (the hierarchical
+# sessionization escalation, SCALING §Skew); here the global ordered
+# window over the aggregate is the documented grouped-frame pattern.
+@register(
+    "events_peak_concurrency",
+    tags=("events", "sessionization", "sweep-line", "window"),
+    oracle=_SESSION_AGG_CTE
+    + f"""
+    , pts AS (
+      SELECT user_id, session_no, start_us AS us, 1 AS delta FROM sess_agg
+      UNION ALL
+      SELECT user_id, session_no, end_us + 1 AS us, -1 AS delta FROM sess_agg
+    ),
+    sweep AS (
+      SELECT us, delta,
+             CAST(sum(delta) OVER (
+               ORDER BY us, delta, user_id, session_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS open_now
+      FROM pts
+    )
+    SELECT us // 86400000000 AS day,
+           CAST(max(open_now) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) AS BIGINT) AS n_sessions_started
+    FROM sweep WHERE delta = 1 GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, peak_concurrency, n_sessions_started): daily maximum of
+    simultaneously-open sessions (peak measured at arrivals, which is
+    where maxima occur). Determinism: integer endpoints on a unique
+    total order — ends (-1) sort before starts (+1) at equal us, so
+    back-to-back sessions never double-count. Scale shape: header
+    note."""
+    sess = _session_aggs(spark, sf_dir)
+    pts = sess.select(
+        "user_id",
+        "session_no",
+        F.col("start_us").alias("us"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sess.select(
+            "user_id",
+            "session_no",
+            (F.col("end_us") + 1).alias("us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.orderBy("us", "delta", "user_id", "session_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = pts.withColumn(
+        "open_now", F.sum("delta").over(w).cast("bigint")
+    )
+    return (
+        sweep.filter(F.col("delta") == 1)
+        .groupBy(F.expr("us div 86400000000").alias("day"))
+        .agg(
+            F.max("open_now").cast("bigint").alias("peak_concurrency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions_started"),
+        )
+    )

@@ -129,8 +129,9 @@ def register(
 # text_naive_bayes_langid, events_slo_burn_rate,
 # lineitem_duplicate_lines_screen, dedup_incremental_neardup,
 # orders_user_similarity_jaccard, events_lifecycle_stages,
-# sample_balanced_langs, pipeline_dataset_card — 75 by now — plus
-# any r10
+# sample_balanced_langs, pipeline_dataset_card,
+# events_peak_concurrency, similarity_centroid_classifier — 77 by
+# now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -2936,3 +2936,131 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos") + F.lit(0.0)).alias("cos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classifier on embeddings, evaluated on a
+# held-out half — the embedding-space sibling of
+# text_naive_bayes_langid. Determinism stack: centroids from EXACT
+# integer quantized dim sums (the diversity-gram discipline) so each
+# centroid coordinate is one integer division (identical doubles);
+# test-vs-centroid distances are 4dp-locked with a label tiebreak
+# before the argmin (the kmeans discipline).
+NC_QUANT = 1_000_000
+
+
+@register(
+    "similarity_centroid_classifier",
+    tags=("similarity", "classifier", "train-eval", "knn"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings
+    ),
+    tx AS (
+      SELECT vec_id, label,
+             unnest(vec) AS x,
+             generate_subscripts(vec, 1) AS pos
+      FROM v
+    ),
+    train AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x * {NC_QUANT}) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tx WHERE vec_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label AS cand, pos,
+             CAST(s AS DOUBLE) / ({NC_QUANT}.0 * n) AS c
+      FROM train
+    ),
+    test AS (
+      SELECT vec_id, label AS true_label, pos, x
+      FROM tx WHERE vec_id % 2 = 1
+    ),
+    d AS (
+      SELECT test.vec_id, test.true_label, cent.cand,
+             round(sum((test.x - cent.c) * (test.x - cent.c)) + 1e-9, 4)
+               AS d2
+      FROM test JOIN cent ON cent.pos = test.pos
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT vec_id, true_label, cand,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand)
+               AS rk
+      FROM d
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN cand = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN cand = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) AS accuracy
+    FROM pred WHERE rk = 1 GROUP BY 1
+    """,
+)
+def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_label, n_test, n_correct, accuracy): held-out accuracy of
+    the nearest-centroid rule. Scale shape: train collapses to
+    |labels| x DIM integer-moment rows (partial-aggregated posexplode,
+    the centroid_by_bucket shape) and BROADCASTS; the test side joins
+    on pos and folds to one distance row per (vec, label) in the same
+    aggregation — no pairwise vec x vec work anywhere."""
+    from pyspark.sql.window import Window
+
+    v = _with_vec(load_table(spark, sf_dir, "embeddings"))
+    train = (
+        v.filter(F.pmod("vec_id", F.lit(2)) == 0)
+        .select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.expr(f"CAST(round(x * {NC_QUANT}) AS BIGINT)"))
+            .cast("bigint")
+            .alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    cent = train.select(
+        F.col("label").alias("cand"),
+        "pos",
+        (F.col("s").cast("double") / (F.lit(float(NC_QUANT)) * F.col("n"))).alias(
+            "c"
+        ),
+    )
+    test = (
+        v.filter(F.pmod("vec_id", F.lit(2)) == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.posexplode("vec").alias("pos", "x"),
+        )
+    )
+    d = (
+        test.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                + F.lit(1e-9),
+                4,
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    pred = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("accuracy"),
+    )

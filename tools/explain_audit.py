@@ -191,6 +191,8 @@ EXTRA = (
     "events_lifecycle_stages",
     "sample_balanced_langs",
     "pipeline_dataset_card",
+    "events_peak_concurrency",
+    "similarity_centroid_classifier",
 )
 
 
