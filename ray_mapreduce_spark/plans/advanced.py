@@ -5515,7 +5515,13 @@ def events_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
     )
-    ud = e.distinct()
+    # The distinct (user, day) frame feeds THREE consumers (the stage
+    # window and both churn anti-join sides) whose keys differ (the
+    # day+1 arithmetic breaks subtree identity, so exchange reuse
+    # can never fire — verified on the executed plan). Sibling
+    # consumers + no reuse = eager checkpoint (gotcha #9): one fact
+    # scan total, the aggregated frame is tiny relative to the fact.
+    ud = e.distinct().localCheckpoint(eager=True)
     w = Window.partitionBy("user_id").orderBy("day")
     c = ud.withColumn("prev_day", F.lag("day").over(w))
     stage = c.groupBy("day").agg(

@@ -573,3 +573,44 @@ def test_rrf_fusion_no_cartesian_bounded_scans(spark, sf_dir):
     assert not any("CartesianProduct" in n for n in nodes), nodes
     scans = [n for n in nodes if n.startswith("Scan parquet")]
     assert len(scans) <= 4, scans
+
+
+def test_user_similarity_self_join_runtime_reuses_exchange(spark, sf_dir):
+    """orders_user_similarity_jaccard: the pair join consumes two
+    IDENTICAL (basket + df-window) subtrees — the gotcha #14 reuse
+    class. Pin: ReusedExchange present, no cartesian."""
+    nodes = _executed_nodes(spark, "orders_user_similarity_jaccard", sf_dir)
+    assert any(n.startswith("ReusedExchange") for n in nodes), nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_incremental_neardup_single_scan_reuse(spark, sf_dir):
+    """dedup_incremental_neardup rides the shared inverted-index
+    self-join: one documents scan in the executed plan (the second
+    side arrives via ReusedExchange), no cartesian."""
+    nodes = _executed_nodes(spark, "dedup_incremental_neardup", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert len(scans) == 1, nodes
+    assert any(n.startswith("ReusedExchange") for n in nodes), nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_lifecycle_distinct_frame_executes_once(spark, sf_dir):
+    """events_lifecycle_stages: the distinct (user, day) frame feeds
+    three consumers whose join keys differ (day+1 arithmetic — no
+    exchange reuse possible), so it is eager-checkpointed (gotcha #9).
+    Pin: ZERO parquet scans in the executed plan (every consumer reads
+    the checkpoint) and no cartesian."""
+    nodes = _executed_nodes(spark, "events_lifecycle_stages", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    assert scans == [], nodes
+    assert "CartesianProduct" not in nodes
+
+
+def test_centroid_classifier_broadcasts_centroids(spark, sf_dir):
+    """similarity_centroid_classifier: the labels x DIM centroid frame
+    must reach the test side as a broadcast (never a shuffled join),
+    and nothing may fall back to cartesian."""
+    nodes = _executed_nodes(spark, "similarity_centroid_classifier", sf_dir)
+    assert any(n.startswith("BroadcastHashJoin") for n in nodes), nodes
+    assert "CartesianProduct" not in nodes
