@@ -2599,3 +2599,114 @@ def orders_user_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
             "jaccard",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Supplier-switching profile: within each (customer, part) purchase
+# relationship, how often does the next purchase come from a
+# DIFFERENT supplier? The procurement loyalty/competition readout
+# (high switch rates mark commodity parts; zero switch rates mark
+# locked-in supply). Transitions are lag() comparisons over the
+# unique (orderdate, orderkey, linenumber) order; everything is
+# integer counts until one final division.
+@register(
+    "lineitem_supplier_switching",
+    tags=("relational", "procurement", "window", "aggregate"),
+    oracle="""
+    WITH b AS (
+      SELECT o.o_custkey AS ck, l.l_partkey AS pk, l.l_suppkey AS sk,
+             lag(l.l_suppkey) OVER (
+               PARTITION BY o.o_custkey, l.l_partkey
+               ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber
+             ) AS prev_sk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    rel AS (
+      SELECT ck, pk,
+             CAST(count(*) AS BIGINT) AS n_buys,
+             CAST(sum(CASE WHEN prev_sk IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_transitions,
+             CAST(sum(CASE WHEN prev_sk IS NOT NULL AND prev_sk <> sk
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+      FROM b GROUP BY 1, 2
+    )
+    SELECT pk AS partkey,
+           CAST(count(*) AS BIGINT) AS n_relationships,
+           CAST(sum(CASE WHEN n_transitions > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat_relationships,
+           CAST(sum(n_transitions) AS BIGINT) AS n_transitions,
+           CAST(sum(n_switches) AS BIGINT) AS n_switches,
+           round(CAST(sum(n_switches) AS DOUBLE)
+                 / greatest(sum(n_transitions), 1) + 1e-9, 6)
+             AS switch_rate
+    FROM rel GROUP BY 1
+    HAVING sum(n_transitions) > 0
+    """,
+)
+def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(partkey, n_relationships, n_repeat_relationships,
+    n_transitions, n_switches, switch_rate): per-part supplier
+    switching across repeat (customer, part) purchases; only parts
+    with at least one repeat purchase appear. Determinism: the lag
+    ordering (orderdate, orderkey, linenumber) is a unique total
+    order per relationship; all counts exact integers. Scale shape:
+    one orderkey equi join (fact-fact, AQE picks the strategy), one
+    (custkey, partkey) window sort whose aggregation reuses the same
+    partitioning (clustering-subset rule), then a part-keyed rollup
+    of the relationship frame."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    b = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        "o_orderdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("ck", "pk").orderBy(
+        "o_orderdate", "l_orderkey", "l_linenumber"
+    )
+    t = b.withColumn("prev_sk", F.lag("sk").over(w))
+    rel = t.groupBy("ck", "pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buys"),
+        F.sum(F.when(F.col("prev_sk").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_transitions"),
+        F.sum(
+            F.when(
+                F.col("prev_sk").isNotNull()
+                & (F.col("prev_sk") != F.col("sk")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_switches"),
+    )
+    g = rel.groupBy(F.col("pk").alias("partkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relationships"),
+        F.sum(F.when(F.col("n_transitions") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat_relationships"),
+        F.sum("n_transitions").cast("bigint").alias("n_transitions"),
+        F.sum("n_switches").cast("bigint").alias("n_switches"),
+    )
+    return g.filter(F.col("n_transitions") > 0).select(
+        "partkey",
+        "n_relationships",
+        "n_repeat_relationships",
+        "n_transitions",
+        "n_switches",
+        F.round(
+            F.col("n_switches").cast("double")
+            / F.greatest(F.col("n_transitions"), F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("switch_rate"),
+    )

@@ -3429,3 +3429,42 @@ def test_centroid_classifier_separable_fixture(spark, tmp_path):
     assert set(got) == {"aa", "bb", "cc"}
     for lab, r in got.items():
         assert r["accuracy"] == 1.0, (lab, r)
+
+
+def test_supplier_switching_replay(spark, sf_dir):
+    """Exact replay of the per-part switching ledger."""
+    rows = {r["partkey"]: r for r in _rows(spark, sf_dir, "lineitem_supplier_switching")}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .collect()
+    )
+    od = {r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+          for r in load_table(spark, sf_dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate").collect()}
+    from collections import defaultdict
+
+    rel: dict[tuple, list] = defaultdict(list)
+    for r in li:
+        ck, d = od[r["l_orderkey"]]
+        rel[(ck, r["l_partkey"])].append(
+            (d, r["l_orderkey"], r["l_linenumber"], r["l_suppkey"])
+        )
+    want: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for (ck, pk), buys in rel.items():
+        buys.sort()
+        trans = len(buys) - 1
+        switches = sum(1 for a, b in zip(buys, buys[1:]) if a[3] != b[3])
+        w = want[pk]
+        w[0] += 1
+        if trans > 0:
+            w[1] += 1
+        w[2] += trans
+        w[3] += switches
+    want = {pk: w for pk, w in want.items() if w[2] > 0}
+    assert set(rows) == set(want)
+    for pk, (nr, nrr, nt, ns) in want.items():
+        r = rows[pk]
+        assert (r["n_relationships"], r["n_repeat_relationships"],
+                r["n_transitions"], r["n_switches"]) == (nr, nrr, nt, ns)
+        assert abs(r["switch_rate"] - ns / max(nt, 1)) < 2e-6

@@ -193,6 +193,7 @@ EXTRA = (
     "pipeline_dataset_card",
     "events_peak_concurrency",
     "similarity_centroid_classifier",
+    "lineitem_supplier_switching",
 )
 
 
