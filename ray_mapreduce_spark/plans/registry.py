@@ -131,7 +131,8 @@ def register(
 # orders_user_similarity_jaccard, events_lifecycle_stages,
 # sample_balanced_langs, pipeline_dataset_card,
 # events_peak_concurrency, similarity_centroid_classifier,
-# lineitem_supplier_switching — 78 by now — plus any r10
+# lineitem_supplier_switching, timeseries_metric_correlations — 79
+# by now — plus any r10
 # additions/changes, then (b0) the 15 displaced stale-r5 names
 # (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
 # by then), then (c) the displaced r6 dedup-text block

@@ -412,3 +412,142 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("rolling_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-metric correlation matrix over the daily series: do volume
+# (count), intensity (mean value), and reach (distinct users) move
+# together? The multivariate health diagnostic behind "is growth
+# broad or whale-driven". Built on the ACF disciplines: integer
+# legs (count, distinct users) make their moments exact; the mean
+# leg is 6dp-locked first; each Pearson is the six-sum closed form
+# folded from one tiny daily frame.
+@register(
+    "timeseries_metric_correlations",
+    tags=("timeseries", "correlation", "aggregate"),
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS du,
+             round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS DOUBLE) / (100.0 * count(*)), 6) AS meanv
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS sc, CAST(sum(du) AS BIGINT) AS sd,
+             sum(meanv) AS sm,
+             CAST(sum(cnt * cnt) AS BIGINT) AS scc,
+             CAST(sum(du * du) AS BIGINT) AS sdd,
+             sum(meanv * meanv) AS smm,
+             CAST(sum(cnt * du) AS BIGINT) AS scd,
+             sum(cnt * meanv) AS scm,
+             sum(du * meanv) AS sdm
+      FROM d
+    )
+    SELECT p.metric_a, p.metric_b, s.n AS n_days,
+           round(p.num / sqrt(p.va * p.vb) + 1e-9, 6) + 0.0 AS r
+    FROM s, LATERAL (
+      SELECT * FROM (VALUES
+        ('count', 'distinct_users',
+         CAST(s.n * s.scd - s.sc * s.sd AS DOUBLE),
+         CAST(s.n * s.scc - s.sc * s.sc AS DOUBLE),
+         CAST(s.n * s.sdd - s.sd * s.sd AS DOUBLE)),
+        ('count', 'mean_value',
+         s.n * s.scm - s.sc * s.sm,
+         CAST(s.n * s.scc - s.sc * s.sc AS DOUBLE),
+         s.n * s.smm - s.sm * s.sm),
+        ('distinct_users', 'mean_value',
+         s.n * s.sdm - s.sd * s.sm,
+         CAST(s.n * s.sdd - s.sd * s.sd AS DOUBLE),
+         s.n * s.smm - s.sm * s.sm)
+      ) AS t(metric_a, metric_b, num, va, vb)
+    ) p
+    """,
+)
+def timeseries_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric_a, metric_b, n_days, r): Pearson r between the daily
+    count, distinct-user, and 6dp-locked mean-value series.
+    Determinism: integer legs are exact; mixed sums add identical
+    doubles with ~n·ulp noise far under the 6dp bias; sqrt is
+    correctly rounded; signed-zero guard on r. Scale shape: one
+    per-day partial aggregation of the fact (partial-distinct for
+    users), a 1-row moment fold, and a 3-row literal explode."""
+    e = _events(spark, sf_dir)
+    d = e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("user_id").cast("bigint").alias("du"),
+        F.round(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1))),
+            6,
+        ).alias("meanv"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("sc"),
+        F.sum("du").cast("bigint").alias("sd"),
+        F.sum("meanv").alias("sm"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("scc"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sdd"),
+        F.sum(F.col("meanv") * F.col("meanv")).alias("smm"),
+        F.sum(F.col("cnt") * F.col("du")).cast("bigint").alias("scd"),
+        F.sum(F.col("cnt") * F.col("meanv")).alias("scm"),
+        F.sum(F.col("du") * F.col("meanv")).alias("sdm"),
+    )
+    pairs = F.array(
+        F.struct(
+            F.lit("count").alias("metric_a"),
+            F.lit("distinct_users").alias("metric_b"),
+            (F.col("n") * F.col("scd") - F.col("sc") * F.col("sd"))
+            .cast("double")
+            .alias("num"),
+            (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+            .cast("double")
+            .alias("va"),
+            (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd"))
+            .cast("double")
+            .alias("vb"),
+        ),
+        F.struct(
+            F.lit("count").alias("metric_a"),
+            F.lit("mean_value").alias("metric_b"),
+            (F.col("n") * F.col("scm") - F.col("sc") * F.col("sm")).alias(
+                "num"
+            ),
+            (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+            .cast("double")
+            .alias("va"),
+            (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).alias(
+                "vb"
+            ),
+        ),
+        F.struct(
+            F.lit("distinct_users").alias("metric_a"),
+            F.lit("mean_value").alias("metric_b"),
+            (F.col("n") * F.col("sdm") - F.col("sd") * F.col("sm")).alias(
+                "num"
+            ),
+            (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd"))
+            .cast("double")
+            .alias("va"),
+            (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).alias(
+                "vb"
+            ),
+        ),
+    )
+    x = s.select("n", F.explode(pairs).alias("p"))
+    return x.select(
+        F.col("p.metric_a").alias("metric_a"),
+        F.col("p.metric_b").alias("metric_b"),
+        F.col("n").alias("n_days"),
+        (
+            F.round(
+                F.col("p.num") / F.sqrt(F.col("p.va") * F.col("p.vb"))
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r"),
+    )

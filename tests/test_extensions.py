@@ -3468,3 +3468,38 @@ def test_supplier_switching_replay(spark, sf_dir):
         assert (r["n_relationships"], r["n_repeat_relationships"],
                 r["n_transitions"], r["n_switches"]) == (nr, nrr, nt, ns)
         assert abs(r["switch_rate"] - ns / max(nt, 1)) < 2e-6
+
+
+def test_metric_correlations_numpy_replay(spark, sf_dir):
+    """numpy replay of the three cross-metric Pearson r values."""
+    import numpy as np
+
+    rows = {(r["metric_a"], r["metric_b"]): r
+            for r in _rows(spark, sf_dir, "timeseries_metric_correlations")}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+        )
+        .collect()
+    )
+    agg: dict[int, list] = {}
+    for r in ev:
+        a = agg.setdefault(r["day"], [0, set(), 0])
+        a[0] += 1
+        a[1].add(r["user_id"])
+        a[2] += r["vc"]
+    days = sorted(agg)
+    cnt = np.array([agg[d][0] for d in days], dtype=np.float64)
+    du = np.array([len(agg[d][1]) for d in days], dtype=np.float64)
+    meanv = np.array([round(agg[d][2] / (100.0 * agg[d][0]), 6) for d in days])
+    series = {"count": cnt, "distinct_users": du, "mean_value": meanv}
+    assert set(rows) == {("count", "distinct_users"), ("count", "mean_value"),
+                         ("distinct_users", "mean_value")}
+    for (a, b), r in rows.items():
+        assert r["n_days"] == len(days)
+        want = float(np.corrcoef(series[a], series[b])[0, 1])
+        assert abs(r["r"] - want) < 1e-5, (a, b, r["r"], want)
+        assert -1.0 <= r["r"] <= 1.0

@@ -194,6 +194,7 @@ EXTRA = (
     "events_peak_concurrency",
     "similarity_centroid_classifier",
     "lineitem_supplier_switching",
+    "timeseries_metric_correlations",
 )
 
 
