@@ -1839,6 +1839,79 @@ def substring_span_hits(d: DataFrame) -> DataFrame:
 EDIT_BLOCK_CHARS = 24
 EDIT_HEAD_CHARS = 200
 EDIT_SIM_THRESHOLD = 0.90
+# Block-saturation ceiling (VERDICT r9 #3, mirroring the simhash
+# guard): a template-headed corpus puts one giant population behind a
+# single 24-char prefix and the in-block join goes corpus-quadratic.
+# A block of k docs contributes k(k-1)/2 pairs = (k-1)/2 per member;
+# legit exact-head clone families are tens of docs ((k-1)/2 ~ 10s),
+# so 256 candidate pairs/doc (k ~ 513 in one block) separates real
+# template families from floods by an order of magnitude.
+EDIT_MAX_CANDIDATES_PER_DOC = 256
+
+
+def edit_distance_pairs(d: DataFrame) -> DataFrame:
+    """Core of dedup_edit_distance_pairs over a (doc_id, t) frame
+    (t already lowercased); see the registered builder's docstring.
+    Raises in-plan at action time when prefix blocks are saturated
+    (> EDIT_MAX_CANDIDATES_PER_DOC implied candidate pairs per doc)
+    — computed BEFORE the self-join so a flood can never hide in a
+    silently-huge join."""
+    d = d.withColumn("blk", F.substring("t", 1, EDIT_BLOCK_CHARS))
+    # Block sizes via a window over the join key itself: the exchange
+    # this inserts is hashpartitioning(blk) — the join's own
+    # distribution, so the identical self-join sides still reuse one
+    # exchange and the data lands pre-partitioned for the join.
+    d = d.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("blk"))
+    )
+    sat = d.agg(
+        (F.sum(F.col("bsz") - 1) / 2).alias("cand_pairs"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    guard = F.when(
+        F.col("cand_pairs") > EDIT_MAX_CANDIDATES_PER_DOC * F.col("n_docs"),
+        F.raise_error(
+            F.concat(
+                F.lit("edit-distance prefix blocks are saturated: "),
+                F.col("cand_pairs").cast("string"),
+                F.lit(" candidate pairs for "),
+                F.col("n_docs").cast("string"),
+                F.lit(
+                    f" docs exceeds {EDIT_MAX_CANDIDATES_PER_DOC} per doc"
+                    " — a template-headed corpus shares one "
+                    f"{EDIT_BLOCK_CHARS}-char prefix; lengthen the block"
+                    " prefix, strip boilerplate heads first, or use the"
+                    " shingle-based paths (minhash/ngram jaccard)"
+                ),
+            )
+        ),
+    ).otherwise(F.lit(True))
+    d = d.crossJoin(F.broadcast(sat)).filter(guard).drop(
+        "cand_pairs", "n_docs", "bsz"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    head = lambda side: F.substring(F.col(f"{side}.t"), 1, EDIT_HEAD_CHARS)  # noqa: E731
+    m = F.greatest(
+        F.least(F.octet_length("a.t"), F.lit(EDIT_HEAD_CHARS)),
+        F.least(F.octet_length("b.t"), F.lit(EDIT_HEAD_CHARS)),
+    )
+    p = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(head("a"), head("b")).cast("bigint").alias("dist"),
+        m.alias("m"),
+    )
+    sim = F.lit(1.0) - F.col("dist") / F.col("m")
+    return p.filter(sim >= EDIT_SIM_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        "dist",
+        F.round(sim + F.lit(1e-9), 4).alias("sim"),
+    )
 
 
 @register(
@@ -1876,7 +1949,10 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical scan-rooted subtree — AQE runtime-reuses the exchange
     (gotcha #14 self-join case), so the corpus is scanned and
     prefix-projected ONCE; the quadratic DP runs only inside blocks
-    (prefix clones), capped at head chars. At crawl scale prefix
+    (prefix clones), capped at head chars, with an in-plan
+    saturation raise at EDIT_MAX_CANDIDATES_PER_DOC implied pairs
+    per doc (a template-headed corpus makes one giant block —
+    VERDICT r9 #3, the simhash-guard pattern). At crawl scale prefix
     blocking is the exact-head-clone screen; for typo-level recall
     beyond shared heads, band on q-gram signatures instead
     (dedup_ngram_jaccard / minhash are that path — this operator is
@@ -1885,35 +1961,7 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("t")
     )
-    a, b = d.alias("a"), d.alias("b")
-    head = lambda side: F.substring(F.col(f"{side}.t"), 1, EDIT_HEAD_CHARS)  # noqa: E731
-    m = F.greatest(
-        F.least(F.octet_length("a.t"), F.lit(EDIT_HEAD_CHARS)),
-        F.least(F.octet_length("b.t"), F.lit(EDIT_HEAD_CHARS)),
-    )
-    p = (
-        a.join(
-            b,
-            (
-                F.substring(F.col("a.t"), 1, EDIT_BLOCK_CHARS)
-                == F.substring(F.col("b.t"), 1, EDIT_BLOCK_CHARS)
-            )
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(head("a"), head("b")).cast("bigint").alias("dist"),
-            m.alias("m"),
-        )
-    )
-    sim = F.lit(1.0) - F.col("dist") / F.col("m")
-    return p.filter(sim >= EDIT_SIM_THRESHOLD).select(
-        "doc_a",
-        "doc_b",
-        "dist",
-        F.round(sim + F.lit(1e-9), 4).alias("sim"),
-    )
+    return edit_distance_pairs(d)
 
 
 # --------------------------------------------------------------------------

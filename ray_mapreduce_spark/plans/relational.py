@@ -2527,13 +2527,13 @@ CF_TOP_N = 100
     SELECT cust_a, cust_b, n_common,
            sa.n AS n_a, sb.n AS n_b,
            round(CAST(n_common AS DOUBLE)
-                 / (sa.n + sb.n - n_common), 6) AS jaccard
+                 / (sa.n + sb.n - n_common) + 1e-9, 6) AS jaccard
     FROM common
     JOIN sz sa ON sa.ck = cust_a
     JOIN sz sb ON sb.ck = cust_b
     WHERE n_common >= 2
     ORDER BY round(CAST(n_common AS DOUBLE)
-                   / (sa.n + sb.n - n_common), 6) DESC, cust_a, cust_b
+                   / (sa.n + sb.n - n_common) + 1e-9, 6) DESC, cust_a, cust_b
     LIMIT {CF_TOP_N}
     """,
 )
@@ -2541,8 +2541,9 @@ def orders_user_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
     """(cust_a, cust_b, n_common, n_a, n_b, jaccard): the CF_TOP_N
     most-similar customer pairs over discriminative purchased parts.
     Determinism: jaccard is a single division of exact integers,
-    ranked on the 6dp round with the (cust_a, cust_b) unique LIMIT
-    tiebreak. Scale shape: basket distinct + df window share one
+    ranked on the 6dp round (+1e-9 half-boundary bias both engines —
+    exact rationals like 3/128 land ON a 6dp boundary) with the
+    (cust_a, cust_b) unique LIMIT tiebreak. Scale shape: basket distinct + df window share one
     part-keyed exchange; the pair join consumes two IDENTICAL
     subtrees (runtime ReusedExchange, the ngram rule); fan-out is
     capped at CF_DF_CAP^2 per part; the top-N rides
@@ -2581,9 +2582,13 @@ def orders_user_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= 2)
     )
+    # +1e-9 pre-round bias (gotcha #3; ADVICE r9): exact rationals
+    # like 3/128 sit exactly on a 6dp round half-boundary and the
+    # rounded value drives the top-N ranking on both engines.
     jac = F.round(
         F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        + F.lit(1e-9),
         6,
     )
     return (

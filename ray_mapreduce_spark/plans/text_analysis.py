@@ -1217,19 +1217,26 @@ def quality_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no float accumulation; +1e-9 pre-round guard as in
     text_quality_score).
 
-    Scale note: ntile needs a per-lang sort, so one language is one
-    sort partition — fine while per-lang corpora fit a task's spill
-    budget. The crawl-scale variant computes approximate decile
-    boundaries (approx_percentile per lang, a partial-aggregable
-    sketch) and buckets by range instead; this exact form is the
-    oracle-able semantic and the calibration-table shape is
-    identical."""
-    from pyspark.sql.window import Window
+    Scale note (VERDICT r9 #4): a plain per-lang ntile puts one
+    LANGUAGE on one sort partition — parallel across langs but
+    unbounded within one. This plan instead uses the GROUPED
+    two-pass rank (functions/scale.py::two_pass_rank with
+    group_cols=[lang]): range-partition on (lang, qr, doc_id) so a
+    big language spans many contiguous partitions, then per-(pid,
+    lang) counts -> broadcast per-lang offsets; the exact ntile
+    derives from (rank-in-lang, lang total) — engine-identical to
+    the oracle's ntile, with no single-partition or one-lang
+    sort anywhere in the executed plan."""
+    from ..functions.scale import ntile_from_rank, two_pass_rank
 
     d = load_table(spark, sf_dir, "documents")
     q = d.select("doc_id", "lang", quality_raw_col().alias("qr"))
-    w = Window.partitionBy("lang").orderBy("qr", "doc_id")
-    deciled = q.withColumn("decile", F.ntile(10).over(w))
+    ranked = two_pass_rank(
+        q, ["qr", "doc_id"], "_rn", total_col="_tot", group_cols=["lang"]
+    )
+    deciled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_rn"), F.col("_tot"), 10)
+    )
     return deciled.groupBy("lang", "decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.min("qr") + F.lit(1e-9), 4).alias("q_min"),
@@ -2546,9 +2553,12 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     def occurrences(marker: str):
         # (len(t) - len(replace(t, marker))) div len(marker): exact
         # integer occurrence count, byte-identical across engines.
+        # Same quote-escaping as the DuckDB _occurrences_sql so a
+        # future marker containing ' cannot drift the two (ADVICE r9).
+        esc = marker.replace("'", "''")
         return F.expr(
             "(length(text) - length(replace(text, "
-            f"'{marker}'))) div {len(marker)}"
+            f"'{esc}'))) div {len(marker)}"
         )
 
     n_punct = sum(

@@ -284,9 +284,12 @@ def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is 6dp-locked before the six-sum fold so the only
     cross-engine divergence is n*ulp under the 1e-9 bias; sqrt is
     IEEE correctly-rounded (the temperature-mixture precedent).
-    Scale shape: one per-day partial aggregation of the fact; the
-    lag joins and the Pearson folds run on the tiny daily frame
-    (days x 7 rows) with the 7-row lag spine broadcast."""
+    Scale shape: one per-day partial aggregation of the fact,
+    eager-checkpointed — it fans out to BOTH join sides, which are
+    differing sibling subtrees built concurrently (no exchange reuse
+    possible, gotcha #9; ADVICE r9) — then the lag joins and the
+    Pearson folds run on the tiny daily frame (days x 7 rows) with
+    the 7-row lag spine broadcast."""
     e = _events(spark, sf_dir)
     d = e.groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
@@ -296,6 +299,7 @@ def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("meanv"),
     )
+    d = d.localCheckpoint(eager=True)
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
     a = d.crossJoin(F.broadcast(lags)).select(
         "lag",

@@ -614,3 +614,66 @@ def test_centroid_classifier_broadcasts_centroids(spark, sf_dir):
     nodes = _executed_nodes(spark, "similarity_centroid_classifier", sf_dir)
     assert any(n.startswith("BroadcastHashJoin") for n in nodes), nodes
     assert "CartesianProduct" not in nodes
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 #2: the five fact-proportional global-ordered windows
+# (gini / RFM / pareto / ABC / peak-concurrency) were swapped to the
+# two-pass range-partition + broadcast-offsets pattern
+# (functions/scale.py::two_pass_rank / two_pass_cumsum). Pin: in the
+# executed final plan, every Window that runs on a single partition
+# must be the pattern's intentionally-tiny offsets window (one row
+# per range partition — its lineage contains the `_pid` scratch
+# column); a single-partition Window whose subtree has no `_pid` is
+# the scale-killer global sort coming back.
+
+_TWO_PASS_NAMES = [
+    "events_user_gini",
+    "orders_rfm_segments",
+    "orders_pareto_share",
+    "orders_abc_analysis",
+    "events_peak_concurrency",
+    # grouped variant (VERDICT r9 #4): per-lang ntile with no
+    # one-lang-one-partition sort — must show ZERO single-partition
+    # windows (its offsets window is partitioned by lang).
+    "quality_calibration_deciles",
+]
+
+
+def _executed_single_partition_windows(spark, name, sf_dir):
+    spark.catalog.clearCache()
+    df = all_queries()[name].builder(spark, sf_dir)
+    df.collect()
+    found = []
+
+    def walk(p) -> None:
+        cls = p.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.finalPhysicalPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(p.plan())
+            return
+        if p.nodeName() == "Window" and "SinglePartition" in str(
+            p.outputPartitioning().toString()
+        ):
+            found.append(p.toString())
+        for i in range(p.children().length()):
+            walk(p.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.mark.parametrize("name", _TWO_PASS_NAMES)
+def test_no_fact_proportional_single_partition_window(spark, sf_dir, name):
+    wins = _executed_single_partition_windows(spark, name, sf_dir)
+    for w in wins:
+        assert "_pid" in w or "_rev" in w, (
+            name,
+            "single-partition Window over a fact-proportional frame",
+            w[:800],
+        )
