@@ -5648,3 +5648,148 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_sessions_started"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gap spectrum: per event type, the distribution of
+# gaps between consecutive events on a LOG2 axis — the traffic-shape
+# readout behind rate-limiter sizing and burst modeling (Poisson
+# traffic is one straight band; bot bursts pile into the short
+# buckets). The bucket is the BIT LENGTH of the exact integer
+# microsecond gap (length(bin(gap)) on both engines) — no float log
+# whose ulp could flip a power-of-two boundary gap.
+@register(
+    "events_interarrival_histogram",
+    tags=("events", "interarrival", "histogram", "window"),
+    oracle="""
+    WITH s AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             us - lag(us) OVER (
+               PARTITION BY event_type ORDER BY us, event_id
+             ) AS gap
+      FROM s
+    )
+    SELECT event_type,
+           CAST(length(bin(gap)) AS BIGINT) AS gap_bits,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, gap_bits, n_gaps, min_gap_us, max_gap_us):
+    log2-bucketed inter-arrival histogram per type (gap_bits =
+    bit length of the microsecond gap; bucket k holds gaps in
+    [2^(k-1), 2^k)). Determinism: gaps are exact integer micro
+    differences over the unique (us, event_id) per-type order;
+    equal-us pairs give gap 0 (bucket 1 — bin(0) = '0' on both
+    engines); min/max/count are order-free integers. Scale shape:
+    ONE type-keyed window sort (the sequence-op shape), then a
+    partial-aggregated groupBy on |types| x ~40 buckets."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    g = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_id",
+        )
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return g.groupBy(
+        "event_type",
+        F.length(F.bin("gap")).cast("bigint").alias("gap_bits"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_us"),
+        F.max("gap").cast("bigint").alias("max_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition of daily volume: trend = 7-day
+# centered moving average over interior days (full-window + span
+# guard, the orders_seasonal_index discipline), weekday seasonal =
+# mean detrended deviation per day-of-week. The classical STL-lite
+# a capacity planner runs on traffic counts. Weekday is the
+# dialect-free (epoch_day + 3) % 7 (0 = Monday) — Spark dayofweek()
+# and DuckDB's disagree on the week origin (gotcha, r9 heatmap).
+@register(
+    "events_seasonal_decompose",
+    tags=("events", "timeseries", "seasonality", "window"),
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, n,
+             sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
+             max(day) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               - min(day) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS span
+      FROM d
+    ),
+    i AS (
+      SELECT (day + 3) % 7 AS weekday, n,
+             CAST(s7 AS DOUBLE) / 7 AS trend
+      FROM w WHERE n_win = 7 AND span = 6
+    )
+    SELECT CAST(weekday AS BIGINT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(CAST(n AS DOUBLE)) + 1e-9, 4) AS mean_daily,
+           round(avg(n - trend) + 1e-9, 4) + 0.0 AS seasonal
+    FROM i GROUP BY 1
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(weekday, n_days, mean_daily, seasonal): mean detrended
+    deviation per day-of-week over interior days (those with a full
+    7-day window spanning exactly 6 day-indexes — edge days AND any
+    gap-adjacent day are excluded, no partial-window bias).
+    Determinism: daily counts are integers; trend = integer-sum / 7
+    is the identical correctly-rounded double; detrended values are
+    identical doubles, so only the per-weekday mean's summation
+    order diverges (+1e-9 bias; seasonal can be near-zero negative →
+    signed-zero `+ 0.0`, gotcha #3). Scale shape: one fact collapse
+    to the CALENDAR-bounded daily frame (31 rows/month, ~3650 for a
+    decade — bounded by time, not data, so the global day-ordered
+    window never grows with the corpus); two tiny aggs after."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wspec = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "n",
+        F.sum("n").over(wspec).alias("s7"),
+        F.count(F.lit(1)).over(wspec).alias("n_win"),
+        (F.max("day").over(wspec) - F.min("day").over(wspec)).alias("span"),
+    )
+    i = w.filter((F.col("n_win") == 7) & (F.col("span") == 6)).select(
+        ((F.col("day") + 3) % 7).alias("weekday"),
+        "n",
+        (F.col("s7").cast("double") / 7).alias("trend"),
+    )
+    return i.groupBy(F.col("weekday").cast("bigint").alias("weekday")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg(F.col("n").cast("double")) + F.lit(1e-9), 4).alias(
+            "mean_daily"
+        ),
+        (
+            F.round(
+                F.avg(F.col("n") - F.col("trend")) + F.lit(1e-9), 4
+            )
+            + F.lit(0.0)
+        ).alias("seasonal"),
+    )

@@ -90,135 +90,46 @@ def register(
 # fresh driver rows) = exactly 50. Displaced by the additions (new >
 # stale — the sample_split_assign precedent): the r6 dedup-text
 # block AND the last 15 stale r5 names — both LEAD ROUND 10.
-# ROUND 10 PLAN: (a) CORRECTNESS_r09 red rows first, then (b) the
-# LATE-r9 ops registered after this window was pinned (no driver row
-# yet; each oracle-green at 3 SFs + partition-deterministic
-# in-round): embedding_truncation_fidelity,
-# graph_clustering_coefficient, events_seasonal_forecast_smape,
-# text_tokenizer_fertility, events_attribution_linear,
-# dedup_edit_distance_pairs, events_ewma_volatility,
-# sample_kcenter_coreset, graph_kcore_peel, similarity_rrf_fusion,
-# privacy_k_anonymity, orders_benford_digits, dedup_split_leakage,
-# embedding_label_agreement, events_psi_drift,
-# orders_seasonal_index, text_compression_quality (rows-only;
-# python-replay gated), embedding_diversity_gram,
-# dedup_funnel_report, text_langid_confusion,
-# events_next_event_accuracy, supplier_brand_hhi,
-# events_dau_wau_stickiness, graph_adamic_adar_linkpred,
-# timeseries_twap, sample_dedup_aware_weights,
-# text_readability_flesch, privacy_l_diversity,
-# cluster_silhouette_simplified, sample_curriculum_interleave,
-# events_gap_survival, text_charclass_profile,
-# events_attribution_ushape, dedup_threshold_curve,
-# text_hapax_ratio, orders_activity_migration,
-# orders_interarrival_burstiness, embedding_clip_calibration,
-# orders_abc_analysis, events_overdispersion,
-# events_user_entropy_bands, events_daily_peaks,
-# supplier_lead_time, part_assortment_depth, events_cuped_readout,
-# similarity_topk_ivfpq (rows-only; adversarial-fixture recall gates
-# at two sizes), events_tukey_fences, events_pettitt_changepoint,
-# privacy_t_closeness, events_did_readout, dedup_bloom_prefilter,
-# lineitem_discount_elasticity, sample_hard_negatives,
-# text_code_detection, timeseries_acf_lags,
-# timeseries_rolling_median, lineitem_returnflag_anova,
-# orders_scd2_intervals, events_ks_two_sample,
-# events_hill_tail_index, orders_reactivation,
-# events_quantile_treatment_effect, text_quality_retention_curve,
-# events_weekday_hour_heatmap, events_user_growth_curve,
-# sample_recency_decay, events_window_funnel,
-# text_naive_bayes_langid, events_slo_burn_rate,
-# lineitem_duplicate_lines_screen, dedup_incremental_neardup,
-# orders_user_similarity_jaccard, events_lifecycle_stages,
-# sample_balanced_langs, pipeline_dataset_card,
-# events_peak_concurrency, similarity_centroid_classifier,
-# lineitem_supplier_switching, timeseries_metric_correlations — 79
-# by now — plus any r10
-# additions/changes, then (b0) the 15 displaced stale-r5 names
-# (q10_returned_item_revenue .. array_hof_functions — 5 rounds stale
-# by then), then (c) the displaced r6 dedup-text block
-# (cluster_kmeans_assign, text_bm25_topdocs, text_unigram_logprob,
-# hybrid_neardup_scores, chunk_documents_overlap — listed first past
-# the window below), then (d) the 8 rows-only names whose driver rows
-# are stuck at r6 (agg_approx_count_distinct, approx_percentiles,
-# dedup_minhash_pairs, dedup_clusters, pipeline_clean_corpus,
-# similarity_topk_lsh, dedup_embedding_lsh, similarity_topk_ivf —
-# listed second past the window; VERDICT r8 #6 asked for this
-# reservation in writing), then (e) the r2-refresh tail
-# (text_fingerprint .. stream_interval_join). Every r10 addition
-# displaces from the tail of (c)+(d) — displaced names lead r11.
+# ROUND 10 WINDOW (pinned this round, exactly 50; executed per
+# VERDICT r9 #1 with additions capped at 5): (a) CORRECTNESS_r09 had
+# ZERO red rows; (a2) 4 queries whose PLANS changed this round
+# (two-pass window swaps, VERDICT r9 #2) but whose newest driver row
+# predates the change — events_user_gini, orders_rfm_segments,
+# orders_pareto_share, quality_calibration_deciles (changed-plan >
+# everything, the red-row analogue); (b) the 5 r10 additions (each
+# oracle-green at sf0.001/0.01/0.1 AND partition-deterministic at
+# sf0.01+sf0.1 in-round); (b0) the 15 stale-r5 names (5 rounds
+# stale); (d) the 8 rows-only names stuck at r6 driver rows
+# (VERDICT r9 #5: drain, reserved in writing since r8); (b2) the 8
+# late-r9 backlog names whose plans ALSO changed this round (window
+# swaps + guards + checkpoint fixes — all re-verified at 3 SFs +
+# 2-SF determinism in-round); (b3) the first 10 UNCHANGED late-r9
+# backlog names in the r9 note's order. = 4+5+15+8+8+10 = 50.
+# ROUND 11 PLAN: (a) CORRECTNESS_r10 red rows first, then (b) the
+# REMAINING 61 late-r9 no-driver-row names (listed verbatim past the
+# window below, in the r9 note order — 12 of them were judge-
+# re-verified at sf0.01 in VERDICT r9 but still lack a driver row),
+# plus any r11 additions/changes, then (c) the r6 dedup-text block
+# (dedup_ngram_jaccard, cluster_kmeans_assign, text_bm25_topdocs,
+# text_unigram_logprob, hybrid_neardup_scores,
+# chunk_documents_overlap — 5 rounds stale by r11), then (e) the
+# r2-refresh tail (text_fingerprint .. stream_interval_join). With a
+# 50-slot window, r11 = reds + additions + the first ~45 of the 61;
+# r12 takes the rest + (c) + (e). Every r11 addition displaces from
+# the tail of the 61 — displaced names lead r12.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (1) the 4 late-r8 ops: first-ever driver rows --
-    "text_distinctive_terms",
-    "orders_cohort_ltv",
-    "events_bot_score",
-    "q8_national_market_share",
-    # -- (2) the 5 round-9 additions --
-    "q16_part_supplier_variety",
-    "q21_late_sole_suppliers",
-    "dedup_minhash_estimate_pairs",
-    "decontaminate_substring_spans",
-    "sample_epoch_mixture_plan",
-    # -- (2b) the 5 TPC-H completions (q9/q11/q12/q15/q20 — the suite
-    #    now covers all 22 shapes); each oracle-green at 3 SFs +
-    #    sf0.1-deterministic in-round. With (2c)/(2d)/(2e) below,
-    #    the additions displace the LAST 15 stale r5 names
-    #    (q10_returned_item_revenue .. array_hof_functions), which
-    #    now lead round 10 (new > stale, the standing precedent).
-    "q9_product_profit",
-    "q11_important_part_value",
-    "q12_ship_class_priority",
-    "q15_top_supplier",
-    "q20_dominant_suppliers",
-    # -- (2c) the 5 late-r9 additions (reliability ranking, table
-    #    profiling, graph assortativity, SQ8 quantization error,
-    #    streaming-dedup batch twin); same in-round evidence bar.
-    #    They displace 5 MORE stale r5 names (the tail from
-    #    udf_mapinpandas_tokens onward).
-    "supplier_reliability_wilson",
-    "profile_documents_columns",
-    "graph_degree_assortativity",
-    "embedding_sq8_error",
-    "stream_dedup_ids",
-    # -- (2d) the 2 batch-2 additions (interval-stabbing backlog,
-    #    PCA projection histogram); same evidence bar; displace 2
-    #    more stale r5 names.
-    "orders_open_backlog_daily",
-    "embedding_pca_histogram",
-    # -- (2e) the 3 batch-3 additions (A/B z-test readout, Gopher
-    #    rule filters, data-validation rules); same evidence bar;
-    #    displace 3 more stale r5 names.
-    "events_ab_test_zscore",
-    "text_gopher_filters",
-    "lineitem_consistency_rules",
-    # -- (3) the 41 stale r5-green names, r5-window order --
-    "json_extract_agg",
-    "interval_shift",
-    "math_functions",
-    "error_branch_classify",
-    "month_count",
-    "date_functions",
-    "sort_limit_top100",
-    "window_rank_dense",
-    "window_running_and_lag",
-    "window_moving_avg",
-    "string_functions",
-    "map_functions",
-    "regexp_normalize",
-    "array_map_explode",
-    "stats_aggregates",
-    "levenshtein_type_pairs",
-    "null_semantics",
-    "cross_join_regions",
-    "in_subquery_custkeys",
-    "q1_pricing_summary",
-    "join_left_outer_customer",
-    "join_semi_open_orders",
-    "q6_forecast_revenue",
-    "join_customer_orders",
-    "q5_local_supplier_revenue",
-    "q3_shipping_priority",
-    # ---- past the 50-slot window: r10 leads, in order ----
-    # (b0) the 15 stale-r5 names displaced by the r9 additions
+    # -- (a2) plans changed in r10: re-green the driver record --
+    "events_user_gini",
+    "orders_rfm_segments",
+    "orders_pareto_share",
+    "quality_calibration_deciles",
+    # -- (b) the 5 r10 additions --
+    "text_token_burstiness",
+    "corpus_lang_source_independence",
+    "events_interarrival_histogram",
+    "events_seasonal_decompose",
+    "sample_neyman_allocation",
+    # -- (b0) the 15 stale-r5 names --
     "q10_returned_item_revenue",
     "q18_large_orders",
     "try_cast_parsing",
@@ -234,16 +145,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_top_bigrams",
     "array_hof_functions",
-    # (c) the r6-green dedup-text block (incl. dedup_ngram_jaccard,
-    #     which prior notes miscounted into the "stale r5" 41 — its
-    #     newest green row is r6, see CORRECTNESS_r06)
-    "dedup_ngram_jaccard",
-    "cluster_kmeans_assign",
-    "text_bm25_topdocs",
-    "text_unigram_logprob",
-    "hybrid_neardup_scores",
-    "chunk_documents_overlap",
-    # (d) the 8 rows-only names stuck at r6 driver rows
+    # -- (d) the 8 rows-only names stuck at r6 --
     "agg_approx_count_distinct",
     "approx_percentiles",
     "dedup_minhash_pairs",
@@ -252,6 +154,96 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_topk_lsh",
     "dedup_embedding_lsh",
     "similarity_topk_ivf",
+    # -- (b2) late-r9 backlog, plans changed in r10 --
+    "dedup_edit_distance_pairs",
+    "events_peak_concurrency",
+    "orders_abc_analysis",
+    "timeseries_acf_lags",
+    "events_pettitt_changepoint",
+    "orders_user_similarity_jaccard",
+    "text_code_detection",
+    "events_lifecycle_stages",
+    # -- (b3) late-r9 backlog head, unchanged, note order --
+    "embedding_truncation_fidelity",
+    "graph_clustering_coefficient",
+    "events_seasonal_forecast_smape",
+    "text_tokenizer_fertility",
+    "events_attribution_linear",
+    "events_ewma_volatility",
+    "sample_kcenter_coreset",
+    "graph_kcore_peel",
+    "similarity_rrf_fusion",
+    "privacy_k_anonymity",
+    # ---- past the 50-slot window: r11 leads, in order ----
+    # the remaining 61 late-r9 no-driver-row names
+    "orders_benford_digits",
+    "dedup_split_leakage",
+    "embedding_label_agreement",
+    "events_psi_drift",
+    "orders_seasonal_index",
+    "text_compression_quality",
+    "embedding_diversity_gram",
+    "dedup_funnel_report",
+    "text_langid_confusion",
+    "events_next_event_accuracy",
+    "supplier_brand_hhi",
+    "events_dau_wau_stickiness",
+    "graph_adamic_adar_linkpred",
+    "timeseries_twap",
+    "sample_dedup_aware_weights",
+    "text_readability_flesch",
+    "privacy_l_diversity",
+    "cluster_silhouette_simplified",
+    "sample_curriculum_interleave",
+    "events_gap_survival",
+    "text_charclass_profile",
+    "events_attribution_ushape",
+    "dedup_threshold_curve",
+    "text_hapax_ratio",
+    "orders_activity_migration",
+    "orders_interarrival_burstiness",
+    "embedding_clip_calibration",
+    "events_overdispersion",
+    "events_user_entropy_bands",
+    "events_daily_peaks",
+    "supplier_lead_time",
+    "part_assortment_depth",
+    "events_cuped_readout",
+    "similarity_topk_ivfpq",
+    "events_tukey_fences",
+    "privacy_t_closeness",
+    "events_did_readout",
+    "dedup_bloom_prefilter",
+    "lineitem_discount_elasticity",
+    "sample_hard_negatives",
+    "timeseries_rolling_median",
+    "lineitem_returnflag_anova",
+    "orders_scd2_intervals",
+    "events_ks_two_sample",
+    "events_hill_tail_index",
+    "orders_reactivation",
+    "events_quantile_treatment_effect",
+    "text_quality_retention_curve",
+    "events_weekday_hour_heatmap",
+    "events_user_growth_curve",
+    "sample_recency_decay",
+    "events_window_funnel",
+    "text_naive_bayes_langid",
+    "events_slo_burn_rate",
+    "lineitem_duplicate_lines_screen",
+    "dedup_incremental_neardup",
+    "sample_balanced_langs",
+    "pipeline_dataset_card",
+    "similarity_centroid_classifier",
+    "lineitem_supplier_switching",
+    "timeseries_metric_correlations",
+    # (c) the r6-green dedup-text block
+    "dedup_ngram_jaccard",
+    "cluster_kmeans_assign",
+    "text_bm25_topdocs",
+    "text_unigram_logprob",
+    "hybrid_neardup_scores",
+    "chunk_documents_overlap",
 )
 
 

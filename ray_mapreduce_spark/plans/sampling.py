@@ -1021,3 +1021,86 @@ def sample_balanced_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation: the optimal stratified-sampling design table —
+# allocate a fixed sample budget across strata proportional to
+# N_h * S_h (stratum size x stratum std), the variance-minimizing
+# split. The design readout a data pipeline computes BEFORE drawing
+# a stratified eval set (sample_stratified draws; this sizes).
+NEYMAN_SAMPLE_N = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    tags=("sampling", "stratified", "design", "aggregate"),
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY 1
+    ),
+    s AS (
+      SELECT lang, n_h,
+             round(n_h * sqrt(greatest(
+               CAST(s2 AS DOUBLE) / n_h
+               - (CAST(s1 AS DOUBLE) / n_h) * (CAST(s1 AS DOUBLE) / n_h),
+               0.0)), 6) AS w_h
+      FROM m
+    ),
+    t AS (SELECT sum(w_h) AS w FROM s)
+    SELECT lang, n_h AS n_docs,
+           round(w_h + 1e-9, 4) AS neyman_weight,
+           round(w_h / t.w + 1e-9, 6) AS alloc_share,
+           CAST(floor({NEYMAN_SAMPLE_N} * round(w_h / t.w + 1e-9, 6) + 1e-6)
+                AS BIGINT) AS alloc_n
+    FROM s CROSS JOIN t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, neyman_weight, alloc_share, alloc_n): optimal
+    allocation of a NEYMAN_SAMPLE_N-doc budget across language
+    strata, weighted by N_h * population-std of doc length.
+    Determinism: moments are exact integer sums (never engine-native
+    stddev — Welford vs naive differ, gotcha r8); the variance is
+    s2/n - (s1/n)^2 with each division correctly rounded over
+    identical integers, so S_h is the identical double (sqrt is
+    IEEE; greatest(...,0) guards the zero-variance stratum's tiny
+    negative float residue); w_h is 6dp-LOCKED before the share sum
+    so only the 5-term total diverges (+1e-9 bias); alloc_n floors
+    the 6dp-locked share (+1e-6 nudge absorbs the
+    float-under-integer representation of exact multiples).
+    Scale shape: ONE partial-aggregated fact collapse to |langs|
+    rows; the share total is a window over that tiny frame."""
+    from pyspark.sql.window import Window as _W
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_h")
+        - (F.col("s1").cast("double") / F.col("n_h"))
+        * (F.col("s1").cast("double") / F.col("n_h")),
+        F.lit(0.0),
+    )
+    s = m.select(
+        "lang",
+        "n_h",
+        F.round(F.col("n_h") * F.sqrt(var), 6).alias("w_h"),
+    )
+    wtot = F.sum("w_h").over(_W.partitionBy())
+    share = F.round(F.col("w_h") / wtot + F.lit(1e-9), 6)
+    return s.select(
+        "lang",
+        F.col("n_h").alias("n_docs"),
+        F.round(F.col("w_h") + F.lit(1e-9), 4).alias("neyman_weight"),
+        share.alias("alloc_share"),
+        F.floor(NEYMAN_SAMPLE_N * share + F.lit(1e-6))
+        .cast("bigint")
+        .alias("alloc_n"),
+    )

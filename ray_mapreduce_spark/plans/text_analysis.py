@@ -3000,3 +3000,165 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_lang_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Token burstiness (Church–Gale): cf/df per token — function words
+# occur once per document (ratio ~1), topical words cluster in few
+# docs (ratio >> 1). The corpus-linguistics readout behind stopword
+# induction and topical-vocabulary mining. Exact integers until one
+# output division; cf ties broken by the unique token string.
+BURSTINESS_TOP_N = 100
+
+
+@register(
+    "text_token_burstiness",
+    tags=("text", "burstiness", "vocabulary", "topk"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    a AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    )
+    SELECT t AS token, cf, df,
+           round(CAST(cf AS DOUBLE) / df + 1e-9, 4) AS burstiness
+    FROM a
+    ORDER BY cf DESC, t
+    LIMIT {BURSTINESS_TOP_N}
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, cf, df, burstiness): collection frequency over document
+    frequency for the BURSTINESS_TOP_N most frequent tokens.
+    Determinism: cf/df are exact integers; burstiness is one integer
+    ratio (+1e-9 bias); the LIMIT rides (cf DESC, token) — token is
+    unique within the aggregate. Scale shape: explode + ONE
+    two-phase distinct aggregate (Spark expands count+countDistinct
+    into (t, doc_id) partial dedup then the t fold — both stages
+    map-side combine); the top-N rides TakeOrderedAndProject. No
+    windows, no self-joins."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    a = tok.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        a.select(
+            F.col("t").alias("token"),
+            "cf",
+            "df",
+            F.round(
+                F.col("cf").cast("double") / F.col("df") + F.lit(1e-9), 4
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("cf").desc(), "token")
+        .limit(BURSTINESS_TOP_N)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language x source independence: the full contingency-table
+# chi-square test + Cramér's V — "is language composition the same
+# across sources?" (orders_priority_drift is the per-slice
+# goodness-of-fit cousin; this is the global association test a
+# corpus auditor runs first). Zero-observed cells are folded in
+# WITHOUT enumerating them: their (0-E)^2/E = E, and sum(E) over all
+# cells = N, so chi2 = sum_present((obs-E)^2/E) + (N - sum_present(E)).
+@register(
+    "corpus_lang_source_independence",
+    tags=("text", "chi-square", "composition", "aggregate"),
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rl FROM c GROUP BY 1),
+    s AS (SELECT source, CAST(sum(obs) AS BIGINT) AS cs FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM c),
+    term AS (
+      SELECT c.obs,
+             (CAST(r.rl AS DOUBLE) * s.cs) / n.total AS e,
+             n.total AS total, n.n_langs AS n_langs,
+             n.n_sources AS n_sources
+      FROM c JOIN r ON r.lang = c.lang
+             JOIN s ON s.source = c.source
+             CROSS JOIN n
+    )
+    SELECT min(total) AS n_docs,
+           min(n_langs) AS n_langs,
+           min(n_sources) AS n_sources,
+           CAST((min(n_langs) - 1) * (min(n_sources) - 1) AS BIGINT) AS dof,
+           round(sum((obs - e) * (obs - e) / e)
+                 + (min(total) - sum(e)) + 1e-9, 4) AS chi2,
+           round(sqrt((sum((obs - e) * (obs - e) / e)
+                       + (min(total) - sum(e)))
+                      / (min(total)
+                         * least(min(n_langs) - 1, min(n_sources) - 1)))
+                 + 1e-9, 6) AS cramers_v
+    FROM term
+    """,
+)
+def corpus_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_langs, n_sources, dof, chi2, cramers_v): Pearson
+    chi-square independence test of the lang x source contingency
+    table with effect size. Determinism: cells/marginals are exact
+    integers; each E = (rl * cs) / total is ONE double multiply
+    (rl*cs <= ~1e10, exactly representable) + one division —
+    identical on both engines; only the term sum is order-divergent
+    (+1e-9 bias); absent cells fold in via the algebraic identity in
+    the header. Scale shape: one fact-collapse to |langs x sources|
+    cells, then marginal windows over that tiny frame; 1-row
+    output."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    # Marginals as windows over the cell frame (|L|x|S| rows — tiny
+    # at any corpus size; no second fact scan).
+    c = (
+        c.withColumn("rl", F.sum("obs").over(Window.partitionBy("lang")))
+        .withColumn("cs", F.sum("obs").over(Window.partitionBy("source")))
+        .withColumn("total", F.sum("obs").over(Window.partitionBy()))
+        .withColumn(
+            "n_langs",
+            F.size(F.collect_set("lang").over(Window.partitionBy())),
+        )
+        .withColumn(
+            "n_sources",
+            F.size(F.collect_set("source").over(Window.partitionBy())),
+        )
+    )
+    e = (F.col("rl").cast("double") * F.col("cs")) / F.col("total")
+    term = c.select(
+        "obs",
+        e.alias("e"),
+        "total",
+        "n_langs",
+        "n_sources",
+    )
+    chi2 = F.sum((F.col("obs") - F.col("e")) * (F.col("obs") - F.col("e")) / F.col("e")) + (
+        F.min("total") - F.sum("e")
+    )
+    kmin = F.least(F.min("n_langs") - 1, F.min("n_sources") - 1)
+    return term.agg(
+        F.min("total").cast("bigint").alias("n_docs"),
+        F.min("n_langs").cast("bigint").alias("n_langs"),
+        F.min("n_sources").cast("bigint").alias("n_sources"),
+        ((F.min("n_langs") - 1) * (F.min("n_sources") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(chi2 + F.lit(1e-9), 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.min("total") * kmin)) + F.lit(1e-9), 6
+        ).alias("cramers_v"),
+    )

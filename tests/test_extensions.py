@@ -3533,3 +3533,63 @@ def test_edit_distance_guard_passes_diverse_corpus(spark):
     docs = spark.createDataFrame(rows, "doc_id: long, t: string")
     out = edit_distance_pairs(docs).collect()
     assert any(r["doc_a"] == 7 and r["doc_b"] == 900 for r in out), out
+
+
+def test_r10_additions_semantics(spark, sf_dir):
+    """Semantic gates for the r10 additions beyond the oracle hash:
+    burstiness >= 1 (cf >= df by construction), interarrival buckets
+    hold 2^(bits-1) <= gap < 2^bits, Neyman allocation never
+    over-spends the budget and shares sum to ~1, seasonal weekday
+    deviations are volume-weighted-zero-mean over interior days, and
+    the independence test's effect size lands in [0, 1]."""
+    from ray_mapreduce_spark.plans import all_queries
+
+    q = all_queries()
+
+    b = q["text_token_burstiness"].builder(spark, sf_dir).collect()
+    assert b and all(r["cf"] >= r["df"] and r["burstiness"] >= 1.0 for r in b)
+
+    h = q["events_interarrival_histogram"].builder(spark, sf_dir).collect()
+    assert h
+    for r in h:
+        lo = 0 if r["gap_bits"] == 1 else 2 ** (r["gap_bits"] - 1)
+        assert lo <= r["min_gap_us"] <= r["max_gap_us"] < 2 ** r["gap_bits"]
+
+    a = q["sample_neyman_allocation"].builder(spark, sf_dir).collect()
+    assert a
+    assert sum(r["alloc_n"] for r in a) <= 1000
+    assert abs(sum(r["alloc_share"] for r in a) - 1.0) < 1e-3
+
+    # Seasonal decompose: full python replay of the CMA + weekday
+    # means from the raw daily counts (the exact semantic, not a
+    # distributional heuristic — interior days aren't a multiple of
+    # 7, so deviations need NOT net to zero).
+    s = q["events_seasonal_decompose"].builder(spark, sf_dir).collect()
+    assert s and all(0 <= r["weekday"] <= 6 for r in s)
+    import duckdb as _dd
+
+    daily = dict(
+        _dd.sql(
+            "SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, count(*) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    days = sorted(daily)
+    expect: dict[int, list[float]] = {}
+    for ix in range(3, len(days) - 3):
+        win = days[ix - 3 : ix + 4]
+        if win[-1] - win[0] != 6:
+            continue
+        trend = sum(daily[d] for d in win) / 7.0
+        expect.setdefault((days[ix] + 3) % 7, []).append(daily[days[ix]] - trend)
+    assert {r["weekday"] for r in s} == set(expect)
+    for r in s:
+        vals = expect[r["weekday"]]
+        assert r["n_days"] == len(vals)
+        assert abs(r["seasonal"] - sum(vals) / len(vals)) < 1e-3
+
+    i = q["corpus_lang_source_independence"].builder(spark, sf_dir).collect()
+    assert len(i) == 1
+    row = i[0]
+    assert row["chi2"] >= 0 and 0.0 <= row["cramers_v"] <= 1.0
+    assert row["dof"] == (row["n_langs"] - 1) * (row["n_sources"] - 1)
