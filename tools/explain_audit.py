@@ -195,6 +195,13 @@ EXTRA = (
     "similarity_centroid_classifier",
     "lineitem_supplier_switching",
     "timeseries_metric_correlations",
+    # r10: the two-pass window swaps + the round's additions
+    "orders_abc_analysis",
+    "text_token_burstiness",
+    "corpus_lang_source_independence",
+    "events_interarrival_histogram",
+    "events_seasonal_decompose",
+    "sample_neyman_allocation",
 )
 
 

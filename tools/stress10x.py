@@ -42,6 +42,17 @@ DEFAULT = [
     # saturation line — the probe documents the loud error, see
     # SCALING.md's stress section); at 1x it must stay under the guard.
     "similarity_pq_adc_topk",
+    # r10 (VERDICT r9 #7): the r9 families that had not seen 10x data.
+    "dedup_edit_distance_pairs",  # prefix blocks densify into exact-clone
+    # families of 10 — probes in-block quadratic growth under the
+    # 256-pairs/doc saturation guard ((k-1)/2 = 4.5 per replica family).
+    "similarity_topk_ivfpq",  # candidate count per probed cell grows 10x;
+    # ADC stays integer table lookups — probe the per-cell join growth.
+    "orders_open_backlog_daily",  # interval stabbing: 10x orders on the
+    # same calendar — the daily running-sum frame is calendar-bounded,
+    # only the per-day delta agg should grow.
+    "events_peak_concurrency",  # sweep-line over 10x sessions through
+    # the two-pass cumsum — offsets stay one row per partition.
 ]
 
 SHIFT = {
