@@ -125,3 +125,25 @@ def test_two_pass_partition_invariance(spark):
         assert out["32"] == out["3"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_ntile_from_rank_fewer_rows_than_buckets(spark):
+    """n < k: every row gets its own bucket 1..n (SQL ntile). The
+    otherwise-branch's sz=0 division must stay unevaluated for these
+    rows (CaseWhen is lazy per row — pin that it doesn't raise under
+    ANSI or return garbage)."""
+    df = _frame(spark, 3, seed=3)
+    ranked = two_pass_rank(df, ["v", "id"], "rn", total_col="tot")
+    got = {
+        r["id"]: r["t"]
+        for r in ranked.withColumn(
+            "t", ntile_from_rank(F.col("rn"), F.col("tot"), 10)
+        ).collect()
+    }
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(10).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
