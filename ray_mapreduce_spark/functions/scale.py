@@ -36,7 +36,16 @@ def _two_pass_base(df: DataFrame, sort_cols: list[Column | str]):
     draw different boundaries and the _pid->offset mapping would
     silently corrupt the global order (gotcha #9: concurrent sibling
     branches miss a lazy cache). Materialize exactly once via eager
-    localCheckpoint. Template: plans/windows.py::window_distribution."""
+    localCheckpoint. Template: plans/windows.py::window_distribution.
+
+    Exchange count: the pattern costs TWO full-frame exchanges, not
+    one — the range exchange here plus a hashpartitioning(_pid[,
+    groups]) exchange for the local window (RangePartitioning does
+    not satisfy the window's ClusteredDistribution, so Spark
+    re-shuffles on _pid). That is the known cost of expressing
+    per-partition rank declaratively; it still beats the
+    single-partition global sort it replaces, whose ONE "exchange"
+    serializes the whole fact table through one task."""
     parts = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -130,8 +139,13 @@ def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
     """SQL ``ntile(k)`` derived from a (two-pass) global rank: the
     first ``total % k`` buckets get ``floor(total/k)+1`` rows. Exact
     integer arithmetic — identical to the engine-native ntile over
-    the same unique ordering."""
-    sz = (total / k).cast("long")
+    the same unique ordering. The bucket size is computed as
+    (total - total % k) / k over DECIMAL so there is no double
+    intermediate: the numerator is exactly divisible by k and a
+    19-digit value at scale 6 fits decimal(38,6), so the quotient is
+    exact even for totals past 2^53 (a double quotient could round
+    across an integer there and truncate to the wrong size)."""
+    sz = ((total - total % k).cast("decimal(38,0)") / F.lit(k)).cast("long")
     r = total % k
     big = r * (sz + 1)
     return (

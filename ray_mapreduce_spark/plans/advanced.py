@@ -5793,3 +5793,274 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("seasonal"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: the experiment-DESIGN table computed before any
+# test runs — per metric (event type), the per-arm sample size needed
+# to detect a POWER_MDE_REL relative lift in mean value at two-sided
+# alpha=0.05 with 80% power. The natural companion readout to
+# events_ab_test_zscore (which evaluates a test after the fact).
+# z constants interpolated as CAST(... AS DOUBLE) python literals on
+# both engines (the benford rule: bare decimal literals parse as
+# DECIMAL in DuckDB and poison the arithmetic with decimal ops).
+POWER_Z_ALPHA = 1.959963984540054  # Phi^-1(0.975)
+POWER_Z_BETA = 0.8416212335729143  # Phi^-1(0.80)
+POWER_MDE_REL = 0.05
+
+
+@register(
+    "events_power_analysis",
+    tags=("events", "stats", "experiment", "design", "aggregate"),
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           round(CAST(s1 AS DOUBLE) / n_events / 100 + 1e-9, 6) AS mean_value,
+           round(greatest(CAST(s2 AS DOUBLE) / n_events
+                          - (CAST(s1 AS DOUBLE) / n_events)
+                            * (CAST(s1 AS DOUBLE) / n_events), 0.0) / 10000
+                 + 1e-9, 4) AS var_value,
+           round(CAST({POWER_MDE_REL} AS DOUBLE)
+                 * (CAST(s1 AS DOUBLE) / n_events / 100) + 1e-9, 6) AS mde_abs,
+           CAST(ceil(
+             2.0 * (CAST({POWER_Z_ALPHA} AS DOUBLE)
+                    + CAST({POWER_Z_BETA} AS DOUBLE))
+                 * (CAST({POWER_Z_ALPHA} AS DOUBLE)
+                    + CAST({POWER_Z_BETA} AS DOUBLE))
+                 * (greatest(CAST(s2 AS DOUBLE) / n_events
+                             - (CAST(s1 AS DOUBLE) / n_events)
+                               * (CAST(s1 AS DOUBLE) / n_events), 0.0) / 10000)
+                 / ((CAST({POWER_MDE_REL} AS DOUBLE)
+                     * (CAST(s1 AS DOUBLE) / n_events / 100))
+                    * (CAST({POWER_MDE_REL} AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / n_events / 100)))
+           ) AS BIGINT) AS n_per_arm
+    FROM m
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, mean_value, var_value, mde_abs,
+    n_per_arm): two-sample z-test sample-size table — n per arm =
+    2(z_a+z_b)^2 * sigma^2 / delta^2 with delta = POWER_MDE_REL *
+    mean, from the observed per-type value distribution.
+
+    Determinism: value is 2dp money, so moments are EXACT integer
+    cent sums (never engine-native stddev — Welford vs naive differ,
+    gotcha r8); mean/variance are identical IEEE op trees over those
+    integers, so even the ceil() boundary is bit-identical
+    cross-engine (the Wilson discipline) — no tolerance anywhere.
+    Scale shape: ONE partial-aggregated fact collapse to |types|
+    rows; all design arithmetic runs on that tiny frame."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum(cents * cents).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_events") / 100
+    var = (
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_events")
+            - (F.col("s1").cast("double") / F.col("n_events"))
+            * (F.col("s1").cast("double") / F.col("n_events")),
+            F.lit(0.0),
+        )
+        / 10000
+    )
+    delta = F.lit(POWER_MDE_REL) * mean
+    zsum = F.lit(POWER_Z_ALPHA) + F.lit(POWER_Z_BETA)
+    return m.select(
+        "event_type",
+        "n_events",
+        F.round(mean + F.lit(1e-9), 6).alias("mean_value"),
+        F.round(var + F.lit(1e-9), 4).alias("var_value"),
+        F.round(delta + F.lit(1e-9), 6).alias("mde_abs"),
+        F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
+        .cast("bigint")
+        .alias("n_per_arm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Monthly price indices over lineitem: Laspeyres (base-month basket),
+# Paasche (current-month basket) and Fisher (geometric mean) vs the
+# first shipping month, over parts present in BOTH months — the
+# standard matched-basket inflation readout of a transactional fact.
+@register(
+    "lineitem_price_index",
+    tags=("lineitem", "economics", "price-index", "aggregate"),
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk, strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT pk, cents AS b_cents, qty AS b_qty FROM pm
+      WHERE month = (SELECT min(month) FROM pm)
+    ),
+    j AS (
+      SELECT pm.month,
+             CAST(pm.cents AS DOUBLE) / pm.qty AS u_m,
+             CAST(b.b_cents AS DOUBLE) / b.b_qty AS u_b,
+             pm.qty AS q_m, b.b_qty AS q_b
+      FROM pm JOIN b USING (pk)
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_matched_parts,
+           round(sum(u_m * q_b) / sum(u_b * q_b) + 1e-9, 6) AS laspeyres,
+           round(sum(u_m * q_m) / sum(u_b * q_m) + 1e-9, 6) AS paasche,
+           round(sqrt((sum(u_m * q_b) / sum(u_b * q_b))
+                      * (sum(u_m * q_m) / sum(u_b * q_m))) + 1e-9, 6)
+             AS fisher
+    FROM j GROUP BY month
+    """,
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, n_matched_parts, laspeyres, paasche, fisher): matched-
+    part monthly price indices vs the first shipping month. Unit
+    prices are cents/qty over EXACT integer sums (identical doubles
+    cross-engine); only the per-month basket sums are order-divergent
+    and they feed a ~O(1) ratio, so +1e-9 after a 6dp round covers
+    the ulp noise (gotcha #3's magnitude rule: the rounded quantity
+    is the ratio, not the 1e10-scale sums).
+
+    Scale shape: one fact collapse to the (part, month) aggregate —
+    eager-checkpointed because the base-month branch and the
+    all-months branch are differently-filtered SIBLINGS of one
+    aggregate feeding one join (the no-reuse shape, gotcha #14); the
+    join is part-keyed equi; the index fold partial-aggregates to
+    |months| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    pm = li.groupBy("pk", "month").agg(
+        F.sum("c").cast("bigint").alias("cents"),
+        F.sum("q").cast("bigint").alias("qty"),
+    )
+    pm = pm.localCheckpoint(eager=True)
+    base_month = pm.agg(F.min("month").alias("bm"))
+    b = (
+        pm.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("bm"))
+        .select(
+            "pk",
+            F.col("cents").alias("b_cents"),
+            F.col("qty").alias("b_qty"),
+        )
+    )
+    j = pm.join(b, "pk").select(
+        "month",
+        (F.col("cents").cast("double") / F.col("qty")).alias("u_m"),
+        (F.col("b_cents").cast("double") / F.col("b_qty")).alias("u_b"),
+        F.col("qty").alias("q_m"),
+        F.col("b_qty").alias("q_b"),
+    )
+    lasp = F.sum(F.col("u_m") * F.col("q_b")) / F.sum(F.col("u_b") * F.col("q_b"))
+    paas = F.sum(F.col("u_m") * F.col("q_m")) / F.sum(F.col("u_b") * F.col("q_m"))
+    return j.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_parts"),
+        F.round(lasp + F.lit(1e-9), 6).alias("laspeyres"),
+        F.round(paas + F.lit(1e-9), 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas) + F.lit(1e-9), 6).alias("fisher"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate: how predictable is the NEXT event given the
+# current one — per-state conditional entropy H(next|s) weighted by
+# the empirical state share. The information-theoretic companion to
+# events_markov_transitions / events_next_event_accuracy: entropy
+# near 0 = deterministic flows, near ln(|types|) = uniform churn.
+@register(
+    "events_markov_entropy_rate",
+    tags=("events", "markov", "entropy", "sequence", "window"),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT from_type,
+             CAST(sum(c) AS BIGINT) AS n_out,
+             CAST(count(*) AS BIGINT) AS n_next_types,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
+      FROM t GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS nn FROM s)
+    SELECT from_type, n_out, n_next_types,
+           round(ln(CAST(n_out AS DOUBLE)) - sclnc / n_out + 1e-9, 6)
+             + 0.0 AS cond_entropy,
+           round(CAST(n_out AS DOUBLE) / tot.nn + 1e-9, 6) AS state_share,
+           round((CAST(n_out AS DOUBLE) / tot.nn)
+                 * (ln(CAST(n_out AS DOUBLE)) - sclnc / n_out) + 1e-9, 6)
+             + 0.0 AS rate_contribution
+    FROM s CROSS JOIN tot
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, n_out, n_next_types, cond_entropy, state_share,
+    rate_contribution): per-state conditional entropy of the
+    first-order event-type Markov chain (nats) and its share-weighted
+    contribution to the chain entropy rate.
+
+    Determinism: the (ts, event_id) composite makes lead()
+    tie-deterministic (markov_transitions discipline); counts are
+    exact integers and H = ln(n) - sum(c ln c)/n (the token_entropy
+    trick) — the one order-divergent sum is divided by n_out, which
+    shrinks ulp divergence ~n·ulp(sum)/n far below the +1e-9 bias;
+    near-zero entropies get +0.0 (signed-zero rule). Scale shape:
+    one user-keyed window exchange (shared with the sessionize
+    family), transition groupBy collapses to |types|^2 rows, the
+    rest runs on that tiny frame with a broadcast scalar total."""
+    e = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(wseq).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = t.groupBy("from_type").agg(
+        F.sum("c").cast("bigint").alias("n_out"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclnc"
+        ),
+    )
+    tot = s.agg(F.sum("n_out").cast("bigint").alias("nn"))
+    h = F.log(F.col("n_out").cast("double")) - F.col("sclnc") / F.col("n_out")
+    share = F.col("n_out").cast("double") / F.col("nn")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        "n_out",
+        "n_next_types",
+        (F.round(h + F.lit(1e-9), 6) + F.lit(0.0)).alias("cond_entropy"),
+        F.round(share + F.lit(1e-9), 6).alias("state_share"),
+        (F.round(share * h + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "rate_contribution"
+        ),
+    )

@@ -105,77 +105,43 @@ def register(
 # swaps + guards + checkpoint fixes — all re-verified at 3 SFs +
 # 2-SF determinism in-round); (b3) the first 10 UNCHANGED late-r9
 # backlog names in the r9 note's order. = 4+5+15+8+8+10 = 50.
-# ROUND 11 PLAN: (a) CORRECTNESS_r10 red rows first, then (b) the
-# REMAINING 61 late-r9 no-driver-row names (listed verbatim past the
-# window below, in the r9 note order — 12 of them were judge-
-# re-verified at sf0.01 in VERDICT r9 but still lack a driver row),
-# plus any r11 additions/changes, then (c) the r6 dedup-text block
-# (dedup_ngram_jaccard, cluster_kmeans_assign, text_bm25_topdocs,
-# text_unigram_logprob, hybrid_neardup_scores,
-# chunk_documents_overlap — 5 rounds stale by r11), then (e) the
-# r2-refresh tail (text_fingerprint .. stream_interval_join). With a
-# 50-slot window, r11 = reds + additions + the first ~45 of the 61;
-# r12 takes the rest + (c) + (e). Every r11 addition displaces from
-# the tail of the 61 — displaced names lead r12.
+# ROUND 11 WINDOW (pinned this round, exactly 50): (a) CORRECTNESS_r10
+# had ZERO red rows; (a2) 5 queries whose PLANS changed this round
+# (ntile_from_rank exact integer division reaches rfm/pareto/
+# calibration; degenerate-input guards change neyman + independence
+# — ADVICE r10; changed-plan > everything); similarity_mmr_rerank
+# (VERDICT r10 #1 — the one registry name that was missing from this
+# rotation entirely); the 5 r11 additions (capped per VERDICT r10
+# #2); then the first 39 of the 61 late-r9 backlog names in the r9
+# note order. = 5+1+5+39 = 50.
+# ROUND 12 PLAN: (a) CORRECTNESS_r11 red rows first, then (b) the
+# remaining 22 late-r9 backlog names (listed verbatim past the
+# window below) + any r12 additions/changes, then (c) the r6
+# dedup-text block (6 names — 6 rounds stale by r12, KEEP against
+# displacement per VERDICT r10 #4), then (e) the r2-refresh tail
+# (text_fingerprint .. stream_interval_join). 22+6 = 28 names fit
+# in one window with ~20 slots to spare for additions + the (e)
+# tail head. Every r12 addition displaces from the (e) tail, never
+# from (b)/(c).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (a2) plans changed in r10: re-green the driver record --
-    "events_user_gini",
+    # -- (a2) plans changed in r11: the ntile_from_rank exact-
+    # integer-division swap (ADVICE r10) reaches rfm/pareto/
+    # calibration; the degenerate-input guards (ADVICE r10) change
+    # neyman + independence --
     "orders_rfm_segments",
     "orders_pareto_share",
     "quality_calibration_deciles",
-    # -- (b) the 5 r10 additions --
-    "text_token_burstiness",
-    "corpus_lang_source_independence",
-    "events_interarrival_histogram",
-    "events_seasonal_decompose",
     "sample_neyman_allocation",
-    # -- (b0) the 15 stale-r5 names --
-    "q10_returned_item_revenue",
-    "q18_large_orders",
-    "try_cast_parsing",
-    "above_segment_avg_orders",
-    "udaf_applyinpandas_median",
-    "udf_mapinpandas_tokens",
-    "udf_scalar_log_value",
-    "dedup_exact",
-    "dedup_exact_stats",
-    "dedup_survivors_window",
-    "text_token_stats",
-    "text_token_count_regex",
-    "text_lang_id",
-    "text_top_bigrams",
-    "array_hof_functions",
-    # -- (d) the 8 rows-only names stuck at r6 --
-    "agg_approx_count_distinct",
-    "approx_percentiles",
-    "dedup_minhash_pairs",
-    "dedup_clusters",
-    "pipeline_clean_corpus",
-    "similarity_topk_lsh",
-    "dedup_embedding_lsh",
-    "similarity_topk_ivf",
-    # -- (b2) late-r9 backlog, plans changed in r10 --
-    "dedup_edit_distance_pairs",
-    "events_peak_concurrency",
-    "orders_abc_analysis",
-    "timeseries_acf_lags",
-    "events_pettitt_changepoint",
-    "orders_user_similarity_jaccard",
-    "text_code_detection",
-    "events_lifecycle_stages",
-    # -- (b3) late-r9 backlog head, unchanged, note order --
-    "embedding_truncation_fidelity",
-    "graph_clustering_coefficient",
-    "events_seasonal_forecast_smape",
-    "text_tokenizer_fertility",
-    "events_attribution_linear",
-    "events_ewma_volatility",
-    "sample_kcenter_coreset",
-    "graph_kcore_peel",
-    "similarity_rrf_fusion",
-    "privacy_k_anonymity",
-    # ---- past the 50-slot window: r11 leads, in order ----
-    # the remaining 61 late-r9 no-driver-row names
+    "corpus_lang_source_independence",
+    # -- VERDICT r10 #1: the one query outside the rotation plan --
+    "similarity_mmr_rerank",
+    # -- the 5 r11 additions --
+    "events_power_analysis",
+    "lineitem_price_index",
+    "events_markov_entropy_rate",
+    "sample_importance_reweight",
+    "text_source_js_divergence",
+    # -- (b) late-r9 backlog head: first 39 of the 61, note order --
     "orders_benford_digits",
     "dedup_split_leakage",
     "embedding_label_agreement",
@@ -215,6 +181,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_did_readout",
     "dedup_bloom_prefilter",
     "lineitem_discount_elasticity",
+    # ---- past the 50-slot window: r12 leads, in order ----
+    # the remaining 22 late-r9 no-driver-row names
     "sample_hard_negatives",
     "timeseries_rolling_median",
     "lineitem_returnflag_anova",

@@ -1053,8 +1053,11 @@ NEYMAN_SAMPLE_N = 1000
     t AS (SELECT sum(w_h) AS w FROM s)
     SELECT lang, n_h AS n_docs,
            round(w_h + 1e-9, 4) AS neyman_weight,
-           round(w_h / t.w + 1e-9, 6) AS alloc_share,
-           CAST(floor({NEYMAN_SAMPLE_N} * round(w_h / t.w + 1e-9, 6) + 1e-6)
+           round(CASE WHEN t.w = 0 THEN 0.0 ELSE w_h / t.w END + 1e-9, 6)
+             AS alloc_share,
+           CAST(floor({NEYMAN_SAMPLE_N} * round(
+                CASE WHEN t.w = 0 THEN 0.0 ELSE w_h / t.w END + 1e-9, 6)
+                + 1e-6)
                 AS BIGINT) AS alloc_n
     FROM s CROSS JOIN t
     """,
@@ -1094,7 +1097,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_h") * F.sqrt(var), 6).alias("w_h"),
     )
     wtot = F.sum("w_h").over(_W.partitionBy())
-    share = F.round(F.col("w_h") / wtot + F.lit(1e-9), 6)
+    # Degenerate all-zero-variance corpus guard (ADVICE r10): wtot=0
+    # would make every share 0/0 = NaN on both engines; define the
+    # share as 0.0 there instead (identical CASE on the oracle side).
+    share = F.round(
+        F.when(wtot == 0, F.lit(0.0)).otherwise(F.col("w_h") / wtot)
+        + F.lit(1e-9),
+        6,
+    )
     return s.select(
         "lang",
         F.col("n_h").alias("n_docs"),
@@ -1103,4 +1113,80 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(NEYMAN_SAMPLE_N * share + F.lit(1e-6))
         .cast("bigint")
         .alias("alloc_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Importance reweighting to a uniform language target: the design
+# table for training on a skewed corpus WITHOUT resampling it —
+# per-lang weight = target_share / observed_share, plus the effective
+# sample size (Kish ESS) the weighted corpus is worth. The companion
+# to sample_balanced_langs (which drops rows; this keeps them all and
+# reweights the loss).
+@register(
+    "sample_importance_reweight",
+    tags=("sampling", "reweighting", "design", "aggregate"),
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n_l) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS l
+      FROM c
+    ),
+    w AS (
+      SELECT c.lang, c.n_l, t.n, t.l,
+             (CAST(t.n AS DOUBLE) / t.l) / c.n_l AS w_l
+      FROM c CROSS JOIN t
+    ),
+    e AS (
+      SELECT sum(n_l * w_l) AS sw, sum(n_l * w_l * w_l) AS sw2 FROM w
+    )
+    SELECT lang, n_l AS n_docs,
+           round(CAST(n_l AS DOUBLE) / n + 1e-9, 6) AS obs_share,
+           round(1.0 / l + 1e-9, 6) AS target_share,
+           round(w_l + 1e-9, 6) AS weight,
+           round(e.sw * e.sw / e.sw2 + 1e-9, 4) AS ess
+    FROM w CROSS JOIN e
+    """,
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, obs_share, target_share, weight, ess): per-lang
+    importance weights that re-target the corpus to a UNIFORM
+    language mixture, and the Kish effective sample size
+    (sum w)^2 / sum w^2 of the weighted corpus (replicated per row —
+    the single corpus-level design scalar).
+
+    Determinism: counts are exact integers; w_l = (N/L)/n_l is an
+    identical two-division IEEE tree; only the |langs|-term ESS sums
+    are order-divergent (+1e-9 bias after the 4dp round — the sums
+    are O(N), the ratio O(N), ulp noise ~1e-12). Scale shape: ONE
+    partial-aggregated fact collapse to |langs| rows; everything
+    else runs on that tiny frame with broadcast scalars."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+    t = c.agg(
+        F.sum("n_l").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    w = c.crossJoin(F.broadcast(t)).withColumn(
+        "w_l", (F.col("n").cast("double") / F.col("l")) / F.col("n_l")
+    )
+    e = w.agg(
+        F.sum(F.col("n_l") * F.col("w_l")).alias("sw"),
+        F.sum(F.col("n_l") * F.col("w_l") * F.col("w_l")).alias("sw2"),
+    )
+    return w.crossJoin(F.broadcast(e)).select(
+        "lang",
+        F.col("n_l").alias("n_docs"),
+        F.round(F.col("n_l").cast("double") / F.col("n") + F.lit(1e-9), 6).alias(
+            "obs_share"
+        ),
+        F.round(F.lit(1.0) / F.col("l") + F.lit(1e-9), 6).alias("target_share"),
+        F.round(F.col("w_l") + F.lit(1e-9), 6).alias("weight"),
+        F.round(
+            F.col("sw") * F.col("sw") / F.col("sw2") + F.lit(1e-9), 4
+        ).alias("ess"),
     )

@@ -3100,11 +3100,15 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((min(n_langs) - 1) * (min(n_sources) - 1) AS BIGINT) AS dof,
            round(sum((obs - e) * (obs - e) / e)
                  + (min(total) - sum(e)) + 1e-9, 4) AS chi2,
-           round(sqrt((sum((obs - e) * (obs - e) / e)
-                       + (min(total) - sum(e)))
-                      / (min(total)
-                         * least(min(n_langs) - 1, min(n_sources) - 1)))
-                 + 1e-9, 6) AS cramers_v
+           round(CASE
+                   WHEN least(min(n_langs) - 1, min(n_sources) - 1) = 0
+                   THEN 0.0
+                   ELSE sqrt((sum((obs - e) * (obs - e) / e)
+                              + (min(total) - sum(e)))
+                             / (min(total)
+                                * least(min(n_langs) - 1,
+                                        min(n_sources) - 1)))
+                 END + 1e-9, 6) AS cramers_v
     FROM term
     """,
 )
@@ -3158,7 +3162,110 @@ def corpus_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("dof"),
         F.round(chi2 + F.lit(1e-9), 4).alias("chi2"),
+        # Degenerate-table guard (ADVICE r10): a 1-lang or 1-source
+        # corpus makes kmin = 0 and Cramér's V 0/0 = NaN; a
+        # single-row/column table is trivially independent, so define
+        # V = 0 there (identical CASE on the oracle side).
         F.round(
-            F.sqrt(chi2 / (F.min("total") * kmin)) + F.lit(1e-9), 6
+            F.when(kmin == 0, F.lit(0.0)).otherwise(
+                F.sqrt(chi2 / (F.min("total") * kmin))
+            )
+            + F.lit(1e-9),
+            6,
         ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source unigram
+# distributions — the symmetric, bounded (<= ln 2) cousin of
+# corpus_source_kl: which source PAIRS carry the same kind of text?
+# The mixture-design input when deciding which sources are
+# interchangeable vs complementary. Absent-token mass folds in
+# ALGEBRAICALLY (the chi-square zero-cell trick): a token present in
+# a with share p and absent in b contributes 0.5*p*ln 2, and
+# sum(p) over a-only tokens = 1 - (a's shared mass), so
+# JSD = sum_shared + 0.5*ln2*(2 - shared_mass_a - shared_mass_b) —
+# inner join only, no outer-join null handling.
+@register(
+    "text_source_js_divergence",
+    tags=("text", "jsd", "composition", "drift"),
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    c AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, t
+    ),
+    s AS (
+      SELECT source, t, c_st,
+             CAST(sum(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM c
+    ),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(a.c_st AS DOUBLE) / a.n_s AS p,
+             CAST(b.c_st AS DOUBLE) / b.n_s AS q
+      FROM s a JOIN s b ON a.t = b.t AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_terms,
+           round(sum(0.5 * p * ln(2 * p / (p + q))
+                     + 0.5 * q * ln(2 * q / (p + q)))
+                 + 0.5 * ln(CAST(2 AS DOUBLE)) * (2 - sum(p) - sum(q))
+                 + 1e-9, 6) AS jsd_nats
+    FROM pair GROUP BY source_a, source_b
+    """,
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_shared_terms, jsd_nats): JSD between
+    every source pair's token unigram distribution, absent-mass
+    folded in algebraically (see header).
+
+    Determinism: p/q are exact-integer divisions (identical doubles
+    cross-engine); each shared term is one fixed IEEE op tree; only
+    the per-pair vocab sums are order-divergent and JSD is O(1), so
+    +1e-9 after the 6dp round covers the ulp noise. Scale shape: one
+    tokenize lineage -> (source, t) counts with the per-source total
+    as a WINDOW over the grouped frame (no agg-then-rejoin, r6
+    rule); the pair join is a SELF-join of that identical
+    scan-rooted frame on the token key (runtime ReusedExchange —
+    compute once, gotcha #14) producing O(vocab * sources^2) rows,
+    never O(corpus); the JSD fold partial-aggregates per pair."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    c = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    from pyspark.sql.window import Window as _W
+
+    s = c.withColumn("n_s", F.sum("c_st").over(_W.partitionBy("source")))
+    a = s.select(
+        F.col("source").alias("source_a"),
+        F.col("t").alias("t"),
+        (F.col("c_st").cast("double") / F.col("n_s")).alias("p"),
+    )
+    b = s.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb"),
+        (F.col("c_st").cast("double") / F.col("n_s")).alias("q"),
+    )
+    pair = a.join(
+        b, (F.col("t") == F.col("tb")) & (F.col("source_a") < F.col("source_b"))
+    )
+    term = F.lit(0.5) * F.col("p") * F.log(
+        F.lit(2) * F.col("p") / (F.col("p") + F.col("q"))
+    ) + F.lit(0.5) * F.col("q") * F.log(
+        F.lit(2) * F.col("q") / (F.col("p") + F.col("q"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return pair.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        F.round(
+            F.sum(term)
+            + F.lit(0.5) * ln2 * (F.lit(2) - F.sum("p") - F.sum("q"))
+            + F.lit(1e-9),
+            6,
+        ).alias("jsd_nats"),
     )

@@ -3593,3 +3593,121 @@ def test_r10_additions_semantics(spark, sf_dir):
     row = i[0]
     assert row["chi2"] >= 0 and 0.0 <= row["cramers_v"] <= 1.0
     assert row["dof"] == (row["n_langs"] - 1) * (row["n_sources"] - 1)
+
+
+def test_r11_additions_semantics(spark, sf_dir):
+    """Semantic gates for the r11 additions beyond the oracle hash:
+    power-analysis sample sizes replay the closed form from raw
+    moments; every price index is exactly 1 for the base month and
+    replays in python for a later month; entropy rates respect the
+    0..ln(k) information bounds and shares sum to 1; importance
+    weights preserve total corpus mass and ESS <= N; JSD is
+    symmetric-bounded in [0, ln 2] and replays in python for one
+    source pair."""
+    import math
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import (
+        POWER_MDE_REL,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    q = all_queries()
+
+    # --- events_power_analysis: full closed-form replay ---
+    p = q["events_power_analysis"].builder(spark, sf_dir).collect()
+    assert p and all(r["n_per_arm"] > 0 for r in p)
+    mom = {
+        r[0]: r
+        for r in _dd.sql(
+            "SELECT event_type, count(*), "
+            "sum(CAST(round(value*100) AS BIGINT)), "
+            "sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    for r in p:
+        _, n, s1, s2 = mom[r["event_type"]]
+        var = max(s2 / n - (s1 / n) ** 2, 0.0) / 10000
+        delta = POWER_MDE_REL * (s1 / n / 100)
+        want = math.ceil(2.0 * (POWER_Z_ALPHA + POWER_Z_BETA) ** 2 * var / delta**2)
+        assert r["n_per_arm"] == want, (r["event_type"], r["n_per_arm"], want)
+
+    # --- lineitem_price_index: base month == 1.0, python replay of
+    # the LAST month from raw part-month aggregates ---
+    idx = {r["month"]: r for r in q["lineitem_price_index"].builder(spark, sf_dir).collect()}
+    base = min(idx)
+    assert idx[base]["laspeyres"] == 1.0 == idx[base]["paasche"] == idx[base]["fisher"]
+    pm = {}
+    for pk, mo, cents, qty in _dd.sql(
+        "SELECT l_partkey, strftime(l_shipdate, '%Y-%m'), "
+        "sum(CAST(round(l_extendedprice*100) AS BIGINT)), "
+        "sum(CAST(l_quantity AS BIGINT)) "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2"
+    ).fetchall():
+        pm[(pk, mo)] = (cents / qty, qty)
+    last = max(idx)
+    ln = lp = pn = pp_ = 0.0
+    n_matched = 0
+    for (pk, mo), (u_m, q_m) in pm.items():
+        if mo != last or (pk, base) not in pm:
+            continue
+        u_b, q_b = pm[(pk, base)]
+        n_matched += 1
+        ln += u_m * q_b
+        lp += u_b * q_b
+        pn += u_m * q_m
+        pp_ += u_b * q_m
+    assert idx[last]["n_matched_parts"] == n_matched
+    assert abs(idx[last]["laspeyres"] - ln / lp) < 1e-4
+    assert abs(idx[last]["paasche"] - pn / pp_) < 1e-4
+    assert abs(idx[last]["fisher"] - math.sqrt((ln / lp) * (pn / pp_))) < 1e-4
+
+    # --- events_markov_entropy_rate: information bounds ---
+    er = q["events_markov_entropy_rate"].builder(spark, sf_dir).collect()
+    assert er
+    assert abs(sum(r["state_share"] for r in er) - 1.0) < 1e-3
+    for r in er:
+        assert 0.0 <= r["cond_entropy"] <= math.log(r["n_next_types"]) + 1e-6
+        assert abs(r["rate_contribution"] - r["state_share"] * r["cond_entropy"]) < 1e-3
+
+    # --- sample_importance_reweight: mass preservation + Kish bound ---
+    w = q["sample_importance_reweight"].builder(spark, sf_dir).collect()
+    assert w
+    n_total = sum(r["n_docs"] for r in w)
+    assert abs(sum(r["n_docs"] * r["weight"] for r in w) - n_total) < 1e-3 * n_total
+    assert all(r["weight"] > 0 for r in w)
+    ess = w[0]["ess"]
+    assert all(r["ess"] == ess for r in w)
+    assert 0 < ess <= n_total + 1e-6
+
+    # --- text_source_js_divergence: bounds + python replay of the
+    # lexicographically first pair from raw token counts ---
+    j = q["text_source_js_divergence"].builder(spark, sf_dir).collect()
+    assert j and all(r["source_a"] < r["source_b"] for r in j)
+    assert all(-1e-9 <= r["jsd_nats"] <= math.log(2) + 1e-6 for r in j)
+    first = min((r["source_a"], r["source_b"]) for r in j)
+    got = next(
+        r["jsd_nats"] for r in j if (r["source_a"], r["source_b"]) == first
+    )
+    counts: dict[str, dict[str, int]] = {first[0]: {}, first[1]: {}}
+    for src, tok, c in _dd.sql(
+        "SELECT source, unnest(string_split(lower(text), ' ')) AS t, "
+        f"count(*) FROM '{sf_dir}/documents.parquet' "
+        f"WHERE source IN ('{first[0]}', '{first[1]}') GROUP BY 1, 2"
+    ).fetchall():
+        counts[src][tok] = c
+    na, nb = sum(counts[first[0]].values()), sum(counts[first[1]].values())
+    jsd = 0.0
+    for tok in set(counts[first[0]]) | set(counts[first[1]]):
+        pa = counts[first[0]].get(tok, 0) / na
+        pb = counts[first[1]].get(tok, 0) / nb
+        m = (pa + pb) / 2
+        if pa:
+            jsd += 0.5 * pa * math.log(pa / m)
+        if pb:
+            jsd += 0.5 * pb * math.log(pb / m)
+    assert abs(got - jsd) < 1e-4, (got, jsd)

@@ -670,10 +670,79 @@ import pytest as _pytest_mod
 
 @_pytest_mod.mark.parametrize("name", _TWO_PASS_NAMES)
 def test_no_fact_proportional_single_partition_window(spark, sf_dir, name):
+    # Per-query allowed substrings beyond the pattern's `_pid` offsets
+    # window: only pareto's 10-row decile-total window (its lineage
+    # shows `_rev`, an aggregate output bounded at 10 rows). Keeping
+    # the `_rev` escape global would whitelist a regressed
+    # fact-proportional window in any pinned query whose lineage
+    # merely mentions _rev (ADVICE r10).
+    allowed = ("_pid", "_rev") if name == "orders_pareto_share" else ("_pid",)
     wins = _executed_single_partition_windows(spark, name, sf_dir)
     for w in wins:
-        assert "_pid" in w or "_rev" in w, (
+        assert any(tok in w for tok in allowed), (
             name,
             "single-partition Window over a fact-proportional frame",
             w[:800],
         )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #3: the RRF / BM25 top-N legs stay scale-safe only
+# because Spark's rank-limit pushdown rewrites the global
+# row_number-then-filter into TakeOrderedAndProject (per-partition
+# heap + driver merge of k rows) feeding a k-row Window — an
+# OPTIMIZER behavior, not previously a contract. Pin it: in the
+# executed final plan, (a) at least one TakeOrderedAndProject exists,
+# and (b) every single-partition Window's input subtree contains a
+# TakeOrderedAndProject or WindowGroupLimit, so no global rank sort
+# ever sees a corpus-proportional frame.
+
+_RANK_LIMIT_PUSHDOWN_NAMES = ["similarity_rrf_fusion", "text_bm25_topdocs"]
+
+
+def _walk_executed(p, visit):
+    cls = p.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_executed(p.finalPhysicalPlan(), visit)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk_executed(p.plan(), visit)
+        return
+    visit(p)
+    for i in range(p.children().length()):
+        _walk_executed(p.children().apply(i), visit)
+
+
+def _subtree_node_names(p):
+    names = []
+    _walk_executed(p, lambda n: names.append(n.nodeName()))
+    return names
+
+
+@_pytest_mod.mark.parametrize("name", _RANK_LIMIT_PUSHDOWN_NAMES)
+def test_topn_legs_compile_to_take_ordered(spark, sf_dir, name):
+    spark.catalog.clearCache()
+    df = all_queries()[name].builder(spark, sf_dir)
+    df.collect()
+
+    all_names = []
+    sp_windows = []
+
+    def visit(p):
+        all_names.append(p.nodeName())
+        if p.nodeName() == "Window" and "SinglePartition" in str(
+            p.outputPartitioning().toString()
+        ):
+            sp_windows.append(p)
+
+    _walk_executed(df._jdf.queryExecution().executedPlan(), visit)
+    assert "TakeOrderedAndProject" in all_names, (name, all_names)
+    for w in sp_windows:
+        child_names = []
+        for i in range(w.children().length()):
+            child_names += _subtree_node_names(w.children().apply(i))
+        assert (
+            "TakeOrderedAndProject" in child_names
+            or "WindowGroupLimit" in child_names
+        ), (name, "single-partition Window without a bounded top-k input",
+            child_names)

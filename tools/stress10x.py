@@ -53,6 +53,12 @@ DEFAULT = [
     # only the per-day delta agg should grow.
     "events_peak_concurrency",  # sweep-line over 10x sessions through
     # the two-pass cumsum — offsets stay one row per partition.
+    # r11 (VERDICT r10 #5): the two-pass range-partition pattern itself
+    # at 10x fact data — the offsets frame is the scale claim (one row
+    # per partition[, group], NOT per fact row); wall-clock must track
+    # the pre-rank aggregate, not the fact table.
+    "events_user_gini",  # two_pass_rank over 10x the user aggregate
+    "orders_abc_analysis",  # two_pass_cumsum over 10x the part aggregate
 ]
 
 SHIFT = {
