@@ -202,6 +202,12 @@ EXTRA = (
     "events_interarrival_histogram",
     "events_seasonal_decompose",
     "sample_neyman_allocation",
+    # r11 additions
+    "events_power_analysis",
+    "lineitem_price_index",
+    "events_markov_entropy_rate",
+    "sample_importance_reweight",
+    "text_source_js_divergence",
 )
 
 
