@@ -3695,9 +3695,11 @@ def test_r11_additions_semantics(spark, sf_dir):
     )
     counts: dict[str, dict[str, int]] = {first[0]: {}, first[1]: {}}
     for src, tok, c in _dd.sql(
-        "SELECT source, unnest(string_split(lower(text), ' ')) AS t, "
-        f"count(*) FROM '{sf_dir}/documents.parquet' "
-        f"WHERE source IN ('{first[0]}', '{first[1]}') GROUP BY 1, 2"
+        "SELECT source, t, count(*) FROM ("
+        "SELECT source, unnest(string_split(lower(text), ' ')) AS t "
+        f"FROM '{sf_dir}/documents.parquet' "
+        f"WHERE source IN ('{first[0]}', '{first[1]}')"
+        ") GROUP BY 1, 2"
     ).fetchall():
         counts[src][tok] = c
     na, nb = sum(counts[first[0]].values()), sum(counts[first[1]].values())
