@@ -6064,3 +6064,242 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_contribution"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between the two deterministic
+# hash-assigned user arms, per event type — the NONPARAMETRIC
+# companion to events_ab_test_zscore's proportion z and the QTE
+# percentile readout: rank-based, so heavy tails and outliers cannot
+# swamp the comparison. On an A/A hash split the z should sit within
+# +-3 and the AUC (common-language effect size U/(n0*n1)) near 0.5.
+#
+# Scale shape: the ranks are NEVER computed per event. The fact
+# collapses to the per-(type, cents) VALUE HISTOGRAM first (2dp money
+# -> at most range*100 cells per type, volume-INDEPENDENT), the
+# tie-averaged rank comes from a window over that bounded histogram
+# (partitioned by type — no single-partition fact sort), and the
+# U/tie statistics are one more partial-aggregated collapse.
+# Determinism: 2*avg_rank = 2*cum_before + cnt + 1 is INTEGER, so the
+# rank-sum and tie sums are exact on both engines (decimal(38,0) /
+# HUGEINT — counts^3 would pass 2^63 for a >2.1e6-row tie group);
+# the only doubles are the final auc (exact-integer quotient,
+# identical both engines) and z (sqrt quotient — irrational, never on
+# the 4dp grid). Degenerate guards: a one-value type has tie variance
+# 0 -> z NULL via nullif; an arm with zero rows NULLs auc and z.
+@register(
+    "events_mann_whitney",
+    tags=("events", "stats", "experiment", "nonparametric", "aggregate"),
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(user_id * {AB_KNUTH} % {AB_MOD} % 2 AS BIGINT) AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, cents,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt1
+      FROM r GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type, cnt, cnt1,
+             COALESCE(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cb
+      FROM h
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt1) AS BIGINT) AS n1,
+             sum(CAST(cnt1 AS HUGEINT) * (2 * cb + cnt + 1)) AS r1x2,
+             sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+      FROM k GROUP BY 1
+    )
+    SELECT event_type,
+           n - n1 AS n0,
+           n1,
+           round(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                      - CAST(n - n1 AS HUGEINT) * n1 AS DOUBLE)
+                 / nullif(2.0 * CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE),
+                          0.0) + 0.5 + 1e-9, 6) AS auc,
+           round(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                      - CAST(n - n1 AS HUGEINT) * n1 AS DOUBLE)
+                 / nullif(2.0 * sqrt(
+                     (CAST(n - n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+                     * ((CAST(n AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                   ), 0.0) + 1e-9, 4) + 0.0 AS z
+    FROM a
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n0, n1, auc, z): Mann-Whitney U between the hash
+    arms per event type. u1 = R1 - n1(n1+1)/2 with tie-averaged ranks
+    (2*avg_rank per cents cell = 2*cum_before + cnt + 1, integer);
+    auc = u1/(n0*n1) written as (u1x2 - n0*n1)/(2*n0*n1) + 0.5 so the
+    one division happens on the SAME exact-integer numerator both
+    engines; z uses the tie-corrected normal approximation
+    var = n0*n1/12 * ((n+1) - sum(t^3-t)/(n(n-1))).
+
+    Reference parity: the reference engine has no rank statistics;
+    this is the §2d training-data extension surface
+    (SURVEY.md §2d events/analytics family)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+        .cast("bigint")
+        .alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    h = e.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt1"),
+    )
+    w_cb = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    k = h.select(
+        "event_type",
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).alias("cb"),
+    )
+    dec = "decimal(38,0)"
+    a = k.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(
+            F.col("cnt1").cast(dec)
+            * (2 * F.col("cb") + F.col("cnt") + 1).cast(dec)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("cnt").cast(dec) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties"),
+    )
+    n = F.col("n").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    n1 = F.col("n1").cast("double")
+    # u1x2 - n0*n1 == 2*U1 - n0*n1: integer-exact numerator shared by
+    # auc and z so both engines divide the identical double.
+    num = (
+        F.col("r1x2")
+        - F.col("n1").cast(dec) * (F.col("n1") + 1).cast(dec)
+        - (F.col("n") - F.col("n1")).cast(dec) * F.col("n1").cast(dec)
+    ).cast("double")
+    var = (n0 * n1 / F.lit(12.0)) * (
+        (n + F.lit(1.0))
+        - F.col("ties").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    return a.select(
+        "event_type",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        "n1",
+        F.round(
+            num / F.nullif(F.lit(2.0) * n0 * n1, F.lit(0.0))
+            + F.lit(0.5)
+            + F.lit(1e-9),
+            6,
+        ).alias("auc"),
+        (
+            F.round(
+                num / F.nullif(F.lit(2.0) * F.sqrt(var), F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy noise calibration: the design table a
+# training-data release pipeline reads before adding DP noise to
+# per-type value sums — per (event type, epsilon) the Laplace scale
+# sens/eps and the analytic-Gaussian-style sigma
+# sens*sqrt(2 ln(1.25/delta))/eps, with the contribution bound taken
+# as the observed per-event max (the clip a real pipeline would
+# enforce upstream). The sqrt(2 ln(1.25/delta)) constant is computed
+# ONCE in Python and interpolated into BOTH engines as a literal (the
+# Benford rule: no cross-engine transcendental parity bets, and bare
+# decimal literals parse as DECIMAL in DuckDB — every epsilon is CAST
+# to DOUBLE). Scale shape: one partial-aggregated fact collapse to
+# |types| rows, then a 4-literal explode; no joins, no windows.
+DP_EPSILONS = (0.1, 0.5, 1.0, 2.0)
+DP_DELTA = 1e-6
+DP_GAUSS_CONST = 5.298802526850474  # sqrt(2*ln(1.25/1e-6)), python math
+
+
+@register(
+    "privacy_dp_noise_calibration",
+    tags=("privacy", "differential-privacy", "design", "aggregate"),
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, e.epsilon, n_events,
+           round(CAST(max_cents AS DOUBLE) / 100.0 + 1e-9, 2)
+             AS sensitivity,
+           round(CAST(max_cents AS DOUBLE) / 100.0 / e.epsilon + 1e-9, 6)
+             AS laplace_b,
+           round(CAST(max_cents AS DOUBLE) / 100.0
+                 * CAST({DP_GAUSS_CONST!r} AS DOUBLE) / e.epsilon + 1e-9, 6)
+             AS gaussian_sigma
+    FROM m CROSS JOIN (
+      SELECT unnest([{", ".join(f"CAST({eps!r} AS DOUBLE)" for eps in DP_EPSILONS)}])
+        AS epsilon
+    ) e
+    """,
+)
+def privacy_dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, epsilon, n_events, sensitivity, laplace_b,
+    gaussian_sigma): per-(type, epsilon) DP noise scales for a
+    per-type value-sum release, with sensitivity = observed max
+    single-event value (the upstream clip bound). laplace_b =
+    sens/eps; gaussian_sigma = sens * sqrt(2 ln(1.25/delta)) / eps at
+    delta = 1e-6, the transcendental factor a shared Python literal.
+
+    Determinism: max-cents is an exact integer; every output is a
+    division of identical doubles by literal epsilons — identical op
+    trees both engines. Scale shape: one fact collapse to |types|
+    rows, then a literal 4-element explode (no cross join against
+    data, no windows)."""
+    m = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "max_cents"
+        ),
+    )
+    sens = F.col("max_cents").cast("double") / F.lit(100.0)
+    eps = F.col("epsilon")
+    return m.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(float(e)) for e in DP_EPSILONS])
+        ).alias("epsilon"),
+        "n_events",
+        "max_cents",
+    ).select(
+        "event_type",
+        "epsilon",
+        "n_events",
+        F.round(sens + F.lit(1e-9), 2).alias("sensitivity"),
+        F.round(sens / eps + F.lit(1e-9), 6).alias("laplace_b"),
+        F.round(
+            sens * F.lit(DP_GAUSS_CONST) / eps + F.lit(1e-9), 6
+        ).alias("gaussian_sigma"),
+    )

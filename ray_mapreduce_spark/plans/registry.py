@@ -116,13 +116,16 @@ def register(
 # note order. = 5+1+5+39 = 50.
 # ROUND 12 PLAN: (a) CORRECTNESS_r11 red rows first, then (b) the
 # remaining 22 late-r9 backlog names (listed verbatim past the
-# window below) + any r12 additions/changes, then (c) the r6
-# dedup-text block (6 names — 6 rounds stale by r12, KEEP against
-# displacement per VERDICT r10 #4), then (e) the r2-refresh tail
-# (text_fingerprint .. stream_interval_join). 22+6 = 28 names fit
-# in one window with ~20 slots to spare for additions + the (e)
-# tail head. Every r12 addition displaces from the (e) tail, never
-# from (b)/(c).
+# window below) + the 3 LATE-r11 additions (events_mann_whitney,
+# text_quality_length_spearman, privacy_dp_noise_calibration —
+# built after the r11 window was pinned, each 3-SF oracle-green +
+# 2-SF deterministic in-round) + any r12 additions/changes, then
+# (c) the r6 dedup-text block (6 names — 6 rounds stale by r12,
+# KEEP against displacement per VERDICT r10 #4), then (e) the
+# r2-refresh tail (text_fingerprint .. stream_interval_join).
+# 22+3+6 = 31 names fit in one window with ~19 slots to spare for
+# additions + the (e) tail head. Every r12 addition displaces from
+# the (e) tail, never from (b)/(c).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (a2) plans changed in r11: the ntile_from_rank exact-
     # integer-division swap (ADVICE r10) reaches rfm/pareto/
@@ -205,6 +208,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_centroid_classifier",
     "lineitem_supplier_switching",
     "timeseries_metric_correlations",
+    # the 3 LATE-r11 additions (built after the r11 window was pinned;
+    # each already 3-SF oracle-green + 2-SF partition-deterministic —
+    # they take r12 addition slots, displacing from the (e) tail only)
+    "events_mann_whitney",
+    "text_quality_length_spearman",
+    "privacy_dp_noise_calibration",
     # (c) the r6-green dedup-text block
     "dedup_ngram_jaccard",
     "cluster_kmeans_assign",

@@ -3269,3 +3269,152 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation of the shared quality score vs document
+# length, per language — the RANK-robust twin of
+# text_quality_length_corr's Pearson: monotone association that heavy
+# tails and the score's saturating min() terms cannot distort. The
+# statistic is Spearman over the 6dp-QUANTIZED score (the same
+# round-with-bias grid both engines), with tie-averaged ranks.
+#
+# Scale shape: ranks are never computed per document. Each variable
+# collapses to its per-(lang, value) HISTOGRAM first — the quality
+# grid has at most 1e6+1 cells (score lives in [0,1] at 6dp) and the
+# length histogram at most max-doc-length cells, both
+# volume-INDEPENDENT — the tie-averaged rank is a window over that
+# bounded histogram (partitioned by lang, never a fact sort), and the
+# fact rejoins its two rank maps on (lang, value). Determinism:
+# 2*avg_rank = 2*cum_before + cnt + 1 is INTEGER, the five moment
+# sums are exact (decimal(38,0) / HUGEINT — rank products pass 2^63
+# near ~2e9 docs/lang), and the one double closed form is the
+# identical six-sum Pearson tree both engines; nullif guards the
+# zero-variance lang (all-equal quality or all-equal length).
+@register(
+    "text_quality_length_spearman",
+    tags=("text", "quality", "correlation", "rank", "validity"),
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             round({QUALITY_RAW_SQL} + 1e-9, 6) AS qg,
+             n_chars
+      FROM documents
+    ),
+    qh AS (
+      SELECT lang, qg, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2
+    ),
+    qr AS (
+      SELECT lang, qg,
+             2 * COALESCE(sum(cnt) OVER (
+               PARTITION BY lang ORDER BY qg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + cnt + 1 AS ra2
+      FROM qh
+    ),
+    lh AS (
+      SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2
+    ),
+    lr AS (
+      SELECT lang, n_chars,
+             2 * COALESCE(sum(cnt) OVER (
+               PARTITION BY lang ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + cnt + 1 AS rb2
+      FROM lh
+    ),
+    j AS (
+      SELECT d.lang, qr.ra2, lr.rb2
+      FROM d
+      JOIN qr ON qr.lang = d.lang AND qr.qg = d.qg
+      JOIN lr ON lr.lang = d.lang AND lr.n_chars = d.n_chars
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(ra2 AS HUGEINT)) AS sa,
+             sum(CAST(rb2 AS HUGEINT)) AS sb,
+             sum(CAST(ra2 AS HUGEINT) * ra2) AS saa,
+             sum(CAST(rb2 AS HUGEINT) * rb2) AS sbb,
+             sum(CAST(ra2 AS HUGEINT) * rb2) AS sab
+      FROM j GROUP BY 1
+    )
+    SELECT lang, n AS n_docs,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / nullif(sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+                          0.0)
+                 + 1e-9, 6) + 0.0 AS spearman_rho
+    FROM s
+    """,
+)
+def text_quality_length_spearman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(lang, n_docs, spearman_rho): per-language Spearman rank
+    correlation between the 6dp-quantized shared quality score and
+    n_chars, tie-averaged ranks via the bounded value-histogram
+    window, Pearson six-sum closed form on the integer 2x ranks."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.round(quality_raw_col() + F.lit(1e-9), 6).alias("qg"),
+        "n_chars",
+    )
+    dec = "decimal(38,0)"
+
+    def _rank_map(hist_key: str, out: str) -> DataFrame:
+        h = d.groupBy("lang", hist_key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(hist_key)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return h.select(
+            "lang",
+            hist_key,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    j = d.join(_rank_map("qg", "ra2"), ["lang", "qg"]).join(
+        _rank_map("n_chars", "rb2"), ["lang", "n_chars"]
+    )
+    s = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ra2").cast(dec)).alias("sa"),
+        F.sum(F.col("rb2").cast(dec)).alias("sb"),
+        F.sum(F.col("ra2").cast(dec) * F.col("ra2")).alias("saa"),
+        F.sum(F.col("rb2").cast(dec) * F.col("rb2")).alias("sbb"),
+        F.sum(F.col("ra2").cast(dec) * F.col("rb2")).alias("sab"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (
+            F.round(
+                (n * sab - sa * sb)
+                / F.nullif(
+                    F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
+    )

@@ -3713,3 +3713,138 @@ def test_r11_additions_semantics(spark, sf_dir):
         if pb:
             jsd += 0.5 * pb * math.log(pb / m)
     assert abs(got - jsd) < 1e-4, (got, jsd)
+
+
+def test_late_r11_additions_semantics(spark, sf_dir):
+    """Semantic gates for the late-r11 additions beyond the oracle
+    hash: Mann-Whitney replays FULLY in python from raw rows
+    (tie-averaged ranks by sorting) and the A/A hash split keeps z
+    small and AUC near 1/2; the Spearman rho replays in python for
+    one language and is bounded in [-1, 1]; every DP noise scale
+    replays the closed form from the observed max."""
+    import math
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import (
+        AB_KNUTH,
+        AB_MOD,
+        DP_EPSILONS,
+        DP_GAUSS_CONST,
+    )
+
+    q = all_queries()
+
+    # --- events_mann_whitney: full python replay + A/A sanity ---
+    mw = {
+        r["event_type"]: r
+        for r in q["events_mann_whitney"].builder(spark, sf_dir).collect()
+    }
+    assert mw
+    rows = _dd.sql(
+        "SELECT event_type, user_id, CAST(round(value*100) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for t, uid, cents in rows:
+        by_type.setdefault(t, []).append((uid * AB_KNUTH % AB_MOD % 2, cents))
+    for t, arms in by_type.items():
+        vals = sorted(c for _, c in arms)
+        # tie-averaged rank per distinct value (1-based)
+        rank: dict[int, float] = {}
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            rank[vals[i]] = (i + 1 + j) / 2.0
+            i = j
+        n = len(arms)
+        n1 = sum(v for v, _ in arms)
+        n0 = n - n1
+        r1 = sum(rank[c] for v, c in arms if v == 1)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        auc = u1 / (n0 * n1)
+        ties = 0
+        from collections import Counter
+
+        for cnt in Counter(vals).values():
+            ties += cnt**3 - cnt
+        var = (n0 * n1 / 12.0) * ((n + 1) - ties / (n * (n - 1)))
+        z = (u1 - n0 * n1 / 2.0) / math.sqrt(var)
+        got = mw[t]
+        assert got["n0"] == n0 and got["n1"] == n1
+        assert abs(got["auc"] - auc) < 1e-4, (t, got["auc"], auc)
+        assert abs(got["z"] - z) < 1e-3, (t, got["z"], z)
+        # A/A split: no real effect by construction
+        assert 0.4 < got["auc"] < 0.6 and abs(got["z"]) < 5.0
+
+    # --- text_quality_length_spearman: bounds + one-lang replay ---
+    sp = q["text_quality_length_spearman"].builder(spark, sf_dir).collect()
+    assert sp and all(-1.0 <= r["spearman_rho"] <= 1.0 for r in sp)
+    lang0 = min(r["lang"] for r in sp)
+    got_rho = next(r["spearman_rho"] for r in sp if r["lang"] == lang0)
+    docs = _dd.sql(
+        f"SELECT text, n_chars FROM '{sf_dir}/documents.parquet' "
+        f"WHERE lang = '{lang0}'"
+    ).fetchall()
+
+    def _quality(text: str) -> float:
+        toks = text.split(" ")
+        n_tok = len(toks)
+        n_uniq = len(set(text.lower().split(" ")))
+        n_ch = len(text)
+        return round(
+            0.4 * min(n_tok / 64.0, 1.0)
+            + 0.4 * (n_uniq / n_tok)
+            + 0.2 * min((n_ch / n_tok) / 8.0, 1.0)
+            + 1e-9,
+            6,
+        )
+
+    xs = [_quality(t) for t, _ in docs]
+    ys = [c for _, c in docs]
+
+    def _avg_ranks(vals: list) -> list[float]:
+        order = sorted(vals)
+        rk: dict = {}
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and order[j] == order[i]:
+                j += 1
+            rk[order[i]] = (i + 1 + j) / 2.0
+            i = j
+        return [rk[v] for v in vals]
+
+    ra, rb = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(ra)
+    sa, sb = sum(ra), sum(rb)
+    saa = sum(a * a for a in ra)
+    sbb = sum(b * b for b in rb)
+    sab = sum(a * b for a, b in zip(ra, rb))
+    rho = (n * sab - sa * sb) / (
+        math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+    )
+    assert abs(got_rho - rho) < 1e-4, (lang0, got_rho, rho)
+
+    # --- privacy_dp_noise_calibration: closed-form replay ---
+    dp = q["privacy_dp_noise_calibration"].builder(spark, sf_dir).collect()
+    types = {r["event_type"] for r in dp}
+    assert len(dp) == len(types) * len(DP_EPSILONS)
+    mx = dict(
+        _dd.sql(
+            "SELECT event_type, max(CAST(round(value*100) AS BIGINT)) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    for r in dp:
+        sens = mx[r["event_type"]] / 100.0
+        assert abs(r["sensitivity"] - sens) < 1e-6
+        assert abs(r["laplace_b"] - sens / r["epsilon"]) < 1e-5
+        assert (
+            abs(r["gaussian_sigma"] - sens * DP_GAUSS_CONST / r["epsilon"])
+            < 1e-5
+        )
+        assert r["gaussian_sigma"] > r["laplace_b"]  # delta=1e-6 regime

@@ -208,6 +208,10 @@ EXTRA = (
     "events_markov_entropy_rate",
     "sample_importance_reweight",
     "text_source_js_divergence",
+    # late-r11 additions
+    "events_mann_whitney",
+    "text_quality_length_spearman",
+    "privacy_dp_noise_calibration",
 )
 
 

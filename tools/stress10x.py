@@ -59,6 +59,12 @@ DEFAULT = [
     # the pre-rank aggregate, not the fact table.
     "events_user_gini",  # two_pass_rank over 10x the user aggregate
     "orders_abc_analysis",  # two_pass_cumsum over 10x the part aggregate
+    # late r11: the bounded-value-histogram rank trick — replication
+    # reuses the SAME value set, so the rank histograms are IDENTICAL
+    # at 10x and only the fact-side partial agg grows; wall-clock must
+    # stay ~flat.
+    "events_mann_whitney",
+    "text_quality_length_spearman",
 ]
 
 SHIFT = {
