@@ -5829,7 +5829,7 @@ POWER_MDE_REL = 0.05
                  + 1e-9, 4) AS var_value,
            round(CAST({POWER_MDE_REL} AS DOUBLE)
                  * (CAST(s1 AS DOUBLE) / n_events / 100) + 1e-9, 6) AS mde_abs,
-           CAST(ceil(
+           CASE WHEN s1 = 0 THEN NULL ELSE CAST(ceil(
              2.0 * (CAST({POWER_Z_ALPHA} AS DOUBLE)
                     + CAST({POWER_Z_BETA} AS DOUBLE))
                  * (CAST({POWER_Z_ALPHA} AS DOUBLE)
@@ -5841,7 +5841,7 @@ POWER_MDE_REL = 0.05
                      * (CAST(s1 AS DOUBLE) / n_events / 100))
                     * (CAST({POWER_MDE_REL} AS DOUBLE)
                        * (CAST(s1 AS DOUBLE) / n_events / 100)))
-           ) AS BIGINT) AS n_per_arm
+           ) AS BIGINT) END AS n_per_arm
     FROM m
     """,
 )
@@ -5856,8 +5856,14 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha r8); mean/variance are identical IEEE op trees over those
     integers, so even the ceil() boundary is bit-identical
     cross-engine (the Wilson discipline) — no tolerance anywhere.
-    Scale shape: ONE partial-aggregated fact collapse to |types|
-    rows; all design arithmetic runs on that tiny frame."""
+    Degenerate guard (ADVICE r11): an all-zero-value event type makes
+    mean=0 so delta=0 and n_per_arm is 0/0 or x/0 — ceil(NaN/Inf)
+    cast to BIGINT raises under Spark ANSI and errors in DuckDB; the
+    design size is undefined at zero effect, so n_per_arm is NULL
+    when s1 = 0 (an exact INTEGER test — delta = MDE*s1/n/100 is
+    zero iff s1 is) on both engines, mirroring the neyman wtot=0
+    guard. Scale shape: ONE partial-aggregated fact collapse to
+    |types| rows; all design arithmetic runs on that tiny frame."""
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
     cents = F.round(F.col("value") * 100).cast("bigint")
     m = e.groupBy("event_type").agg(
@@ -5883,8 +5889,12 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean + F.lit(1e-9), 6).alias("mean_value"),
         F.round(var + F.lit(1e-9), 4).alias("var_value"),
         F.round(delta + F.lit(1e-9), 6).alias("mde_abs"),
-        F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
-        .cast("bigint")
+        F.when(F.col("s1") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta)).cast(
+                "bigint"
+            )
+        )
         .alias("n_per_arm"),
     )
 

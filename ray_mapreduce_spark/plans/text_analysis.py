@@ -3208,31 +3208,57 @@ def corpus_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFra
              CAST(a.c_st AS DOUBLE) / a.n_s AS p,
              CAST(b.c_st AS DOUBLE) / b.n_s AS q
       FROM s a JOIN s b ON a.t = b.t AND a.source < b.source
-    )
-    SELECT source_a, source_b,
-           CAST(count(*) AS BIGINT) AS n_shared_terms,
-           round(sum(0.5 * p * ln(2 * p / (p + q))
-                     + 0.5 * q * ln(2 * q / (p + q)))
-                 + 0.5 * ln(CAST(2 AS DOUBLE)) * (2 - sum(p) - sum(q))
-                 + 1e-9, 6) AS jsd_nats
-    FROM pair GROUP BY source_a, source_b
+    ),
+    agg AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_terms,
+             round(sum(0.5 * p * ln(2 * p / (p + q))
+                       + 0.5 * q * ln(2 * q / (p + q)))
+                   + 0.5 * ln(CAST(2 AS DOUBLE)) * (2 - sum(p) - sum(q))
+                   + 1e-9, 6) AS jsd_nats
+      FROM pair GROUP BY source_a, source_b
+    ),
+    sp AS (SELECT DISTINCT source FROM documents)
+    SELECT x.source AS source_a, y.source AS source_b,
+           COALESCE(agg.n_shared_terms, CAST(0 AS BIGINT))
+             AS n_shared_terms,
+           COALESCE(agg.jsd_nats,
+                    round(ln(CAST(2 AS DOUBLE)) + 1e-9, 6)) AS jsd_nats
+    FROM sp x JOIN sp y ON x.source < y.source
+    LEFT JOIN agg ON agg.source_a = x.source AND agg.source_b = y.source
     """,
 )
 def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source_a, source_b, n_shared_terms, jsd_nats): JSD between
-    every source pair's token unigram distribution, absent-mass
-    folded in algebraically (see header).
+    EVERY source pair's token unigram distribution — pairs with zero
+    shared tokens (fully complementary sources) are emitted at
+    jsd = ln 2 via a source-pair spine left-joined onto the
+    shared-term aggregate (ADVICE r11: the inner join alone silently
+    dropped exactly the pairs the query exists to surface);
+    absent-mass on shared-vocab pairs folded in algebraically (see
+    header).
 
     Determinism: p/q are exact-integer divisions (identical doubles
     cross-engine); each shared term is one fixed IEEE op tree; only
     the per-pair vocab sums are order-divergent and JSD is O(1), so
-    +1e-9 after the 6dp round covers the ulp noise. Scale shape: one
+    +1e-9 after the 6dp round covers the ulp noise; the ln 2 fill
+    constant is each engine's round(ln 2 + 1e-9, 6) — a rounded
+    transcendental, never on a 6dp boundary. Scale shape: one
     tokenize lineage -> (source, t) counts with the per-source total
     as a WINDOW over the grouped frame (no agg-then-rejoin, r6
-    rule); the pair join is a SELF-join of that identical
-    scan-rooted frame on the token key (runtime ReusedExchange —
-    compute once, gotcha #14) producing O(vocab * sources^2) rows,
-    never O(corpus); the JSD fold partial-aggregates per pair."""
+    rule). The (source, t, p) frame feeds BOTH sides of the pair
+    join; a broadcast-hash build side does NOT runtime-reuse the
+    probe's exchange (ADVICE r11 — the executed plan re-ran tokenize
+    on the build side), so the frame is lazy-PERSISTED
+    (dependency-ordered consumers, gotcha #9: the build side
+    materializes the cache, the probe and the pair spine read it) —
+    the corpus is tokenized exactly once, pinned by the zero-rescan
+    executed-plan test. The pair join produces O(vocab * sources^2)
+    rows, never O(corpus); the JSD fold partial-aggregates per pair;
+    the spine and its non-equi pair frame are O(|sources|) /
+    O(|sources|^2) broadcast-size."""
+    from pyspark import StorageLevel
+
     d = _spread(load_table(spark, sf_dir, "documents"))
     tok = d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("t"))
     c = tok.groupBy("source", "t").agg(
@@ -3240,7 +3266,9 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as _W
 
-    s = c.withColumn("n_s", F.sum("c_st").over(_W.partitionBy("source")))
+    s = c.withColumn(
+        "n_s", F.sum("c_st").over(_W.partitionBy("source"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = s.select(
         F.col("source").alias("source_a"),
         F.col("t").alias("t"),
@@ -3260,13 +3288,28 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2) * F.col("q") / (F.col("p") + F.col("q"))
     )
     ln2 = F.log(F.lit(2.0))
-    return pair.groupBy("source_a", "source_b").agg(
+    agg = pair.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
         F.round(
             F.sum(term)
             + F.lit(0.5) * ln2 * (F.lit(2) - F.sum("p") - F.sum("q"))
             + F.lit(1e-9),
             6,
+        ).alias("jsd_nats"),
+    )
+    sp = s.select("source").distinct()
+    pairs = sp.select(F.col("source").alias("source_a")).join(
+        sp.select(F.col("source").alias("source_b")),
+        F.col("source_a") < F.col("source_b"),
+    )
+    return pairs.join(agg, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n_shared_terms"), F.lit(0).cast("bigint")).alias(
+            "n_shared_terms"
+        ),
+        F.coalesce(
+            F.col("jsd_nats"), F.round(ln2 + F.lit(1e-9), 6)
         ).alias("jsd_nats"),
     )
 

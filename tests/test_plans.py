@@ -746,3 +746,55 @@ def test_topn_legs_compile_to_take_ordered(spark, sf_dir, name):
             or "WindowGroupLimit" in child_names
         ), (name, "single-partition Window without a bounded top-k input",
             child_names)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #3: the two histogram-rank statistics (Mann-Whitney U,
+# Spearman rho) are scale-safe only because every rank window runs
+# over the bounded VALUE HISTOGRAM (a groupBy aggregate whose row
+# count is value-range-bounded, volume-independent), never the fact
+# itself. That boundedness was structural but unpinned — and the
+# single-partition-window walker above would accept a regression to a
+# fact-proportional PARTITIONED window. Pin: every Window node in the
+# executed final plan (any partitioning) must have an Aggregate (the
+# histogram collapse) on its input subtree.
+
+_HISTOGRAM_RANK_NAMES = ["events_mann_whitney", "text_quality_length_spearman"]
+
+
+@_pytest_mod.mark.parametrize("name", _HISTOGRAM_RANK_NAMES)
+def test_rank_windows_run_over_bounded_histograms(spark, sf_dir, name):
+    spark.catalog.clearCache()
+    df = all_queries()[name].builder(spark, sf_dir)
+    df.collect()
+
+    windows = []
+    _walk_executed(
+        df._jdf.queryExecution().executedPlan(),
+        lambda p: windows.append(p) if p.nodeName() == "Window" else None,
+    )
+    assert windows, (name, "expected rank windows in the executed plan")
+    for w in windows:
+        child_names = []
+        for i in range(w.children().length()):
+            child_names += _subtree_node_names(w.children().apply(i))
+        assert any("Aggregate" in n for n in child_names), (
+            name,
+            "rank Window without a histogram aggregate on its input path",
+            child_names,
+        )
+
+
+def test_jsd_tokenize_executes_once(spark, sf_dir):
+    """text_source_js_divergence: the (source, t, p) frame feeds the
+    pair join's broadcast BUILD side, the PROBE side, and the source
+    spine — and a broadcast build does NOT runtime-reuse the probe's
+    exchange (ADVICE r11: the pre-fix executed plan re-ran the
+    tokenize Generate + aggregate + window on the build side). The
+    lazy persist makes every consumer a cache read. Pin: zero parquet
+    scans in the executed final plan, >=2 cache reads."""
+    nodes = _executed_nodes(spark, "text_source_js_divergence", sf_dir)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    cache_reads = [n for n in nodes if n == "InMemoryTableScan"]
+    assert scans == [], scans
+    assert len(cache_reads) >= 2, nodes
