@@ -6313,3 +6313,630 @@ def privacy_dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             sens * F.lit(DP_GAUSS_CONST) / eps + F.lit(1e-9), 6
         ).alias("gaussian_sigma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier product-limit estimator of time-to-conversion: per
+# user, the duration in whole days from their FIRST event to their
+# first 'purchase', right-CENSORED at the corpus max timestamp for
+# users who never purchase — the survival readout a growth team runs
+# on activation funnels, and the censoring-aware upgrade of
+# events_funnel_time_to_convert's raw percentiles (which silently
+# drop never-converters). events_gap_survival is the EMPIRICAL
+# survival of inter-event gaps (no censoring, band histogram); this
+# is the product-limit estimator over a censored duration model.
+#
+# Determinism: durations are integer epoch-div days (the
+# hourly_seasonality discipline); the risk set n_t = N - cum_before
+# is integer window arithmetic over the bounded day histogram; the
+# product-limit survival is exp(running sum of ln(1 - d_t/n_t)) where
+# each factor is the ln of an identical exact-integer quotient and
+# the running sum adds in identical day order on both engines, so the
+# cross-engine drift is a few ulp of libm ln — the value itself is a
+# product of rationals and CAN sit on a 6dp boundary, which is
+# exactly what the +1e-9 pre-round bias covers (gotcha #3). A day
+# where everyone at risk converts (d_t = n_t) would hit ln(0): the
+# CASE pins its factor to 0 and a running max flag pins survival to
+# 0.0 from that day on, both engines.
+#
+# Scale shape: ONE user-keyed collapse of the fact (min / conditional
+# min — partial-aggregable), a 1-row corpus-max broadcast, then a day
+# histogram bounded by the corpus time span; every window after that
+# runs on the bounded histogram (the gap_survival precedent —
+# single-partition windows over <=|days| rows are free).
+@register(
+    "events_kaplan_meier",
+    tags=("events", "survival", "kaplan-meier", "censoring", "window"),
+    oracle="""
+    WITH ue AS (
+      SELECT user_id,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS m FROM events),
+    d AS (
+      SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+                  ELSE (m - t0) // 86400000000 END AS duration_days,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN mx
+    ),
+    h AS (
+      SELECT duration_days,
+             CAST(sum(ev) AS BIGINT) AS d_t,
+             CAST(count(*) - sum(ev) AS BIGINT) AS c_t
+      FROM d GROUP BY 1
+    ),
+    k AS (
+      SELECT duration_days, d_t, c_t,
+             CAST(sum(d_t + c_t) OVER () AS BIGINT)
+             - COALESCE(sum(d_t + c_t) OVER (
+                 ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_at_risk
+      FROM h
+    ),
+    s AS (
+      SELECT duration_days, d_t, c_t, n_at_risk,
+             sum(CASE WHEN d_t = n_at_risk THEN 0.0
+                      ELSE ln(1.0 - CAST(d_t AS DOUBLE) / n_at_risk)
+                 END) OVER (ORDER BY duration_days) AS cum_ln,
+             max(CASE WHEN d_t = n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration_days) AS dead
+      FROM k
+    )
+    SELECT duration_days, n_at_risk,
+           d_t AS n_converted, c_t AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(cum_ln) + 1e-9, 6) END AS survival
+    FROM s
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(duration_days, n_at_risk, n_converted, n_censored, survival):
+    Kaplan-Meier survival of days-to-first-purchase from each user's
+    first event, right-censored at the corpus max timestamp (see
+    header for the determinism + scale rationale)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    ue = e.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("tp"),
+    )
+    mx = e.agg(F.max("us").alias("m"))
+    d = ue.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(tp - t0) div 86400000000"),
+        )
+        .otherwise(F.expr("(m - t0) div 86400000000"))
+        .alias("duration_days"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    h = d.groupBy("duration_days").agg(
+        F.sum("ev").cast("bigint").alias("d_t"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c_t"),
+    )
+    w_all = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days")
+    k = h.select(
+        "duration_days",
+        "d_t",
+        "c_t",
+        (
+            F.sum(F.col("d_t") + F.col("c_t")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d_t") + F.col("c_t")).over(w_before), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    factor = F.when(F.col("d_t") == F.col("n_at_risk"), F.lit(0.0)).otherwise(
+        F.log(
+            F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_at_risk")
+        )
+    )
+    dead_now = F.when(F.col("d_t") == F.col("n_at_risk"), 1).otherwise(0)
+    s = k.select(
+        "duration_days",
+        "d_t",
+        "c_t",
+        "n_at_risk",
+        F.sum(factor).over(w_cum).alias("cum_ln"),
+        F.max(dead_now).over(w_cum).alias("dead"),
+    )
+    return s.select(
+        "duration_days",
+        "n_at_risk",
+        F.col("d_t").alias("n_converted"),
+        F.col("c_t").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln")) + F.lit(1e-9), 6))
+        .alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel test: does the hash arm shift the purchase
+# RATE, controlling for day-of-corpus (traffic mix shifts day to day,
+# so a pooled 2x2 is Simpson's-paradox-prone — the CMH statistic
+# aggregates the per-day 2x2 tables instead). The stratified
+# companion to events_ab_test_zscore's pooled proportion z.
+#
+# Determinism: per-day cell counts are exact integers; the two float
+# reductions (sum of expected counts E_i = n1*m1/N and of
+# hypergeometric variances V_i) are mode-ordered RUNNING-WINDOW sums
+# over the bounded day frame — both engines add the identical doubles
+# in the identical day order (the ANOVA/CUSUM ordered-fold
+# discipline), so chi2 needs only the rounding bias. sum_a stays a
+# pure integer. Strata with N_i < 2 are excluded (V_i would divide by
+# zero; they carry no information). nullif guards an all-degenerate
+# corpus (every stratum single-arm or constant outcome -> sum_v = 0).
+#
+# Scale shape: ONE partial-aggregated fact collapse to the |days|
+# 2x2 frame; every window after that is over the bounded day frame.
+# Cell products go through doubles before multiplying (n1*(N-n1) and
+# m1*(N-m1) each fit bigint at any volume; their PRODUCT would pass
+# 2^63 near 1e5-event days, so the V_i numerator multiplies two
+# exact-integer doubles instead).
+@register(
+    "events_cmh_test",
+    tags=("events", "stats", "experiment", "stratified", "window"),
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(user_id * {AB_KNUTH} % {AB_MOD} % 2 AS BIGINT) AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events
+    ),
+    t AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(arm) AS BIGINT) AS n1,
+             CAST(sum(succ) AS BIGINT) AS m1,
+             CAST(sum(arm * succ) AS BIGINT) AS a
+      FROM r GROUP BY 1
+      HAVING count(*) >= 2
+    ),
+    c AS (
+      SELECT CAST(count(*) OVER () AS BIGINT) AS n_strata,
+             CAST(sum(nn) OVER (ORDER BY day) AS BIGINT) AS cn,
+             CAST(sum(a) OVER (ORDER BY day) AS BIGINT) AS ca,
+             CAST(sum(n1) OVER (ORDER BY day) AS BIGINT) AS cn1,
+             CAST(sum(m1) OVER (ORDER BY day) AS BIGINT) AS cm1,
+             sum(CAST(n1 AS DOUBLE) * m1 / nn) OVER (ORDER BY day) AS ce,
+             sum((CAST(n1 AS DOUBLE) * (nn - n1))
+                 * (CAST(m1 AS DOUBLE) * (nn - m1))
+                 / (CAST(nn AS DOUBLE) * nn * (nn - 1)))
+               OVER (ORDER BY day) AS cv,
+             row_number() OVER (ORDER BY day DESC) AS rn
+      FROM t
+    )
+    SELECT n_strata, cn AS n_events, ca AS conv_arm1,
+           round(ce + 1e-9, 6) AS expected_arm1,
+           round(cv + 1e-9, 6) AS var_arm1,
+           round((ca - ce) * (ca - ce) / nullif(cv, 0.0) + 1e-9, 4)
+             AS cmh_chi2,
+           round(CAST(ca AS DOUBLE) / nullif(cn1, 0) + 1e-9, 6)
+             AS rate_arm1,
+           round(CAST(cm1 - ca AS DOUBLE) / nullif(cn - cn1, 0) + 1e-9, 6)
+             AS rate_arm0
+    FROM c WHERE rn = 1
+    """,
+)
+def events_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_strata, n_events, conv_arm1, expected_arm1, var_arm1,
+    cmh_chi2, rate_arm1, rate_arm0): day-stratified CMH chi-square of
+    purchase rate between the hash arms (see header)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+        .cast("bigint")
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "succ"
+        ),
+    )
+    t = (
+        e.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nn"),
+            F.sum("arm").cast("bigint").alias("n1"),
+            F.sum("succ").cast("bigint").alias("m1"),
+            F.sum(F.col("arm") * F.col("succ")).cast("bigint").alias("a"),
+        )
+        .filter(F.col("nn") >= 2)
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("day")
+    w_rn = Window.orderBy(F.col("day").desc())
+    e_i = F.col("n1").cast("double") * F.col("m1") / F.col("nn")
+    v_i = (
+        (F.col("n1").cast("double") * (F.col("nn") - F.col("n1")))
+        * (F.col("m1").cast("double") * (F.col("nn") - F.col("m1")))
+        / (
+            F.col("nn").cast("double")
+            * F.col("nn")
+            * (F.col("nn") - F.lit(1))
+        )
+    )
+    c = t.select(
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_strata"),
+        F.sum("nn").over(w_cum).cast("bigint").alias("cn"),
+        F.sum("a").over(w_cum).cast("bigint").alias("ca"),
+        F.sum("n1").over(w_cum).cast("bigint").alias("cn1"),
+        F.sum("m1").over(w_cum).cast("bigint").alias("cm1"),
+        F.sum(e_i).over(w_cum).alias("ce"),
+        F.sum(v_i).over(w_cum).alias("cv"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    dev = F.col("ca") - F.col("ce")
+    return c.select(
+        "n_strata",
+        F.col("cn").alias("n_events"),
+        F.col("ca").alias("conv_arm1"),
+        F.round(F.col("ce") + F.lit(1e-9), 6).alias("expected_arm1"),
+        F.round(F.col("cv") + F.lit(1e-9), 6).alias("var_arm1"),
+        F.round(
+            dev * dev / F.nullif(F.col("cv"), F.lit(0.0)) + F.lit(1e-9), 4
+        ).alias("cmh_chi2"),
+        F.round(
+            F.col("ca").cast("double") / F.nullif(F.col("cn1"), F.lit(0))
+            + F.lit(1e-9),
+            6,
+        ).alias("rate_arm1"),
+        F.round(
+            (F.col("cm1") - F.col("ca")).cast("double")
+            / F.nullif(F.col("cn") - F.col("cn1"), F.lit(0))
+            + F.lit(1e-9),
+            6,
+        ).alias("rate_arm0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TOLERANCE-FREE exponential smoothing: per event type, the EWMA of
+# the daily cent volume with alpha = 1/2, plus each day's residual
+# against yesterday's smoothed level — the anomaly baseline a metrics
+# pipeline keeps per KPI. The alpha = 1/2 choice is load-bearing:
+# s_t = (s_{t-1} + x_t)/2 unrolls to s_t = w_t / 2^t with
+# w_t = 2*x_1 + sum_{i>=2} x_i * 2^(i-1), and every operation in that
+# form is IEEE-EXACT or order-pinned — x_i * 2^k is a pure exponent
+# shift (no rounding, ever), the w_t prefix sum adds identical
+# doubles in identical day order on both engines (window cum-sum),
+# and the final / 2^t is another exact shift. The smoothed level is
+# therefore BIT-identical cross-engine with zero tolerance — the
+# recurrence never touches libm (pow is not correctly rounded;
+# 2^k via integer shiftleft is). Dyadic rationals CAN land exactly
+# on 4dp half-boundaries (e.g. 1/32 = 625 * 5e-5), so the display
+# rounding still carries the +1e-9 bias — applied to bit-identical
+# inputs, so it can never disagree.
+#
+# Bound: the weights span 2^i, so the series index is GUARDED at 62
+# (bigint shift; a >62-day-per-type corpus raises loudly at action
+# time — the simhash saturation-guard discipline — rather than
+# silently overflowing; the 100 TB continuation is chunked re-basing:
+# carry s_T as the next block's x_0, documented in SCALING.md).
+#
+# Scale shape: ONE partial-aggregated fact collapse to the
+# (type, day) frame; the index/cum-sum/lag windows share one
+# per-type sort over that bounded frame.
+@register(
+    "events_ewma_residuals",
+    tags=("events", "timeseries", "ewma", "anomaly", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    w AS (
+      SELECT event_type, day, x, i,
+             sum(CAST(x AS DOUBLE)
+                 * CAST(1::BIGINT << CASE WHEN i = 1 THEN 1
+                                          ELSE CAST(i - 1 AS INT) END
+                        AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY i) AS wt
+      FROM idx
+    ),
+    s AS (
+      SELECT event_type, day, x,
+             wt / CAST(1::BIGINT << CAST(i AS INT) AS DOUBLE) AS ewma
+      FROM w
+    )
+    SELECT event_type, day, x AS daily_cents,
+           round(ewma / 100 + 1e-9, 4) AS ewma_value,
+           round((x - lag(ewma) OVER (
+                    PARTITION BY event_type ORDER BY day)) / 100
+                 + 1e-9, 4) + 0.0 AS residual_value
+    FROM s
+    """,
+)
+def events_ewma_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, daily_cents, ewma_value, residual_value):
+    alpha=1/2 EWMA of daily volume and the residual vs yesterday's
+    level, bit-exact cross-engine via power-of-two weights (see
+    header)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn(
+        "i", F.row_number().over(w_day).cast("bigint")
+    )
+    # Guarded exact power-of-two weight: integer shiftleft (never
+    # libm pow), raising loudly past the 62-step double-span bound.
+    shift_w = (
+        "CASE WHEN i > 62 THEN raise_error("
+        "'events_ewma_residuals: series longer than 62 steps — "
+        "chunk by re-basing (SCALING.md)') "
+        "WHEN i = 1 THEN CAST(shiftleft(CAST(1 AS BIGINT), 1) AS DOUBLE) "
+        "ELSE CAST(shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT)) "
+        "AS DOUBLE) END"
+    )
+    w = idx.withColumn(
+        "wt",
+        F.sum(F.col("x").cast("double") * F.expr(shift_w)).over(
+            Window.partitionBy("event_type").orderBy("i")
+        ),
+    )
+    s = w.select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.col("wt")
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) "
+                "AS DOUBLE)"
+            )
+        ).alias("ewma"),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_cents"),
+        F.round(F.col("ewma") / 100 + F.lit(1e-9), 4).alias("ewma_value"),
+        (
+            F.round(
+                (F.col("x") - F.lag("ewma").over(w_day)) / 100
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("residual_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized A/B readout: the two-sample mean z-test per event type
+# with values winsorized at the pooled 1st/99th DISCRETE percentiles
+# — the heavy-tail-robust twin of events_ab_test_zscore (a single
+# whale purchase can otherwise carry an arm). events_winsorize_stats
+# profiles the clip counts; this one runs the experiment readout on
+# the clipped values.
+#
+# Shape + determinism: the fact collapses ONCE to the
+# (type, cents, arm) value histogram (2dp money -> bounded cells,
+# volume-independent — the mann_whitney discipline). Pooled bounds
+# are DISCRETE percentiles read off that histogram with integer
+# threshold crossings (cum >= ceil(p*n), the
+# length_weighted_quantiles trick) — never quantile_cont, whose
+# interpolated double would make the clipped values fractional and
+# the arm sums order-divergent. All moments are then integer
+# (decimal(38,0)/HUGEINT — cnt*w^2 passes 2^63 near 1e3-cell-count
+# x 1e6-cent values), every window runs over the bounded histogram
+# (no agg-then-rejoin: totals and bounds are windows over one
+# lineage, gotcha #14), and the one double closed form is the
+# identical z tree both engines. nullif guards an empty arm and a
+# zero-variance type.
+@register(
+    "events_winsorized_ab",
+    tags=("events", "stats", "experiment", "robust", "aggregate"),
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(user_id * {AB_KNUTH} % {AB_MOD} % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    k AS (
+      SELECT event_type, cents, arm, cnt,
+             CAST(sum(cnt) OVER (
+               PARTITION BY event_type ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ),
+    b AS (
+      SELECT event_type, cents, arm, cnt,
+             min(CASE WHEN cum >= (n + 99) // 100 THEN cents END)
+               OVER (PARTITION BY event_type) AS lo,
+             min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END)
+               OVER (PARTITION BY event_type) AS hi
+      FROM k
+    ),
+    w AS (
+      SELECT event_type, arm, cnt, lo, hi,
+             greatest(lo, least(hi, cents)) AS wv
+      FROM b
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(min(lo) AS BIGINT) AS lo_cents,
+             CAST(min(hi) AS BIGINT) AS hi_cents,
+             CAST(sum(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n1,
+             sum(CASE WHEN arm = 0 THEN CAST(cnt AS HUGEINT) * wv
+                      ELSE 0 END) AS s10,
+             sum(CASE WHEN arm = 1 THEN CAST(cnt AS HUGEINT) * wv
+                      ELSE 0 END) AS s11,
+             sum(CASE WHEN arm = 0 THEN CAST(cnt AS HUGEINT) * wv * wv
+                      ELSE 0 END) AS s20,
+             sum(CASE WHEN arm = 1 THEN CAST(cnt AS HUGEINT) * wv * wv
+                      ELSE 0 END) AS s21
+      FROM w GROUP BY 1
+    )
+    SELECT event_type, lo_cents, hi_cents, n0, n1,
+           round(CAST(s10 AS DOUBLE) / nullif(n0, 0) / 100 + 1e-9, 6)
+             AS wmean0,
+           round(CAST(s11 AS DOUBLE) / nullif(n1, 0) / 100 + 1e-9, 6)
+             AS wmean1,
+           round((CAST(s11 AS DOUBLE) / nullif(n1, 0)
+                  - CAST(s10 AS DOUBLE) / nullif(n0, 0))
+                 / nullif(sqrt(
+                     greatest(CAST(s21 AS DOUBLE) / nullif(n1, 0)
+                              - (CAST(s11 AS DOUBLE) / nullif(n1, 0))
+                                * (CAST(s11 AS DOUBLE) / nullif(n1, 0)),
+                              0.0) / nullif(n1, 0)
+                     + greatest(CAST(s20 AS DOUBLE) / nullif(n0, 0)
+                                - (CAST(s10 AS DOUBLE) / nullif(n0, 0))
+                                  * (CAST(s10 AS DOUBLE) / nullif(n0, 0)),
+                                0.0) / nullif(n0, 0)
+                   ), 0.0) + 1e-9, 4) + 0.0 AS z
+    FROM a
+    """,
+)
+def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, lo_cents, hi_cents, n0, n1, wmean0, wmean1, z):
+    pooled-percentile winsorized two-sample z between the hash arms
+    (see header)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+        .cast("bigint")
+        .alias("arm"),
+    )
+    h = e.groupBy("event_type", "cents", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_type = Window.partitionBy("event_type")
+    k = h.select(
+        "event_type",
+        "cents",
+        "arm",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_type).cast("bigint").alias("n"),
+    )
+    b = k.select(
+        "event_type",
+        "cents",
+        "arm",
+        "cnt",
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 99) div 100"), F.col("cents")
+            )
+        )
+        .over(w_type)
+        .alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(99 * n + 99) div 100"),
+                F.col("cents"),
+            )
+        )
+        .over(w_type)
+        .alias("hi"),
+    )
+    wv = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    dec = "decimal(38,0)"
+    a = b.select("event_type", "arm", "cnt", "lo", "hi", wv.alias("wv")).groupBy(
+        "event_type"
+    ).agg(
+        F.min("lo").cast("bigint").alias("lo_cents"),
+        F.min("hi").cast("bigint").alias("hi_cents"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0, F.col("cnt").cast(dec) * F.col("wv")
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s10"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1, F.col("cnt").cast(dec) * F.col("wv")
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s11"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0,
+                F.col("cnt").cast(dec) * F.col("wv") * F.col("wv"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s20"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1,
+                F.col("cnt").cast(dec) * F.col("wv") * F.col("wv"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s21"),
+    )
+    n0 = F.nullif(F.col("n0"), F.lit(0))
+    n1 = F.nullif(F.col("n1"), F.lit(0))
+    m0 = F.col("s10").cast("double") / n0
+    m1 = F.col("s11").cast("double") / n1
+    v0 = F.greatest(
+        F.col("s20").cast("double") / n0 - m0 * m0, F.lit(0.0)
+    )
+    v1 = F.greatest(
+        F.col("s21").cast("double") / n1 - m1 * m1, F.lit(0.0)
+    )
+    return a.select(
+        "event_type",
+        "lo_cents",
+        "hi_cents",
+        "n0",
+        "n1",
+        F.round(m0 / 100 + F.lit(1e-9), 6).alias("wmean0"),
+        F.round(m1 / 100 + F.lit(1e-9), 6).alias("wmean1"),
+        (
+            F.round(
+                (m1 - m0)
+                / F.nullif(F.sqrt(v1 / n1 + v0 / n0), F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

@@ -114,78 +114,31 @@ def register(
 # rotation entirely); the 5 r11 additions (capped per VERDICT r10
 # #2); then the first 39 of the 61 late-r9 backlog names in the r9
 # note order. = 5+1+5+39 = 50.
-# ROUND 12 PLAN: (a) CORRECTNESS_r11 red rows first, then (b) the
-# remaining 22 late-r9 backlog names (listed verbatim past the
-# window below) + the 3 LATE-r11 additions (events_mann_whitney,
-# text_quality_length_spearman, privacy_dp_noise_calibration —
-# built after the r11 window was pinned, each 3-SF oracle-green +
-# 2-SF deterministic in-round) + any r12 additions/changes, then
-# (c) the r6 dedup-text block (6 names — 6 rounds stale by r12,
-# KEEP against displacement per VERDICT r10 #4), then (e) the
-# r2-refresh tail (text_fingerprint .. stream_interval_join).
-# 22+3+6 = 31 names fit in one window with ~19 slots to spare for
-# additions + the (e) tail head. Every r12 addition displaces from
-# the (e) tail, never from (b)/(c).
+# ROUND 12 WINDOW (pinned this round, exactly 50; executes VERDICT
+# r11 #1 with additions capped at 5 per #2): (a) CORRECTNESS_r11 had
+# ZERO red rows; (a2) the 2 queries whose PLANS changed this round
+# (ADVICE r11: events_power_analysis zero-delta guard;
+# text_source_js_divergence spine + persist — changed-plan >
+# everything); (b) the 22 remaining late-r9 backlog names + the 3
+# late-r11 additions (the last 25 registry names without a driver
+# row EVER — this window completes the full-registry driver record);
+# the 5 r12 additions (each 3-SF oracle-green + 2-SF
+# partition-deterministic + python-replay pytest gates green at all
+# 3 SFs in-round); (c) the r6 dedup-text block (6 rounds stale, kept
+# against displacement per VERDICT r10 #4); (e) the first 12 of the
+# 35-name r6-stale refresh tail (CORRECTNESS_r06 key order).
+# = 2+25+5+6+12 = 50.
+# ROUND 13 PLAN: (a) CORRECTNESS_r12 red rows first, then (b) the
+# remaining 23 r6-stale names (listed verbatim past the window
+# below — after r13 no driver row anywhere is older than r12, per
+# VERDICT r11 #4), then (c) any r13 additions/changed plans (cap ~5),
+# then (e) re-greens of the oldest r7 rows. Every r13 addition
+# displaces from (e), never from (b).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (a2) plans changed in r11: the ntile_from_rank exact-
-    # integer-division swap (ADVICE r10) reaches rfm/pareto/
-    # calibration; the degenerate-input guards (ADVICE r10) change
-    # neyman + independence --
-    "orders_rfm_segments",
-    "orders_pareto_share",
-    "quality_calibration_deciles",
-    "sample_neyman_allocation",
-    "corpus_lang_source_independence",
-    # -- VERDICT r10 #1: the one query outside the rotation plan --
-    "similarity_mmr_rerank",
-    # -- the 5 r11 additions --
+    # -- (a2) plans changed in r12 (ADVICE r11 fixes) --
     "events_power_analysis",
-    "lineitem_price_index",
-    "events_markov_entropy_rate",
-    "sample_importance_reweight",
     "text_source_js_divergence",
-    # -- (b) late-r9 backlog head: first 39 of the 61, note order --
-    "orders_benford_digits",
-    "dedup_split_leakage",
-    "embedding_label_agreement",
-    "events_psi_drift",
-    "orders_seasonal_index",
-    "text_compression_quality",
-    "embedding_diversity_gram",
-    "dedup_funnel_report",
-    "text_langid_confusion",
-    "events_next_event_accuracy",
-    "supplier_brand_hhi",
-    "events_dau_wau_stickiness",
-    "graph_adamic_adar_linkpred",
-    "timeseries_twap",
-    "sample_dedup_aware_weights",
-    "text_readability_flesch",
-    "privacy_l_diversity",
-    "cluster_silhouette_simplified",
-    "sample_curriculum_interleave",
-    "events_gap_survival",
-    "text_charclass_profile",
-    "events_attribution_ushape",
-    "dedup_threshold_curve",
-    "text_hapax_ratio",
-    "orders_activity_migration",
-    "orders_interarrival_burstiness",
-    "embedding_clip_calibration",
-    "events_overdispersion",
-    "events_user_entropy_bands",
-    "events_daily_peaks",
-    "supplier_lead_time",
-    "part_assortment_depth",
-    "events_cuped_readout",
-    "similarity_topk_ivfpq",
-    "events_tukey_fences",
-    "privacy_t_closeness",
-    "events_did_readout",
-    "dedup_bloom_prefilter",
-    "lineitem_discount_elasticity",
-    # ---- past the 50-slot window: r12 leads, in order ----
-    # the remaining 22 late-r9 no-driver-row names
+    # -- (b) the remaining 22 late-r9 backlog names, note order --
     "sample_hard_negatives",
     "timeseries_rolling_median",
     "lineitem_returnflag_anova",
@@ -208,19 +161,61 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_centroid_classifier",
     "lineitem_supplier_switching",
     "timeseries_metric_correlations",
-    # the 3 LATE-r11 additions (built after the r11 window was pinned;
-    # each already 3-SF oracle-green + 2-SF partition-deterministic —
-    # they take r12 addition slots, displacing from the (e) tail only)
+    # -- (b) the 3 late-r11 additions --
     "events_mann_whitney",
     "text_quality_length_spearman",
     "privacy_dp_noise_calibration",
-    # (c) the r6-green dedup-text block
+    # -- the 5 r12 additions --
+    "events_kaplan_meier",
+    "events_cmh_test",
+    "text_good_turing_coverage",
+    "events_ewma_residuals",
+    "events_winsorized_ab",
+    # -- (c) the r6-green dedup-text block (6 rounds stale) --
     "dedup_ngram_jaccard",
     "cluster_kmeans_assign",
     "text_bm25_topdocs",
     "text_unigram_logprob",
     "hybrid_neardup_scores",
     "chunk_documents_overlap",
+    # -- (e) r6-stale refresh tail, first 12 (r06 key order) --
+    "funnel_view_click_purchase",
+    "text_tfidf_top_terms",
+    "dedup_clusters_exact",
+    "text_fingerprint",
+    "text_quality_ratios",
+    "text_repetition_stats",
+    "multimodal_binary_meta",
+    "multimodal_size_profile",
+    "multimodal_resize_meta",
+    "multimodal_frame_sample",
+    "sample_hash_deterministic",
+    "events_retention_cohorts",
+    # ---- past the 50-slot window: r13 leads, in order ----
+    # the remaining 23 r6-stale names (CORRECTNESS_r06 key order)
+    "events_zscore_outliers",
+    "histogram_event_values",
+    "pivot_event_counts",
+    "variant_props_extract",
+    "agg_min_max_by",
+    "median_by_group",
+    "stream_interval_join",
+    "filter_project_revenue",
+    "join_anti_no_big_order",
+    "join_range_price_band",
+    "agg_count_distinct",
+    "distinct_flag_status",
+    "rollup_order_status",
+    "cube_flag_status",
+    "set_union_all_keys",
+    "set_intersect_keys",
+    "set_except_keys",
+    "join_full_outer_nation_counts",
+    "join_salted_skew",
+    "window_topk_per_customer",
+    "window_distribution",
+    "window_range_frame",
+    "window_value_functions",
 )
 
 

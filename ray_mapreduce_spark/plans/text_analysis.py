@@ -3461,3 +3461,102 @@ def text_quality_length_spearman(
             + F.lit(0.0)
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Good-Turing coverage: per language, the frequency-of-frequencies
+# diagnostics a corpus team reads before claiming "we've seen this
+# language" — unseen-probability mass p0 = N1/N (Good-Turing: the
+# total probability of tokens NEVER observed equals the hapax share
+# of tokens), dis-legomena count (the next estimator term), and the
+# Simpson repeat rate sum c(c-1)/(N(N-1)) (the chance two random
+# tokens are the same type — the diversity twin). text_hapax_ratio
+# reports the hapax share of each SOURCE's vocabulary; this is the
+# missing-mass ESTIMATOR per language over token mass.
+#
+# Determinism: every statistic is integer-derived — counts, hapax /
+# dis flags, and sum c(c-1) as decimal(38,0)/HUGEINT (c^2 passes
+# 2^63 near 3e9-token types); the two divisions are exact-integer
+# quotients with the rational-boundary bias (gotcha #3); nullif
+# guards a single-token language. Scale shape: explode -> ONE
+# shuffle on (lang, token) with map-side partial counts; the lang
+# report re-aggregates the (lang, token) frame on its own
+# partitioning prefix (the hapax_ratio shape).
+@register(
+    "text_good_turing_coverage",
+    tags=("text", "coverage", "good-turing", "diversity", "aggregate"),
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT lang,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_legomena,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS rep2
+      FROM c GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab, hapax, dis_legomena,
+           round(CAST(hapax AS DOUBLE) / n_tokens + 1e-9, 6)
+             AS gt_unseen_mass,
+           round(1.0 - CAST(hapax AS DOUBLE) / n_tokens + 1e-9, 6)
+             AS gt_coverage,
+           round(CAST(rep2 AS DOUBLE)
+                 / nullif(CAST(n_tokens AS DOUBLE) * (n_tokens - 1), 0.0)
+                 + 1e-9, 6) AS simpson_repeat
+    FROM a
+    """,
+)
+def text_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tokens, vocab, hapax, dis_legomena, gt_unseen_mass,
+    gt_coverage, simpson_repeat): Good-Turing missing-mass and
+    Simpson repeat-rate per language (see header)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    a = c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dis_legomena"),
+        F.sum(F.col("n").cast(dec) * (F.col("n") - 1).cast(dec)).alias(
+            "rep2"
+        ),
+    )
+    hm = F.col("hapax").cast("double") / F.col("n_tokens")
+    return a.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis_legomena",
+        F.round(hm + F.lit(1e-9), 6).alias("gt_unseen_mass"),
+        F.round(F.lit(1.0) - hm + F.lit(1e-9), 6).alias("gt_coverage"),
+        F.round(
+            F.col("rep2").cast("double")
+            / F.nullif(
+                F.col("n_tokens").cast("double")
+                * (F.col("n_tokens") - F.lit(1)),
+                F.lit(0.0),
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("simpson_repeat"),
+    )

@@ -3848,3 +3848,262 @@ def test_late_r11_additions_semantics(spark, sf_dir):
             < 1e-5
         )
         assert r["gaussian_sigma"] > r["laplace_b"]  # delta=1e-6 regime
+
+
+def test_r12_additions_semantics(spark, sf_dir):
+    """Semantic gates for the r12 additions beyond the oracle hash:
+    Kaplan-Meier replays FULLY in python (censoring included) and is
+    non-increasing; CMH replays in python and the A/A hash split
+    keeps chi2 small; Good-Turing replays in python; the EWMA
+    replays via the naive recurrence s_t=(s_{t-1}+x_t)/2 (the
+    power-of-two form must be BIT-identical to it); the winsorized
+    z replays from discrete-percentile-clamped values."""
+    import math
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import AB_KNUTH, AB_MOD
+
+    q = all_queries()
+
+    # --- events_kaplan_meier: python replay + monotone ---
+    km = sorted(
+        q["events_kaplan_meier"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert km
+    surv = [r["survival"] for r in km]
+    assert all(a >= b for a, b in zip(surv, surv[1:])), "not non-increasing"
+    rows = _dd.sql(
+        "SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    t0: dict[int, int] = {}
+    tp: dict[int, int] = {}
+    mx = 0
+    for uid, et, us in rows:
+        t0[uid] = min(t0.get(uid, us), us)
+        if et == "purchase":
+            tp[uid] = min(tp.get(uid, us), us)
+        mx = max(mx, us)
+    dur: dict[int, list[int]] = {}  # day -> [deaths, censored]
+    for uid, start in t0.items():
+        if uid in tp:
+            d = (tp[uid] - start) // 86400000000
+            dur.setdefault(d, [0, 0])[0] += 1
+        else:
+            d = (mx - start) // 86400000000
+            dur.setdefault(d, [0, 0])[1] += 1
+    n_risk = len(t0)
+    s = 1.0
+    expect = {}
+    for day in sorted(dur):
+        d_t, c_t = dur[day]
+        s *= 1.0 - d_t / n_risk
+        expect[day] = (n_risk, d_t, c_t, s)
+        n_risk -= d_t + c_t
+    assert len(km) == len(expect)
+    for r in km:
+        nr, d_t, c_t, sv = expect[r["duration_days"]]
+        assert r["n_at_risk"] == nr and r["n_converted"] == d_t
+        assert r["n_censored"] == c_t
+        assert abs(r["survival"] - sv) < 1e-5, (r, sv)
+
+    # --- events_cmh_test: python replay + A/A sanity ---
+    cmh = q["events_cmh_test"].builder(spark, sf_dir).collect()
+    assert len(cmh) == 1
+    got = cmh[0]
+    rows = _dd.sql(
+        "SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, "
+        f"user_id * {AB_KNUTH} % {AB_MOD} % 2, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    strata: dict[int, list[tuple[int, int]]] = {}
+    for day, arm, succ in rows:
+        strata.setdefault(day, []).append((arm, succ))
+    ca = ce = cv = 0.0
+    a1 = n1t = m1t = nt = 0
+    n_strata = 0
+    for day in sorted(strata):
+        cells = strata[day]
+        nn = len(cells)
+        if nn < 2:
+            continue
+        n_strata += 1
+        n1 = sum(a for a, _ in cells)
+        m1 = sum(s_ for _, s_ in cells)
+        a = sum(s_ for ar, s_ in cells if ar == 1)
+        ca += a
+        ce += n1 * m1 / nn
+        cv += (n1 * (nn - n1)) * (m1 * (nn - m1)) / (nn * nn * (nn - 1))
+        a1 += a
+        n1t += n1
+        m1t += m1
+        nt += nn
+    chi2 = (ca - ce) ** 2 / cv
+    assert got["n_strata"] == n_strata and got["conv_arm1"] == a1
+    assert abs(got["cmh_chi2"] - chi2) < 1e-3, (got["cmh_chi2"], chi2)
+    assert abs(got["rate_arm1"] - a1 / n1t) < 1e-5
+    assert abs(got["rate_arm0"] - (m1t - a1) / (nt - n1t)) < 1e-5
+    # A/A: the hash split carries no real effect
+    assert got["cmh_chi2"] < 12.0
+
+    # --- text_good_turing_coverage: python replay ---
+    gt = {
+        r["lang"]: r
+        for r in q["text_good_turing_coverage"].builder(spark, sf_dir).collect()
+    }
+    docs = _dd.sql(
+        f"SELECT lang, lower(text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    per_lang: dict[str, Counter] = {}
+    for lang, text in docs:
+        per_lang.setdefault(lang, Counter()).update(text.split(" "))
+    assert set(gt) == set(per_lang)
+    for lang, cnt in per_lang.items():
+        n = sum(cnt.values())
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        dis = sum(1 for v in cnt.values() if v == 2)
+        rep2 = sum(v * (v - 1) for v in cnt.values())
+        r = gt[lang]
+        assert r["n_tokens"] == n and r["vocab"] == len(cnt)
+        assert r["hapax"] == hapax and r["dis_legomena"] == dis
+        assert abs(r["gt_unseen_mass"] - hapax / n) < 1e-5
+        assert abs(r["simpson_repeat"] - rep2 / (n * (n - 1))) < 1e-5
+
+    # --- events_ewma_residuals: naive-recurrence replay (bit parity
+    # of the power-of-two form is the claim) ---
+    ew = q["events_ewma_residuals"].builder(spark, sf_dir).collect()
+    daily: dict[str, dict[int, int]] = {}
+    rows = _dd.sql(
+        "SELECT event_type, "
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    for t, day, x in rows:
+        daily.setdefault(t, {})[day] = x
+    expect_ew: dict[tuple, tuple] = {}
+    for t, series in daily.items():
+        s = None
+        prev = None
+        for day in sorted(series):
+            x = float(series[day])
+            s = x if s is None else (s + x) / 2.0
+            resid = None if prev is None else x - prev
+            expect_ew[(t, day)] = (s, resid)
+            prev = s
+    assert len(ew) == len(expect_ew)
+    for r in ew:
+        s, resid = expect_ew[(r["event_type"], r["day"])]
+        assert abs(r["ewma_value"] - round(s / 100 + 1e-9, 4)) < 1e-9, r
+        if resid is None:
+            assert r["residual_value"] is None
+        else:
+            assert (
+                abs(r["residual_value"] - (round(resid / 100 + 1e-9, 4) + 0.0))
+                < 1e-9
+            ), r
+
+    # --- events_winsorized_ab: python replay ---
+    wab = {
+        r["event_type"]: r
+        for r in q["events_winsorized_ab"].builder(spark, sf_dir).collect()
+    }
+    rows = _dd.sql(
+        "SELECT event_type, CAST(round(value*100) AS BIGINT), "
+        f"user_id * {AB_KNUTH} % {AB_MOD} % 2 "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    vals: dict[str, list[tuple[int, int]]] = {}
+    for t, cents, arm in rows:
+        vals.setdefault(t, []).append((cents, arm))
+    for t, cells in vals.items():
+        xs = sorted(c for c, _ in cells)
+        n = len(xs)
+        lo = xs[(n + 99) // 100 - 1]
+        hi = xs[(99 * n + 99) // 100 - 1]
+        w0 = [max(lo, min(hi, c)) for c, a in cells if a == 0]
+        w1 = [max(lo, min(hi, c)) for c, a in cells if a == 1]
+        m0, m1 = sum(w0) / len(w0), sum(w1) / len(w1)
+        v0 = sum(x * x for x in w0) / len(w0) - m0 * m0
+        v1 = sum(x * x for x in w1) / len(w1) - m1 * m1
+        z = (m1 - m0) / math.sqrt(v1 / len(w1) + v0 / len(w0))
+        r = wab[t]
+        assert r["lo_cents"] == lo and r["hi_cents"] == hi, (t, r, lo, hi)
+        assert r["n0"] == len(w0) and r["n1"] == len(w1)
+        assert abs(r["wmean0"] - m0 / 100) < 1e-4
+        assert abs(r["wmean1"] - m1 / 100) < 1e-4
+        assert abs(r["z"] - z) < 1e-3, (t, r["z"], z)
+
+
+def test_good_turing_hapax_fixture(spark, tmp_path):
+    """The driver corpus shares one 31-token vocabulary per language
+    (hapax = 0 everywhere), so the real-data replay never exercises
+    the estimator's core branch. Planted fixture: a language whose
+    sample contains two hapax and one dis-legomenon must report
+    gt_unseen_mass = 2/N exactly."""
+    import pandas as pd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    docs = pd.DataFrame(
+        {
+            "lang": ["xx", "xx"],
+            "text": [
+                "alpha beta beta gamma gamma gamma",
+                "gamma delta gamma gamma",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["lang"]: r
+        for r in all_queries()["text_good_turing_coverage"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    r = out["xx"]
+    # counts: alpha 1, beta 2, delta 1, gamma 6 -> N=10, V=4
+    assert r["n_tokens"] == 10 and r["vocab"] == 4
+    assert r["hapax"] == 2 and r["dis_legomena"] == 1
+    assert abs(r["gt_unseen_mass"] - 0.2) < 1e-9
+    assert abs(r["gt_coverage"] - 0.8) < 1e-9
+    # repeat rate: (0 + 2 + 0 + 30) / (10*9)
+    assert abs(r["simpson_repeat"] - 32 / 90) < 1e-6
+
+
+def test_jsd_disjoint_sources_emit_ln2(spark, tmp_path):
+    """ADVICE r11: source pairs with ZERO shared tokens must appear at
+    jsd = ln 2 (the fully-complementary-sources signal) instead of
+    being dropped by the inner join. Planted fixture: two disjoint
+    sources and one overlapping third."""
+    import math
+
+    import pandas as pd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    docs = pd.DataFrame(
+        {
+            "source": ["s_a", "s_b", "s_c"],
+            "text": ["apple banana", "cherry date", "apple cherry"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in all_queries()["text_source_js_divergence"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {("s_a", "s_b"), ("s_a", "s_c"), ("s_b", "s_c")}
+    dj = out[("s_a", "s_b")]
+    assert dj["n_shared_terms"] == 0
+    assert abs(dj["jsd_nats"] - round(math.log(2.0) + 1e-9, 6)) < 1e-9
+    assert out[("s_a", "s_c")]["n_shared_terms"] == 1
+    assert out[("s_a", "s_c")]["jsd_nats"] < dj["jsd_nats"]
