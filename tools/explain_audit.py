@@ -212,6 +212,12 @@ EXTRA = (
     "events_mann_whitney",
     "text_quality_length_spearman",
     "privacy_dp_noise_calibration",
+    # r12 additions
+    "events_kaplan_meier",
+    "events_cmh_test",
+    "text_good_turing_coverage",
+    "events_ewma_residuals",
+    "events_winsorized_ab",
 )
 
 
