@@ -134,6 +134,27 @@ def register(
 # VERDICT r11 #4), then (c) any r13 additions/changed plans (cap ~5),
 # then (e) re-greens of the oldest r7 rows. Every r13 addition
 # displaces from (e), never from (b).
+# r13 addition CANDIDATES (design notes only — each oracle-able with
+# the existing determinism discipline):
+# - events_double_ewma_holt: Holt level+trend with alpha=beta=1/2 —
+#   the r12 power-of-two shiftleft trick extends to DOUBLE smoothing
+#   (both recurrences stay dyadic-rational => bit-exact cross-engine;
+#   same 62-step guard / chunked re-basing).
+# - events_benjamini_hochberg: FDR step-up over the per-type z tests
+#   (bounded |types| frame; integer rank*alpha/m threshold crossings
+#   — no float rank division).
+# - text_keyword_rake: RAKE-ish degree/frequency keyword scores from
+#   integer co-occurrence counts within stopword-delimited chunks
+#   (explode + window, exact-integer score = deg*SCALE div freq).
+# - orders_twoway_fixed_effects: two-way (custkey, month) demeaned
+#   OLS slope via the six-sum closed form on integer cents (the
+#   linreg_trend discipline, one extra demeaning join).
+# - sample_pps_systematic: probability-proportional-to-size
+#   systematic sampling via integer cumulative-weight thresholds
+#   (sha256 start offset; pure-integer acceptance like recency_decay).
+# - text_burrows_delta: per-(lang, source) authorship delta over the
+#   top-K function words' z-scores (explicit (sum, sumsq, n) moments,
+#   6dp re-round before the |pairs| compare stage).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (a2) plans changed in r12 (ADVICE r11 fixes) --
     "events_power_analysis",
