@@ -6369,12 +6369,18 @@ def privacy_dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY 1
     ),
     k AS (
+      -- The OUTER cast is load-bearing: DuckDB window sum(BIGINT)
+      -- returns HUGEINT, and a cast on the first term alone leaves
+      -- the SUBTRACTION result HUGEINT -> float64 through the
+      -- driver's pandas conversion -> typed-hash red vs Spark's
+      -- int64 (CORRECTNESS_r12's one red row; gotcha #3 applied one
+      -- level too shallow). tests/test_oracle_types.py pins this.
       SELECT duration_days, d_t, c_t,
-             CAST(sum(d_t + c_t) OVER () AS BIGINT)
+             CAST(sum(d_t + c_t) OVER ()
              - COALESCE(sum(d_t + c_t) OVER (
                  ORDER BY duration_days
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS n_at_risk
+               ), 0) AS BIGINT) AS n_at_risk
       FROM h
     ),
     s AS (

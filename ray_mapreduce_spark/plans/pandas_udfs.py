@@ -421,8 +421,9 @@ PCA_HIST_OFFSET_BUCKETS = 200  # shift covers |proj| <= 10
     )
     SELECT (proj_u + {PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U})
              // {PCA_HIST_WIDTH_U} - {PCA_HIST_OFFSET_BUCKETS} AS bucket,
-           round(((proj_u + {PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U})
-             // {PCA_HIST_WIDTH_U} - {PCA_HIST_OFFSET_BUCKETS}) * 0.05, 2) AS lo,
+           round(CAST((proj_u + {PCA_HIST_OFFSET_BUCKETS * PCA_HIST_WIDTH_U})
+             // {PCA_HIST_WIDTH_U} - {PCA_HIST_OFFSET_BUCKETS} AS DOUBLE)
+             * 0.05, 2) AS lo,
            CAST(count(*) AS BIGINT) AS n
     FROM vx
     GROUP BY 1, 2

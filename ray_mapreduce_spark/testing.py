@@ -33,6 +33,18 @@ class CompareResult:
     detail: str = ""
 
 
+# Arrow types an oracle may emit without risking the driver's typed
+# hash. DuckDB widens window/aggregate integer arithmetic to HUGEINT
+# (arrow decimal128(38,0)) and bare decimal literals to DECIMAL — both
+# pass through the driver's pandas conversion as float64 / lucky
+# doubles and hash-mismatch a numerically identical Spark int/double
+# (the events_kaplan_meier r12 red). compare_query rejects them at
+# fetch time; tests/test_oracle_types.py sweeps the whole registry.
+DRIVER_SAFE_ORACLE_TYPES = frozenset(
+    {"int64", "int32", "double", "string", "large_string", "bool"}
+)
+
+
 def _norm_value(v: Any) -> Any:
     if isinstance(v, Decimal):
         return float(v)
@@ -86,9 +98,27 @@ def compare_query(
 
     con = duckdb_connection(sf_dir)
     try:
-        cur = con.execute(oracle)
-        oracle_cols = [d[0] for d in cur.description]
-        oracle_rows = [_norm_row(tuple(r)) for r in cur.fetchall()]
+        # Fetch via arrow, not fetchall(): fetchall() converts HUGEINT to
+        # a plain Python int, hiding integer-width divergence the driver's
+        # typed hash rejects (the events_kaplan_meier r12 red — every local
+        # sweep was green while the driver red-flagged it). The arrow
+        # schema preserves the oracle's real output types, so we can fail
+        # loudly on anything outside the driver-safe whitelist.
+        tbl = con.execute(oracle).fetch_arrow_table()
+        oracle_cols = list(tbl.schema.names)
+        bad_types = [
+            f"{f.name}:{f.type}"
+            for f in tbl.schema
+            if str(f.type) not in DRIVER_SAFE_ORACLE_TYPES
+        ]
+        if bad_types:
+            return CompareResult(
+                name, False, len(spark_rows), tbl.num_rows,
+                "oracle output type(s) outside the driver-safe whitelist "
+                f"(would hash-mismatch under the driver's typed hash): {bad_types}",
+            )
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        oracle_rows = [_norm_row(t) for t in zip(*cols)] if cols else []
     finally:
         con.close()
 

@@ -225,9 +225,13 @@ def main() -> None:
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
-    names = sorted(n for n, s in specs.items() if s.bench) + [
-        n for n in EXTRA if n in specs
-    ]
+    unknown = [n for n in EXTRA if n not in specs]
+    if unknown:
+        # Mirror the registry's unknown-rotation-name raise (ADVICE r12):
+        # a misspelled or later-renamed EXTRA entry must fail loudly, not
+        # silently shrink the audit.
+        raise KeyError(f"EXTRA names not in all_queries(): {unknown}")
+    names = sorted(n for n, s in specs.items() if s.bench) + list(EXTRA)
     out = ["# EXPLAINS — physical plans of the headline + scale-sensitive queries",
            "",
            f"Generated by `tools/explain_audit.py` at `{SF_DIR}` — {len(names)} plans.",
