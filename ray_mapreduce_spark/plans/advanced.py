@@ -6946,3 +6946,375 @@ def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Double exponential smoothing (Brown's linear method, alpha = 1/2):
+# a SECOND alpha=1/2 EWMA pass over the first gives a trend-aware
+# level + slope + one-step forecast per event type — the Holt-style
+# trending-KPI baseline (Holt with alpha = beta constrained to the
+# Brown form; an unconstrained Holt recurrence has complex matrix
+# eigenvalues and no cum-sum unroll). The r12 power-of-two trick
+# (events_ewma_residuals header) extends verbatim: s1_i is a dyadic
+# rational computed bit-exactly; the second pass's terms s1_i * 2^(i-1)
+# are pure exponent SHIFTS of those exact doubles (no rounding,
+# ever), the v_t prefix sum adds identical doubles in identical day
+# order on both engines, and the final / 2^t is another exact shift —
+# so s2, level = 2*s1 - s2, trend = s1 - s2 and forecast = l + b are
+# all BIT-identical cross-engine before the display round. Same
+# 62-step in-plan guard (|s1| <= max|x| by convexity, so the second
+# pass needs no wider bound); same chunked re-basing continuation for
+# unbounded horizons (SCALING.md). The daily collapse is duplicated
+# from events_ewma_residuals rather than shared so this addition
+# cannot drift a driver-green plan.
+#
+# Scale shape: ONE partial-aggregated fact collapse to the bounded
+# (type, day) frame; the index and both smoothing cum-sums share one
+# per-type sort over that frame.
+@register(
+    "events_double_ewma_holt",
+    tags=("events", "timeseries", "ewma", "holt", "trend", "window"),
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ),
+    w1 AS (
+      SELECT event_type, day, x, i,
+             sum(CAST(x AS DOUBLE)
+                 * CAST(1::BIGINT << CASE WHEN i = 1 THEN 1
+                                          ELSE CAST(i - 1 AS INT) END
+                        AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY i) AS wt
+      FROM idx
+    ),
+    s1 AS (
+      SELECT event_type, day, x, i,
+             wt / CAST(1::BIGINT << CAST(i AS INT) AS DOUBLE) AS s1
+      FROM w1
+    ),
+    w2 AS (
+      SELECT event_type, day, x, i, s1,
+             sum(s1
+                 * CAST(1::BIGINT << CASE WHEN i = 1 THEN 1
+                                          ELSE CAST(i - 1 AS INT) END
+                        AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY i) AS vt
+      FROM s1
+    ),
+    s2 AS (
+      SELECT event_type, day, x, s1,
+             vt / CAST(1::BIGINT << CAST(i AS INT) AS DOUBLE) AS s2
+      FROM w2
+    )
+    SELECT event_type, day, x AS daily_cents,
+           round((2 * s1 - s2) / 100 + 1e-9, 4) + 0.0 AS level_value,
+           round((s1 - s2) / 100 + 1e-9, 4) + 0.0 AS trend_value,
+           round((3 * s1 - 2 * s2) / 100 + 1e-9, 4) + 0.0 AS forecast_value
+    FROM s2
+    """,
+)
+def events_double_ewma_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, daily_cents, level_value, trend_value,
+    forecast_value): Brown double exponential smoothing of daily cent
+    volume with alpha = 1/2 — level 2*s1-s2, trend s1-s2, one-step
+    forecast l+b, bit-exact cross-engine (see header)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w_day).cast("bigint"))
+    shift_w = (
+        "CASE WHEN i > 62 THEN raise_error("
+        "'events_double_ewma_holt: series longer than 62 steps — "
+        "chunk by re-basing (SCALING.md)') "
+        "WHEN i = 1 THEN CAST(shiftleft(CAST(1 AS BIGINT), 1) AS DOUBLE) "
+        "ELSE CAST(shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT)) "
+        "AS DOUBLE) END"
+    )
+    div_i = "CAST(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) AS DOUBLE)"
+    w_i = Window.partitionBy("event_type").orderBy("i")
+    w1 = idx.withColumn(
+        "wt", F.sum(F.col("x").cast("double") * F.expr(shift_w)).over(w_i)
+    )
+    s1f = w1.select(
+        "event_type", "day", "x", "i",
+        (F.col("wt") / F.expr(div_i)).alias("s1"),
+    )
+    w2 = s1f.withColumn(
+        "vt", F.sum(F.col("s1") * F.expr(shift_w)).over(w_i)
+    )
+    s2f = w2.select(
+        "event_type", "day", "x", "s1",
+        (F.col("vt") / F.expr(div_i)).alias("s2"),
+    )
+    return s2f.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_cents"),
+        (
+            F.round(
+                (2 * F.col("s1") - F.col("s2")) / 100 + F.lit(1e-9), 4
+            )
+            + F.lit(0.0)
+        ).alias("level_value"),
+        (
+            F.round((F.col("s1") - F.col("s2")) / 100 + F.lit(1e-9), 4)
+            + F.lit(0.0)
+        ).alias("trend_value"),
+        (
+            F.round(
+                (3 * F.col("s1") - 2 * F.col("s2")) / 100 + F.lit(1e-9), 4
+            )
+            + F.lit(0.0)
+        ).alias("forecast_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR step-up over the per-type A/B readouts: when
+# an experiment ships one z-test PER EVENT TYPE, controlling the
+# false-discovery rate across the family is the standard multiple-
+# comparisons correction (BH 1995). Per-type Welch z of mean cents
+# between the hash arms from exact integer moments (the winsorized_ab
+# histogram discipline, unclipped), then the step-up on the bounded
+# |types| frame.
+#
+# Determinism: z is one identical IEEE tree on exact integers ->
+# bit-identical cross-engine. The normal tail p = 2*(1 - Phi(|z|))
+# has no elementary closed form, so it uses the Abramowitz-Stegun
+# 26.2.17 polynomial (|err| < 7.5e-8, documented approximation) with
+# every coefficient interpolated from ONE Python literal into both
+# engines (the Benford/DP-noise rule); exp() can differ by 1 ulp
+# cross-engine, so p is 6dp-LOCKED (round + 1e-9 bias) FIRST and
+# every downstream use — the (p, type) rank and the threshold
+# crossing — consumes only the locked value, making rank and verdict
+# exactly identical on both engines (the CUSUM lock-then-derive
+# discipline). The crossing test is p6 * (2/alpha) * m <= k on the
+# locked doubles — no float rank division, and a tie resolves
+# identically because both engines compare identical values.
+#
+# Scale shape: ONE fact collapse to the (type, cents, arm) value
+# histogram (bounded cells at any volume); moments, ranks and the
+# step-up max all run as windows over the |types|-row frame.
+BH_ALPHA_INV = 20  # alpha = 0.05 = 1/20
+_BH_T = "0.2316419"
+_BH_B = ("0.31938153", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+_BH_INV_SQRT_2PI = "0.3989422804014327"
+
+
+def _bh_p_sql(az: str) -> str:
+    """A&S 26.2.17 two-sided normal p-value as a SQL expression over
+    an |z| column — the IDENTICAL string is interpolated into the
+    Spark plan and the DuckDB oracle so the op tree cannot drift."""
+    t = f"(1.0 / (1.0 + {_BH_T} * {az}))"
+    b1, b2, b3, b4, b5 = _BH_B
+    poly = f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * ({b4} + {t} * {b5})))))"
+    return (
+        f"(2.0 * exp(-({az} * {az}) / 2.0) * {_BH_INV_SQRT_2PI} * {poly})"
+    )
+
+
+@register(
+    "events_benjamini_hochberg",
+    tags=("events", "stats", "experiment", "fdr", "window"),
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(user_id * {AB_KNUTH} % {AB_MOD} % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n1,
+             sum(CASE WHEN arm = 0 THEN CAST(cnt AS HUGEINT) * cents
+                      ELSE 0 END) AS s10,
+             sum(CASE WHEN arm = 1 THEN CAST(cnt AS HUGEINT) * cents
+                      ELSE 0 END) AS s11,
+             sum(CASE WHEN arm = 0 THEN CAST(cnt AS HUGEINT) * cents * cents
+                      ELSE 0 END) AS s20,
+             sum(CASE WHEN arm = 1 THEN CAST(cnt AS HUGEINT) * cents * cents
+                      ELSE 0 END) AS s21
+      FROM h GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, n0, n1,
+             coalesce(
+               (CAST(s11 AS DOUBLE) / nullif(n1, 0)
+                - CAST(s10 AS DOUBLE) / nullif(n0, 0))
+               / nullif(sqrt(
+                   greatest(CAST(s21 AS DOUBLE) / nullif(n1, 0)
+                            - (CAST(s11 AS DOUBLE) / nullif(n1, 0))
+                              * (CAST(s11 AS DOUBLE) / nullif(n1, 0)),
+                            0.0) / nullif(n1, 0)
+                   + greatest(CAST(s20 AS DOUBLE) / nullif(n0, 0)
+                              - (CAST(s10 AS DOUBLE) / nullif(n0, 0))
+                                * (CAST(s10 AS DOUBLE) / nullif(n0, 0)),
+                              0.0) / nullif(n0, 0)
+                 ), 0.0), 0.0) AS zv
+      FROM a
+    ),
+    p AS (
+      SELECT event_type, n0, n1, zv,
+             round({{P_EXPR}} + 1e-9, 6) AS p6
+      FROM (SELECT event_type, n0, n1, zv, abs(zv) AS az FROM z)
+    ),
+    r AS (
+      SELECT event_type, n0, n1, zv, p6,
+             CAST(row_number() OVER (ORDER BY p6, event_type) AS BIGINT)
+               AS k,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    s AS (
+      SELECT event_type, n0, n1, zv, p6, k, m,
+             CASE WHEN p6 * {BH_ALPHA_INV} * m <= CAST(k AS DOUBLE)
+                  THEN 1 ELSE 0 END AS crossed
+      FROM r
+    )
+    SELECT event_type, n0, n1,
+           round(zv + 1e-9, 4) + 0.0 AS z,
+           p6 AS p_value, k AS p_rank, m AS m_tests,
+           round(CAST(k AS DOUBLE) / ({BH_ALPHA_INV} * m) + 1e-9, 6)
+             AS bh_threshold,
+           CAST(max(crossed) OVER (
+             ORDER BY k ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS rejected
+    FROM s
+    """.replace("{P_EXPR}", _bh_p_sql("az")),
+)
+def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n0, n1, z, p_value, p_rank, m_tests, bh_threshold,
+    rejected): per-type Welch z between the hash arms with the
+    Benjamini-Hochberg FDR step-up across the type family (see
+    header). On A/A hash-split halves nothing should reject."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+        .cast("bigint")
+        .alias("arm"),
+    )
+    h = e.groupBy("event_type", "cents", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dec = "decimal(38,0)"
+    a = h.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0, F.col("cnt").cast(dec) * F.col("cents")
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s10"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1, F.col("cnt").cast(dec) * F.col("cents")
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s11"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0,
+                F.col("cnt").cast(dec) * F.col("cents") * F.col("cents"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s20"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1,
+                F.col("cnt").cast(dec) * F.col("cents") * F.col("cents"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("s21"),
+    )
+    n0 = F.nullif(F.col("n0"), F.lit(0))
+    n1 = F.nullif(F.col("n1"), F.lit(0))
+    m0 = F.col("s10").cast("double") / n0
+    m1 = F.col("s11").cast("double") / n1
+    v0 = F.greatest(F.col("s20").cast("double") / n0 - m0 * m0, F.lit(0.0))
+    v1 = F.greatest(F.col("s21").cast("double") / n1 - m1 * m1, F.lit(0.0))
+    z = a.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.coalesce(
+            (m1 - m0) / F.nullif(F.sqrt(v1 / n1 + v0 / n0), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias("zv"),
+    )
+    p = z.select(
+        "event_type", "n0", "n1", "zv", F.abs(F.col("zv")).alias("az")
+    ).select(
+        "event_type",
+        "n0",
+        "n1",
+        "zv",
+        F.round(F.expr(_bh_p_sql("az")) + F.lit(1e-9), 6).alias("p6"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "event_type",
+        "n0",
+        "n1",
+        "zv",
+        "p6",
+        F.row_number()
+        .over(Window.orderBy("p6", "event_type"))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    s = r.withColumn(
+        "crossed",
+        F.when(
+            F.col("p6") * F.lit(BH_ALPHA_INV) * F.col("m")
+            <= F.col("k").cast("double"),
+            1,
+        ).otherwise(0),
+    )
+    return s.select(
+        "event_type",
+        "n0",
+        "n1",
+        (F.round(F.col("zv") + F.lit(1e-9), 4) + F.lit(0.0)).alias("z"),
+        F.col("p6").alias("p_value"),
+        F.col("k").alias("p_rank"),
+        F.col("m").alias("m_tests"),
+        F.round(
+            F.col("k").cast("double") / (F.lit(BH_ALPHA_INV) * F.col("m"))
+            + F.lit(1e-9),
+            6,
+        ).alias("bh_threshold"),
+        F.max("crossed")
+        .over(
+            Window.orderBy("k").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("rejected"),
+    )

@@ -128,92 +128,29 @@ def register(
 # against displacement per VERDICT r10 #4); (e) the first 12 of the
 # 35-name r6-stale refresh tail (CORRECTNESS_r06 key order).
 # = 2+25+5+6+12 = 50.
-# ROUND 13 PLAN: (a) CORRECTNESS_r12 red rows first, then (b) the
-# remaining 23 r6-stale names (listed verbatim past the window
-# below — after r13 no driver row anywhere is older than r12, per
-# VERDICT r11 #4), then (c) any r13 additions/changed plans (cap ~5),
-# then (e) re-greens of the oldest r7 rows. Every r13 addition
-# displaces from (e), never from (b).
-# r13 addition CANDIDATES (design notes only — each oracle-able with
-# the existing determinism discipline):
-# - events_double_ewma_holt: Holt level+trend with alpha=beta=1/2 —
-#   the r12 power-of-two shiftleft trick extends to DOUBLE smoothing
-#   (both recurrences stay dyadic-rational => bit-exact cross-engine;
-#   same 62-step guard / chunked re-basing).
-# - events_benjamini_hochberg: FDR step-up over the per-type z tests
-#   (bounded |types| frame; integer rank*alpha/m threshold crossings
-#   — no float rank division).
-# - text_keyword_rake: RAKE-ish degree/frequency keyword scores from
-#   integer co-occurrence counts within stopword-delimited chunks
-#   (explode + window, exact-integer score = deg*SCALE div freq).
-# - orders_twoway_fixed_effects: two-way (custkey, month) demeaned
-#   OLS slope via the six-sum closed form on integer cents (the
-#   linreg_trend discipline, one extra demeaning join).
-# - sample_pps_systematic: probability-proportional-to-size
-#   systematic sampling via integer cumulative-weight thresholds
-#   (sha256 start offset; pure-integer acceptance like recency_decay).
-# - text_burrows_delta: per-(lang, source) authorship delta over the
-#   top-K function words' z-scores (explicit (sum, sumsq, n) moments,
-#   6dp re-round before the |pairs| compare stage).
+# ROUND 13 WINDOW (pinned this round, exactly 50; executes VERDICT
+# r12 #1/#3/#4): (a) the r12 red events_kaplan_meier at slot 1
+# (oracle HUGEINT cast fixed — VERDICT r12 diagnosed the typed-hash
+# divergence; values were already bit-identical); (a2)
+# embedding_pca_histogram, whose oracle changed this round (lo cast
+# DECIMAL(22,2) -> DOUBLE, the VERDICT near-miss — changed-plan >
+# everything); (b) the 23 r6-stale names (CORRECTNESS_r06 key order —
+# after r13 no driver row anywhere is older than r12, closing
+# VERDICT r11 #4); (c) the 5 r13 additions (each 3-SF oracle-green +
+# 2-SF partition-deterministic + replay pytest gates in-round); (e)
+# the first 20 of the 49 r7-stale names in CORRECTNESS_r07 key
+# order. = 1 + 1 + 23 + 5 + 20 = 50.
+# ROUND 14 PLAN: (a) CORRECTNESS_r13 red rows first, then (b) the
+# remaining 29 r7-stale names (listed verbatim past the window
+# below), then (c) r14 additions/changed plans (cap ~5), then (e)
+# the oldest r8 rows (47 names). Additions displace from (e), never
+# from (b).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (a2) plans changed in r12 (ADVICE r11 fixes) --
-    "events_power_analysis",
-    "text_source_js_divergence",
-    # -- (b) the remaining 22 late-r9 backlog names, note order --
-    "sample_hard_negatives",
-    "timeseries_rolling_median",
-    "lineitem_returnflag_anova",
-    "orders_scd2_intervals",
-    "events_ks_two_sample",
-    "events_hill_tail_index",
-    "orders_reactivation",
-    "events_quantile_treatment_effect",
-    "text_quality_retention_curve",
-    "events_weekday_hour_heatmap",
-    "events_user_growth_curve",
-    "sample_recency_decay",
-    "events_window_funnel",
-    "text_naive_bayes_langid",
-    "events_slo_burn_rate",
-    "lineitem_duplicate_lines_screen",
-    "dedup_incremental_neardup",
-    "sample_balanced_langs",
-    "pipeline_dataset_card",
-    "similarity_centroid_classifier",
-    "lineitem_supplier_switching",
-    "timeseries_metric_correlations",
-    # -- (b) the 3 late-r11 additions --
-    "events_mann_whitney",
-    "text_quality_length_spearman",
-    "privacy_dp_noise_calibration",
-    # -- the 5 r12 additions --
+    # -- (a) the r12 red, oracle typing fixed this round --
     "events_kaplan_meier",
-    "events_cmh_test",
-    "text_good_turing_coverage",
-    "events_ewma_residuals",
-    "events_winsorized_ab",
-    # -- (c) the r6-green dedup-text block (6 rounds stale) --
-    "dedup_ngram_jaccard",
-    "cluster_kmeans_assign",
-    "text_bm25_topdocs",
-    "text_unigram_logprob",
-    "hybrid_neardup_scores",
-    "chunk_documents_overlap",
-    # -- (e) r6-stale refresh tail, first 12 (r06 key order) --
-    "funnel_view_click_purchase",
-    "text_tfidf_top_terms",
-    "dedup_clusters_exact",
-    "text_fingerprint",
-    "text_quality_ratios",
-    "text_repetition_stats",
-    "multimodal_binary_meta",
-    "multimodal_size_profile",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "sample_hash_deterministic",
-    "events_retention_cohorts",
-    # ---- past the 50-slot window: r13 leads, in order ----
-    # the remaining 23 r6-stale names (CORRECTNESS_r06 key order)
+    # -- (a2) oracle changed this round (DECIMAL lo -> DOUBLE) --
+    "embedding_pca_histogram",
+    # -- (b) the 23 r6-stale names (CORRECTNESS_r06 key order) --
     "events_zscore_outliers",
     "histogram_event_values",
     "pivot_event_counts",
@@ -237,6 +174,64 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "window_distribution",
     "window_range_frame",
     "window_value_functions",
+    # -- (c) the 5 r13 additions --
+    "events_double_ewma_holt",
+    "events_benjamini_hochberg",
+    "text_keyword_rake",
+    "orders_twoway_fixed_effects",
+    "sample_pps_systematic",
+    # -- (e) first 20 r7-stale names (CORRECTNESS_r07 key order) --
+    "sample_split_assign",
+    "text_unigram_incremental",
+    "events_sessionize_gap",
+    "text_bm25_incremental",
+    "dedup_repeated_spans",
+    "events_decayed_score",
+    "corpus_composition_report",
+    "decontaminate_embedding",
+    "similarity_topk_ivf_kmeans",
+    "dedup_simhash_pairs",
+    "dedup_containment_pairs",
+    "text_quality_classifier",
+    "text_bigram_pmi",
+    "dedup_semantic_kmeans",
+    "graph_pagerank_neardup",
+    "graph_triangle_count",
+    "dedup_survivors_quality",
+    "events_key_skew_profile",
+    "events_winsorize_stats",
+    "text_bigram_logprob",
+    # ---- past the 50-slot window: r14 leads, in order ----
+    # the remaining 29 r7-stale names (CORRECTNESS_r07 key order)
+    "grouping_sets_sql",
+    "unpivot_nation_counts",
+    "explode_outer_long_words",
+    "sql_recursive_month_spine",
+    "listagg_priorities",
+    "nested_case_matrix",
+    "exists_correlated_sql",
+    "udtf_tokenize_lateral",
+    "dedup_incremental_merge",
+    "decontaminate_ngram_overlap",
+    "similarity_topk_brute",
+    "dedup_embedding_cosine",
+    "embedding_centroid_by_bucket",
+    "embedding_norm_stats",
+    "text_quality_score",
+    "text_zipf_head",
+    "text_redact_terms",
+    "multimodal_decode_features",
+    "sample_stratified_capped",
+    "pack_sequences_greedy",
+    "sample_weighted_mixture",
+    "pipeline_training_batch",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "timeseries_rollup_hierarchy",
+    "timeseries_ohlc",
+    "timeseries_gapfill",
+    "asof_join_last_click",
 )
 
 

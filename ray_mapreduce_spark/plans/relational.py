@@ -2715,3 +2715,325 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("switch_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-way fixed-effects OLS: the daily drift of order value (cents
+# per calendar day) after absorbing nation and calendar-month fixed
+# effects — the panel-regression readout ("is spend trending up
+# within nation and season, not just across them?"). Defined as the
+# one-shot two-way within transformation x~ = x - x̄_i - x̄_t + x̄
+# (exact FE under a balanced panel, the standard one-step
+# approximation otherwise — documented choice), with the slope
+# S_x~y~ / S_x~x~ expanded ALGEBRAICALLY into sums of per-group
+# integer moments so no per-row demeaned float is ever materialized:
+#
+#   S_x~y~ = Sxy - Σ_i SxiSyi/ni - Σ_t SxtSyt/nt - SxSy/n
+#            + Σ_it n_it (SxiSyt + SxtSyi) / (ni nt)
+#
+# (y~ = x~ specialization for S_x~x~). FE dims are chosen BOUNDED —
+# nation (25) x order month (~80), never custkey — so every
+# correction sum runs over a bounded frame: the three float
+# reductions (nation / month / cell terms) fold as key-ordered
+# running-window sums (the ANOVA/CUSUM discipline) adding identical
+# doubles in identical order on both engines, and the group moments
+# they consume are exact integers. The products Sx_g * Sy_g can pass
+# 2^63 at crawl SFs, so each term casts to DOUBLE BEFORE multiplying
+# (identical tree both sides).
+#
+# Scale shape: ONE fact scan partial-aggregates the (nation, month)
+# cell moments (customer's nation joined broadcast); nation and
+# month marginals REUSE the cell aggregate (no second fact scan); the
+# folds and the final algebra run on bounded frames (25 + 80 + 2000
+# rows) cross-joined as 1-row broadcasts.
+@register(
+    "orders_twoway_fixed_effects",
+    tags=("relational", "regression", "fixed-effects", "window"),
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name AS nat,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                  AS BIGINT) AS mth,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    cell AS (
+      SELECT nat, mth,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM r GROUP BY 1, 2
+    ),
+    ni AS (
+      SELECT nat, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy
+      FROM cell GROUP BY 1
+    ),
+    nt AS (
+      SELECT mth, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy
+      FROM cell GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+             CAST(sum(sxx) AS BIGINT) AS sxx,
+             CAST(sum(sxy) AS BIGINT) AS sxy
+      FROM cell
+    ),
+    fi AS (
+      SELECT rk, k, cxy, cxx FROM (
+        SELECT row_number() OVER (ORDER BY nat) AS rk,
+               count(*) OVER () AS k,
+               sum(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) OVER w
+                 AS cxy,
+               sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) OVER w
+                 AS cxx
+        FROM ni
+        WINDOW w AS (ORDER BY nat ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ) WHERE rk = k
+    ),
+    ft AS (
+      SELECT rk, k, cxy, cxx FROM (
+        SELECT row_number() OVER (ORDER BY mth) AS rk,
+               count(*) OVER () AS k,
+               sum(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) OVER w
+                 AS cxy,
+               sum(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) OVER w
+                 AS cxx
+        FROM nt
+        WINDOW w AS (ORDER BY mth ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ) WHERE rk = k
+    ),
+    fcp AS (
+      -- HIERARCHICAL fold (two levels, each over a SMALL frame): a
+      -- single running sum over all ~|nations|x|months| cell terms
+      -- diverges from the sequential order past ~1-2k rows — DuckDB
+      -- parallelizes/chunks window aggregation, so its windowed
+      -- running sum stops being a left-to-right sequential fold on
+      -- large frames (found bitwise at sf0.1: 2000-row fold off by
+      -- 2 ulp while the 25- and 80-row folds matched exactly). Fold
+      -- per nation over months (<= |months| rows), then fold the
+      -- |nations| partials.
+      SELECT nat, cxy, cxx FROM (
+        SELECT c.nat,
+               row_number() OVER (PARTITION BY c.nat ORDER BY c.mth)
+                 AS rk,
+               count(*) OVER (PARTITION BY c.nat) AS k,
+               sum(CAST(c.n AS DOUBLE)
+                   * (CAST(i.sx AS DOUBLE) * CAST(t.sy AS DOUBLE)
+                      + CAST(t.sx AS DOUBLE) * CAST(i.sy AS DOUBLE))
+                   / (CAST(i.n AS DOUBLE) * CAST(t.n AS DOUBLE))) OVER w
+                 AS cxy,
+               sum(CAST(c.n AS DOUBLE)
+                   * (2.0 * CAST(i.sx AS DOUBLE) * CAST(t.sx AS DOUBLE))
+                   / (CAST(i.n AS DOUBLE) * CAST(t.n AS DOUBLE))) OVER w
+                 AS cxx
+        FROM cell c
+        JOIN ni i ON i.nat = c.nat
+        JOIN nt t ON t.mth = c.mth
+        WINDOW w AS (PARTITION BY c.nat ORDER BY c.mth
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE rk = k
+    ),
+    fc AS (
+      SELECT rk, k, cxy, cxx FROM (
+        SELECT row_number() OVER (ORDER BY nat) AS rk,
+               count(*) OVER () AS k,
+               sum(cxy) OVER w AS cxy,
+               sum(cxx) OVER w AS cxx
+        FROM fcp
+        WINDOW w AS (ORDER BY nat ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ) WHERE rk = k
+    )
+    SELECT g.n AS n_orders,
+           CAST(fi.k AS BIGINT) AS n_nations,
+           CAST(ft.k AS BIGINT) AS n_months,
+           round(CAST(g.sxy AS DOUBLE) - fi.cxy - ft.cxy
+                 - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE) / g.n
+                 + fc.cxy + 1e-9, 4) AS sxy_within,
+           round(CAST(g.sxx AS DOUBLE) - fi.cxx - ft.cxx
+                 - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) / g.n
+                 + fc.cxx + 1e-9, 4) AS sxx_within,
+           round((CAST(g.sxy AS DOUBLE) - fi.cxy - ft.cxy
+                  - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE) / g.n
+                  + fc.cxy)
+                 / (CAST(g.sxx AS DOUBLE) - fi.cxx - ft.cxx
+                    - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) / g.n
+                    + fc.cxx) + 1e-9, 6) + 0.0 AS slope_cents_per_day
+    FROM g, fi, ft, fc
+    """,
+)
+def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_orders, n_nations, n_months, sxy_within, sxx_within,
+    slope_cents_per_day): two-way (nation, month) within-transform
+    OLS slope of order cents on calendar day (see header)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mth"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = o.join(
+        F.broadcast(cust.join(F.broadcast(nat),
+                              cust.c_nationkey == nat.n_nationkey)),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("n_name").alias("nat"), "mth", "x", "y")
+    cell = r.groupBy("nat", "mth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    # The cell aggregate feeds four sibling consumers (marginals, the
+    # cell fold, the global rollup) — differently-pruned branches that
+    # AQE never exchange-reuses (gotcha #14): checkpoint once.
+    cell = cell.localCheckpoint(eager=True)
+    ni = cell.groupBy("nat").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+    )
+    ntf = cell.groupBy("mth").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+    )
+    g = cell.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+    )
+
+    def _fold(df, keys, term_xy, term_xx):
+        w = Window.orderBy(*keys).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        folded = df.select(
+            F.row_number().over(Window.orderBy(*keys)).alias("rk"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("k"),
+            F.sum(term_xy).over(w).alias("cxy"),
+            F.sum(term_xx).over(w).alias("cxx"),
+        )
+        return folded.filter(F.col("rk") == F.col("k"))
+
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    fi = _fold(
+        ni, ["nat"], dbl("sx") * dbl("sy") / F.col("n"),
+        dbl("sx") * dbl("sx") / F.col("n"),
+    ).select(F.col("k").alias("ki"), F.col("cxy").alias("fi_xy"),
+             F.col("cxx").alias("fi_xx"))
+    ft = _fold(
+        ntf, ["mth"], dbl("sx") * dbl("sy") / F.col("n"),
+        dbl("sx") * dbl("sx") / F.col("n"),
+    ).select(F.col("k").alias("kt"), F.col("cxy").alias("ft_xy"),
+             F.col("cxx").alias("ft_xx"))
+    cj = (
+        cell.select("nat", "mth", F.col("n").alias("cn"))
+        .join(
+            F.broadcast(
+                ni.select(F.col("nat").alias("nat_i"),
+                          F.col("n").alias("i_n"),
+                          F.col("sx").alias("i_sx"),
+                          F.col("sy").alias("i_sy"))
+            ),
+            F.col("nat") == F.col("nat_i"),
+        )
+        .join(
+            F.broadcast(
+                ntf.select(F.col("mth").alias("mth_t"),
+                           F.col("n").alias("t_n"),
+                           F.col("sx").alias("t_sx"),
+                           F.col("sy").alias("t_sy"))
+            ),
+            F.col("mth") == F.col("mth_t"),
+        )
+    )
+    # Hierarchical cell fold (see the oracle's fcp note): per-nation
+    # running sums over months, then a fold of the |nations| partials
+    # — every frame stays small enough that both engines' windowed
+    # running sums are true sequential folds.
+    w_nat = (
+        Window.partitionBy("nat")
+        .orderBy("mth")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    term_xy = (
+        dbl("cn")
+        * (dbl("i_sx") * dbl("t_sy") + dbl("t_sx") * dbl("i_sy"))
+        / (dbl("i_n") * dbl("t_n"))
+    )
+    term_xx = (
+        dbl("cn")
+        * (F.lit(2.0) * dbl("i_sx") * dbl("t_sx"))
+        / (dbl("i_n") * dbl("t_n"))
+    )
+    fcp = (
+        cj.select(
+            "nat",
+            F.row_number()
+            .over(Window.partitionBy("nat").orderBy("mth"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("nat")).alias("k"),
+            F.sum(term_xy).over(w_nat).alias("cxy"),
+            F.sum(term_xx).over(w_nat).alias("cxx"),
+        )
+        .filter(F.col("rk") == F.col("k"))
+        .select("nat", "cxy", "cxx")
+    )
+    fc = _fold(fcp, ["nat"], F.col("cxy"), F.col("cxx")).select(
+        F.col("cxy").alias("fc_xy"), F.col("cxx").alias("fc_xx")
+    )
+    out = (
+        g.crossJoin(F.broadcast(fi))
+        .crossJoin(F.broadcast(ft))
+        .crossJoin(F.broadcast(fc))
+    )
+    sxy_w = (
+        dbl("sxy") - F.col("fi_xy") - F.col("ft_xy")
+        - dbl("sx") * dbl("sy") / F.col("n")
+        + F.col("fc_xy")
+    )
+    sxx_w = (
+        dbl("sxx") - F.col("fi_xx") - F.col("ft_xx")
+        - dbl("sx") * dbl("sx") / F.col("n")
+        + F.col("fc_xx")
+    )
+    return out.select(
+        F.col("n").alias("n_orders"),
+        F.col("ki").cast("bigint").alias("n_nations"),
+        F.col("kt").cast("bigint").alias("n_months"),
+        F.round(sxy_w + F.lit(1e-9), 4).alias("sxy_within"),
+        F.round(sxx_w + F.lit(1e-9), 4).alias("sxx_within"),
+        (F.round(sxy_w / sxx_w + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "slope_cents_per_day"
+        ),
+    )

@@ -1190,3 +1190,120 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw") * F.col("sw") / F.col("sw2") + F.lit(1e-9), 4
         ).alias("ess"),
     )
+
+
+# --------------------------------------------------------------------------
+# PPS systematic sampling: draw PPS_N orders with probability
+# proportional to order value (cents) by the classic systematic
+# method — lay the weights end to end in a deterministic hash order,
+# place PPS_N equally-spaced points starting at a hash-derived
+# offset, keep the orders whose weight interval contains a point.
+# The weighted-sampling workhorse for audit/estimation pipelines
+# (every selected row estimates total/[n*w_i] units).
+#
+# PURE-INTEGER acceptance (the recency_decay discipline): cumulative
+# cents are exact bigints in a pinned (h, o_orderkey) permutation;
+# the point-count below a boundary c is ceil((c - u) * n / W)
+# computed entirely in shifted integer arithmetic
+# ((c*n - u*n + W*n + W - 1) // W - n, operands kept POSITIVE so
+# truncating vs floor division cannot differ), and an item's hit
+# count is the difference of two such counts — no float anywhere, so
+# the kept multiset is bit-identical cross-engine and
+# sum(n_hits) == PPS_N exactly (pinned by the pytest gate). u is a
+# constant sha256 literal reduced mod W in-plan.
+#
+# Scale shape: the global running sum uses two_pass_cumsum (range
+# partition + per-partition offsets) — never a single-partition fact
+# sort; the acceptance test is a row-local predicate on the summed
+# frame. The oracle mirrors with a plain window cum-sum.
+PPS_N = 200
+_PPS_SEED_HEX_LEN = 12  # 48-bit start offset
+
+
+@register(
+    "sample_pps_systematic",
+    tags=("sampling", "pps", "systematic", "deterministic", "window"),
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS wc,
+             CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)),
+                                      1, 6)) AS BIGINT) AS h
+      FROM orders
+    ),
+    c AS (
+      SELECT o_orderkey, wc, h,
+             CAST(sum(wc) OVER (ORDER BY h, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(wc) OVER () AS BIGINT) AS tot
+      FROM w
+    ),
+    u AS (
+      SELECT CAST(concat('0x', substr(sha256('pps_systematic_seed'),
+                                      1, {_PPS_SEED_HEX_LEN})) AS BIGINT)
+             % (SELECT CAST(sum(wc) AS BIGINT) FROM w) AS u0
+    ),
+    hits AS (
+      SELECT o_orderkey, wc, cum, tot,
+             ((cum * {PPS_N} - u0 * {PPS_N} + tot * {PPS_N} + tot - 1)
+              // tot - {PPS_N})
+             - (((cum - wc) * {PPS_N} - u0 * {PPS_N} + tot * {PPS_N}
+                 + tot - 1) // tot - {PPS_N}) AS n_hits
+      FROM c CROSS JOIN u
+    )
+    SELECT o_orderkey, CAST(wc AS BIGINT) AS weight_cents,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(CAST(wc AS DOUBLE) * {PPS_N} / tot + 1e-9, 6)
+             AS expected_hits
+    FROM hits WHERE n_hits >= 1
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, weight_cents, n_hits, expected_hits): the PPS_N
+    systematic probability-proportional-to-size sample of orders by
+    cent value (see header)."""
+    from ..functions.scale import two_pass_cumsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("wc"),
+        F.conv(
+            F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 6),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    c = two_pass_cumsum(
+        o, [F.col("h"), F.col("o_orderkey")], "wc", "cum", total_col="tot"
+    )
+    u0 = (
+        F.conv(
+            F.substring(F.sha2(F.lit("pps_systematic_seed"), 256), 1,
+                        _PPS_SEED_HEX_LEN),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("tot")
+    )
+    hits = c.withColumn("u0", u0).withColumn(
+        "n_hits",
+        F.expr(
+            f"((cum * {PPS_N} - u0 * {PPS_N} + tot * {PPS_N} + tot - 1) "
+            f"div tot - {PPS_N}) "
+            f"- (((cum - wc) * {PPS_N} - u0 * {PPS_N} + tot * {PPS_N} "
+            f"+ tot - 1) div tot - {PPS_N})"
+        ).cast("bigint"),
+    )
+    return hits.filter(F.col("n_hits") >= 1).select(
+        "o_orderkey",
+        F.col("wc").alias("weight_cents"),
+        "n_hits",
+        F.round(
+            F.col("wc").cast("double") * F.lit(float(PPS_N)) / F.col("tot")
+            + F.lit(1e-9),
+            6,
+        ).alias("expected_hits"),
+    )

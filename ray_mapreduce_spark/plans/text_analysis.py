@@ -3560,3 +3560,136 @@ def text_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson_repeat"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010, simplified to the
+# word-score core): split each document into candidate phrases at
+# stopword boundaries, then score every content word by
+# degree/frequency — degree counts the word's phrase co-occupancy
+# (sum of the lengths of every phrase it appears in, itself
+# included), so words that anchor LONG multi-word phrases outrank
+# equally-frequent words that appear alone. The classic cheap
+# keyword/phrase miner for corpus exploration.
+#
+# Determinism: tokenization is the shared single-space split; the
+# stopword set is ONE Python tuple interpolated into both engines;
+# chunk ids are integer running counts of stopword positions; phrase
+# lengths, frequencies and degrees are exact integer counts; the
+# score is scaled integer division degree * 1e6 div freq (exact,
+# order-free) with the (score_u DESC, tok) unique tiebreak on the
+# LIMIT (the top-k rule).
+#
+# Scale shape: tokenize once (spread first — single-file input,
+# gotcha #6); the chunk cum-sum and the phrase-length count are two
+# windows over ONE doc_id exchange (hash(doc_id) satisfies the
+# (doc_id, chunk) clustering); one vocabulary-bounded aggregate; the
+# final top-k is TakeOrdered, never a global sort.
+RAKE_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in",
+                  "is", "on", "for", "with")
+RAKE_MIN_FREQ = 5
+RAKE_TOP_N = 50
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@register(
+    "text_keyword_rake",
+    tags=("text", "keywords", "rake", "window"),
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'tok': toks[i]}}
+                       FOR i IN range(1, len(toks) + 1)]) AS u
+        FROM t
+      )
+    ),
+    c AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_RAKE_STOP_SQL}) OR tok = ''
+                  THEN 1 ELSE 0 END AS stop,
+             sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) OR tok = ''
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS chunk
+      FROM tok
+    ),
+    p AS (
+      SELECT doc_id, chunk, tok,
+             CAST(count(*) OVER (PARTITION BY doc_id, chunk) AS BIGINT)
+               AS plen
+      FROM c WHERE stop = 0
+    ),
+    g AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM p GROUP BY tok
+    )
+    SELECT tok, freq, degree,
+           CAST(degree * 1000000 // freq AS BIGINT) AS score_u,
+           round(CAST(degree AS DOUBLE) / freq + 1e-9, 6) AS rake_score
+    FROM g
+    WHERE freq >= {RAKE_MIN_FREQ}
+    ORDER BY degree * 1000000 // freq DESC, tok
+    LIMIT {RAKE_TOP_N}
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, freq, degree, score_u, rake_score): RAKE degree/frequency
+    keyword scores over stopword-delimited chunks, top RAKE_TOP_N by
+    the exact-integer scaled score (see header)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = _spread(d).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(*RAKE_STOPWORDS) | (F.col("tok") == "")
+    w_pos = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(is_stop, 1).otherwise(0).alias("stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w_pos).alias("chunk"),
+    )
+    p = (
+        c.filter(F.col("stop") == 0)
+        .withColumn(
+            "plen",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id", "chunk"))
+            .cast("bigint"),
+        )
+    )
+    g = p.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    return (
+        g.filter(F.col("freq") >= RAKE_MIN_FREQ)
+        .withColumn(
+            "score_u",
+            F.expr("degree * 1000000 div freq").cast("bigint"),
+        )
+        .orderBy(F.desc("score_u"), "tok")
+        .limit(RAKE_TOP_N)
+        .select(
+            "tok",
+            "freq",
+            "degree",
+            "score_u",
+            F.round(
+                F.col("degree").cast("double") / F.col("freq") + F.lit(1e-9),
+                6,
+            ).alias("rake_score"),
+        )
+    )

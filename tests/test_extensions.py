@@ -4107,3 +4107,250 @@ def test_jsd_disjoint_sources_emit_ln2(spark, tmp_path):
     assert abs(dj["jsd_nats"] - round(math.log(2.0) + 1e-9, 6)) < 1e-9
     assert out[("s_a", "s_c")]["n_shared_terms"] == 1
     assert out[("s_a", "s_c")]["jsd_nats"] < dj["jsd_nats"]
+
+
+def test_r13_additions_semantics(spark, sf_dir):
+    """Semantic gates for the r13 additions beyond the oracle hash:
+    Holt double smoothing replays via the naive recurrences
+    s1_t=(s1_{t-1}+x_t)/2, s2_t=(s2_{t-1}+s1_t)/2 (the power-of-two
+    form must be BIT-identical to them); Benjamini-Hochberg replays
+    the Welch z + A&S p + step-up in python AND pins the A&S
+    approximation against math.erfc; RAKE replays the full
+    chunk/degree/frequency computation; the two-way FE slope replays
+    via DIRECT double demeaning (validating the 16-term algebraic
+    expansion); PPS replays the integer point arithmetic exactly and
+    pins sum(n_hits) == PPS_N."""
+    import hashlib
+    import math
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import (
+        AB_KNUTH,
+        AB_MOD,
+        BH_ALPHA_INV,
+        _BH_B,
+        _BH_INV_SQRT_2PI,
+        _BH_T,
+    )
+    from ray_mapreduce_spark.plans.sampling import PPS_N
+    from ray_mapreduce_spark.plans.text_analysis import (
+        RAKE_MIN_FREQ,
+        RAKE_STOPWORDS,
+        RAKE_TOP_N,
+    )
+
+    q = all_queries()
+
+    # --- events_double_ewma_holt: naive-recurrence replay ---
+    holt = {
+        (r["event_type"], r["day"]): r
+        for r in q["events_double_ewma_holt"].builder(spark, sf_dir).collect()
+    }
+    rows = _dd.sql(
+        "SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, day, x in rows:
+        series.setdefault(t, {})[day] = x
+    n_checked = 0
+    for t, days in series.items():
+        s1 = s2 = None
+        for day in sorted(days):
+            x = float(days[day])
+            s1 = x if s1 is None else (s1 + x) / 2.0
+            s2 = s1 if s2 is None else (s2 + s1) / 2.0
+            r = holt[(t, day)]
+            lvl, trd, fct = 2 * s1 - s2, s1 - s2, 3 * s1 - 2 * s2
+            assert r["level_value"] == round(lvl / 100 + 1e-9, 4) + 0.0, r
+            assert r["trend_value"] == round(trd / 100 + 1e-9, 4) + 0.0, r
+            assert r["forecast_value"] == round(fct / 100 + 1e-9, 4) + 0.0, r
+            n_checked += 1
+    assert n_checked == len(holt) > 0
+
+    # --- events_benjamini_hochberg: python replay + A&S sanity ---
+    def p_as(az: float) -> float:
+        t = 1.0 / (1.0 + float(_BH_T) * az)
+        b1, b2, b3, b4, b5 = (float(b) for b in _BH_B)
+        poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+        return 2.0 * math.exp(-(az * az) / 2.0) * float(_BH_INV_SQRT_2PI) * poly
+
+    bh = {
+        r["event_type"]: r
+        for r in q["events_benjamini_hochberg"].builder(spark, sf_dir).collect()
+    }
+    rows = _dd.sql(
+        "SELECT event_type, CAST(round(value*100) AS BIGINT), "
+        f"user_id * {AB_KNUTH} % {AB_MOD} % 2 "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    vals: dict[str, list[tuple[int, int]]] = {}
+    for t, cents, arm in rows:
+        vals.setdefault(t, []).append((cents, arm))
+    ps = []
+    for t, cells in vals.items():
+        a0 = [c for c, a in cells if a == 0]
+        a1 = [c for c, a in cells if a == 1]
+        m0, m1 = sum(a0) / len(a0), sum(a1) / len(a1)
+        v0 = max(sum(x * x for x in a0) / len(a0) - m0 * m0, 0.0)
+        v1 = max(sum(x * x for x in a1) / len(a1) - m1 * m1, 0.0)
+        z = (m1 - m0) / math.sqrt(v1 / len(a1) + v0 / len(a0))
+        r = bh[t]
+        assert abs(r["z"] - z) < 1e-3, (t, r["z"], z)
+        p6 = round(p_as(abs(z)) + 1e-9, 6)
+        assert abs(r["p_value"] - p6) < 1e-6, (t, r["p_value"], p6)
+        # A&S 26.2.17 vs the exact normal tail (erfc): |err| < 7.5e-8
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(p_as(abs(z)) - exact) < 2e-7, (z, exact)
+        ps.append((p6, t, r))
+    ps.sort()
+    m = len(ps)
+    max_cross = 0
+    for k, (p6, t, r) in enumerate(ps, start=1):
+        assert r["p_rank"] == k and r["m_tests"] == m
+        if p6 * BH_ALPHA_INV * m <= k:
+            max_cross = k
+    for k, (p6, t, r) in enumerate(ps, start=1):
+        assert r["rejected"] == (1 if k <= max_cross else 0), (t, r)
+
+    # --- text_keyword_rake: full python replay ---
+    rk = [
+        (r["tok"], r["freq"], r["degree"], r["score_u"])
+        for r in q["text_keyword_rake"].builder(spark, sf_dir).collect()
+    ]
+    docs = _dd.sql(
+        f"SELECT lower(text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    stops = set(RAKE_STOPWORDS) | {""}
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for (text,) in docs:
+        phrase: list[str] = []
+        for tok in text.split(" ") + ["the"]:  # sentinel flush
+            if tok in stops:
+                for w in phrase:
+                    freq[w] = freq.get(w, 0) + 1
+                    deg[w] = deg.get(w, 0) + len(phrase)
+                phrase = []
+            else:
+                phrase.append(tok)
+    scored = sorted(
+        (
+            (-(deg[w] * 1000000 // freq[w]), w, freq[w], deg[w])
+            for w in freq
+            if freq[w] >= RAKE_MIN_FREQ
+        ),
+    )[:RAKE_TOP_N]
+    expect = [(w, f, d, -s) for s, w, f, d in scored]
+    assert rk == expect
+
+    # --- orders_twoway_fixed_effects: direct-demeaning replay ---
+    import numpy as np
+
+    fe = q["orders_twoway_fixed_effects"].builder(spark, sf_dir).collect()[0]
+    rows = _dd.sql(
+        "SELECT n.n_name, year(o.o_orderdate)*12 + month(o.o_orderdate), "
+        "datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)), "
+        "CAST(round(o.o_totalprice*100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet' o "
+        f"JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = o.o_custkey "
+        f"JOIN '{sf_dir}/nation.parquet' n ON n.n_nationkey = c.c_nationkey"
+    ).fetchall()
+    nats = sorted({r[0] for r in rows})
+    mths = sorted({r[1] for r in rows})
+    ii = np.array([nats.index(r[0]) for r in rows])
+    tt = np.array([mths.index(r[1]) for r in rows])
+    x = np.array([r[2] for r in rows], dtype=np.float64)
+    y = np.array([r[3] for r in rows], dtype=np.float64)
+    xi = np.bincount(ii, x) / np.bincount(ii)
+    xt = np.bincount(tt, x) / np.bincount(tt)
+    yi = np.bincount(ii, y) / np.bincount(ii)
+    yt = np.bincount(tt, y) / np.bincount(tt)
+    xd = x - xi[ii] - xt[tt] + x.mean()
+    yd = y - yi[ii] - yt[tt] + y.mean()
+    slope = float(xd @ yd) / float(xd @ xd)
+    assert fe["n_orders"] == len(rows)
+    assert fe["n_nations"] == len(nats) and fe["n_months"] == len(mths)
+    assert abs(fe["slope_cents_per_day"] - slope) / abs(slope) < 1e-6, (
+        fe["slope_cents_per_day"],
+        slope,
+    )
+    assert abs(fe["sxy_within"] - float(xd @ yd)) / abs(float(xd @ yd)) < 1e-9
+    assert abs(fe["sxx_within"] - float(xd @ xd)) / abs(float(xd @ xd)) < 1e-9
+
+    # --- sample_pps_systematic: exact integer replay ---
+    pps = {
+        r["o_orderkey"]: r["n_hits"]
+        for r in q["sample_pps_systematic"].builder(spark, sf_dir).collect()
+    }
+    assert sum(pps.values()) == PPS_N
+    rows = _dd.sql(
+        "SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    keyed = sorted(
+        (int(hashlib.sha256(str(k).encode()).hexdigest()[:6], 16), k, wc)
+        for k, wc in rows
+    )
+    tot = sum(wc for _, _, wc in keyed)
+    u0 = int(hashlib.sha256(b"pps_systematic_seed").hexdigest()[:12], 16) % tot
+    expect_hits: dict[int, int] = {}
+    cum = 0
+    for _, k, wc in keyed:
+        prev = cum
+        cum += wc
+        below_hi = (cum * PPS_N - u0 * PPS_N + tot * PPS_N + tot - 1) // tot - PPS_N
+        below_lo = (prev * PPS_N - u0 * PPS_N + tot * PPS_N + tot - 1) // tot - PPS_N
+        if below_hi - below_lo >= 1:
+            expect_hits[k] = below_hi - below_lo
+    assert pps == expect_hits
+
+
+def test_benjamini_hochberg_rejects_planted_effect(spark, tmp_path):
+    """The driver corpus is an A/A split (nothing should reject), so
+    the step-up's rejection branch never fires on real data. Planted
+    fixture: one type with a large true arm effect must be rejected;
+    a zero-variance type exercises the degenerate guard (z = 0,
+    p ~ 1, not rejected); a mild type rides the step-up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import AB_KNUTH, AB_MOD
+
+    rows = []
+    eid = 0
+    for uid in range(1, 201):
+        arm = uid * AB_KNUTH % AB_MOD % 2
+        for j in range(3):
+            eid += 1
+            rows.append((eid, uid, "boost", 10.0 + 90.0 * arm + 0.01 * (eid % 7)))
+            eid += 1
+            rows.append((eid, uid, "flat", 10.0))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [1700000000_000000 + i for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_benjamini_hochberg"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["boost"]["rejected"] == 1 and out["boost"]["p_rank"] == 1
+    assert out["boost"]["p_value"] < 1e-4
+    assert out["flat"]["rejected"] == 0
+    assert out["flat"]["z"] == 0.0 and out["flat"]["p_value"] > 0.99

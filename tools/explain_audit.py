@@ -218,6 +218,12 @@ EXTRA = (
     "text_good_turing_coverage",
     "events_ewma_residuals",
     "events_winsorized_ab",
+    # r13 additions
+    "events_double_ewma_holt",
+    "events_benjamini_hochberg",
+    "text_keyword_rake",
+    "orders_twoway_fixed_effects",
+    "sample_pps_systematic",
 )
 
 
