@@ -145,6 +145,30 @@ def register(
 # below), then (c) r14 additions/changed plans (cap ~5), then (e)
 # the oldest r8 rows (47 names). Additions displace from (e), never
 # from (b).
+# r14 addition CANDIDATES (design notes only — each oracle-able with
+# the existing determinism discipline; honor gotcha #15's fold size
+# bound everywhere):
+# - events_cuped_adjusted_ab: CUPED variance-reduced A/B — split the
+#   corpus at the median day (integer epoch-day threshold), theta =
+#   cov(pre,post)/var(pre) from exact integer per-user moments, the
+#   adjusted-mean z is one identical closed form (the winsorized_ab
+#   shape with a per-user two-period collapse first).
+# - text_burrows_delta: per-(lang, source) authorship delta over the
+#   top-K corpus words' z-scores (explicit (sum, sumsq, n) integer
+#   moments, 6dp re-round before the bounded |pairs| compare stage).
+# - lineitem_theil_index: within/between-nation Theil inequality
+#   decomposition of revenue cents — log terms on exact integer
+#   ratios, per-nation partials folded hierarchically (gotcha #15).
+# - events_sprt_readout: sequential probability-ratio test walk over
+#   the ordered day frame — cumulative llr is an ordered fold over a
+#   bounded (<=62-day) frame; decision boundaries ln((1-b)/a),
+#   ln(b/(1-a)) as shared Python literals (the Benford rule).
+# - privacy_l_diversity: entropy l-diversity per QI group (the
+#   k_anonymity ladder's companion) — integer counts, ln on exact
+#   rationals, min-entropy argmin with composite tiebreak.
+# - orders_association_rules: support/confidence/lift from the
+#   market-basket pair counts (integer counts, exact ratio outputs,
+#   unique-key tiebreak on the LIMIT).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (a) the r12 red, oracle typing fixed this round --
     "events_kaplan_meier",

@@ -11,6 +11,13 @@ asserts every output column type is in the driver-safe whitelist, so
 the class can never reach a driver run again. compare_query enforces
 the same whitelist at compare time (testing.py), this gate just fails
 earlier and names every offender at once.
+
+Deliberately NOT enforced: int32-vs-int64 WIDTH agreement between the
+Spark and DuckDB sides. An r13 audit found 26 such width
+disagreements across ~24 queries that are all driver-GREEN (several
+re-greened in r12 itself — tfidf/bm25 rk, calibration decile,
+reactivation yyyymm), so the driver's typed hash provably normalizes
+integer widths; only the int-vs-float KIND divergence reds.
 """
 
 from __future__ import annotations
