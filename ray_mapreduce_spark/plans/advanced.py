@@ -7318,3 +7318,407 @@ def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules: the DIRECTED complement of
+# orders_market_basket_pairs — per ordered part pair (x -> y),
+# support / confidence / lift, the rule form a recommender or
+# planogram pipeline actually consumes (confidence is asymmetric:
+# {niche -> staple} can be near 1.0 while the reverse is noise).
+#
+# Determinism: counts are exact integers from the same bounded
+# pair fan-out as the basket op (pairs per order C(items,2), items
+# <= order width); both rule directions EXPLODE from one undirected
+# pair row (one lineage — no sibling self-consumption of the pair
+# aggregate, gotcha #9/#14 moot by construction); ranking uses the
+# exact integer conf_u = n_both * 1e6 div n_antecedent with a
+# unique (conf_u, n_both, antecedent, consequent) tiebreak on the
+# LIMIT; ratio outputs are single divisions of exact integers
+# (+1e-9 bias).
+ASSOC_MIN_BOTH = 2
+ASSOC_TOP_N = 50
+
+
+@register(
+    "orders_association_rules",
+    tags=("orders", "lineitem", "association", "rules", "topk"),
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_with
+      FROM op GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, n_both FROM pairs
+      UNION ALL
+      SELECT pb AS antecedent, pa AS consequent, n_both FROM pairs
+    )
+    SELECT antecedent, consequent, n_both,
+           ca.n_with AS n_antecedent,
+           CAST(n_both * 1000000 // ca.n_with AS BIGINT) AS conf_u,
+           round(CAST(n_both AS DOUBLE) / t.n_orders + 1e-9, 6) AS support,
+           round(CAST(n_both AS DOUBLE) / ca.n_with + 1e-9, 6)
+             AS confidence,
+           round(CAST(n_both AS DOUBLE) * t.n_orders
+                 / (ca.n_with * cb.n_with) + 1e-9, 4) AS lift
+    FROM rules
+    JOIN cnt ca ON ca.l_partkey = antecedent
+    JOIN cnt cb ON cb.l_partkey = consequent
+    CROSS JOIN tot t
+    WHERE n_both >= {ASSOC_MIN_BOTH}
+    ORDER BY n_both * 1000000 // ca.n_with DESC, n_both DESC,
+             antecedent, consequent
+    LIMIT {ASSOC_TOP_N}
+    """,
+)
+def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(antecedent, consequent, n_both, n_antecedent, conf_u, support,
+    confidence, lift): top directed association rules by exact
+    integer confidence (see header). Scale shape: the distinct
+    (order, part) frame self-joins on orderkey (identical scan-rooted
+    subtrees -> ONE runtime-reused exchange, gotcha #14); both rule
+    directions explode from the single pair aggregate; the per-part
+    count joins are equi (broadcast at small sf); top-N rides
+    TakeOrdered."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                    F.col("n_both"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                    F.col("n_both"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.n_both")
+    cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with")
+    )
+    tot = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ca = cnt.select(F.col("l_partkey").alias("ka"), F.col("n_with").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("kb"), F.col("n_with").alias("nb"))
+    return (
+        rules.filter(F.col("n_both") >= ASSOC_MIN_BOTH)
+        .join(ca, F.col("antecedent") == F.col("ka"))
+        .join(cb, F.col("consequent") == F.col("kb"))
+        .join(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.col("na").alias("n_antecedent"),
+            F.expr("n_both * 1000000 div na").cast("bigint").alias("conf_u"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_orders")
+                + F.lit(1e-9),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("na") + F.lit(1e-9), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb"))
+                + F.lit(1e-9),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("conf_u"), F.desc("n_both"), "antecedent", "consequent"
+        )
+        .limit(ASSOC_TOP_N)
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout: adjust each user's
+# second-half-of-corpus spend by their first-half spend (the
+# pre-experiment covariate) before the arm comparison —
+# y' = post - theta*(pre - mean_pre) with theta = cov(pre, post) /
+# var(pre) — the standard experimentation trick that removes
+# between-user variance a hash split cannot (CUPED, Deng et al.
+# 2013). Companion to events_ab_test_zscore (raw), events_cmh_test
+# (stratified) and events_winsorized_ab (robust).
+#
+# Determinism: the pre/post boundary is the integer midpoint day
+# ((min+max+1) div 2 — the psi_drift idiom); per-user pre/post cent
+# sums are exact integers; EVERY downstream quantity (theta, the
+# adjusted arm means, the adjusted arm variances, z, the variance-
+# reduction share) is a closed form over per-arm integer moments
+# (n, Spre, Spost, Spre2, Spost2, Sprepost in decimal(38,0)/HUGEINT)
+# because mean/var of post - theta*pre expand algebraically:
+# var(y') = var(post) + theta^2 var(pre) - 2 theta cov — so no
+# per-user float is ever materialized and both engines run one
+# identical IEEE tree on identical integers (the winsorized_ab
+# discipline). nullif guards zero pre-variance and empty arms.
+#
+# Scale shape: ONE user-keyed fact collapse (the min/max day frame is
+# a 1-row broadcast), then a 2-row arm rollup; all algebra on a 1-row
+# frame.
+@register(
+    "events_cuped_adjusted_ab",
+    tags=("events", "stats", "experiment", "cuped", "aggregate"),
+    oracle=f"""
+    WITH b AS (
+      SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+              + max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+              + 1) // 2 AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(user_id * {AB_KNUTH} % {AB_MOD} % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                // 86400000000 < mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                                // 86400000000 >= mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post
+      FROM events CROSS JOIN b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(pre AS HUGEINT)) AS s1,
+             sum(CAST(post AS HUGEINT)) AS s2,
+             sum(CAST(pre AS HUGEINT) * pre) AS s11,
+             sum(CAST(post AS HUGEINT) * post) AS s22,
+             sum(CAST(pre AS HUGEINT) * post) AS s12
+      FROM u GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             CAST(sum(n) AS BIGINT) AS n,
+             max(CASE WHEN arm = 0 THEN s1 END) AS s1_0,
+             max(CASE WHEN arm = 1 THEN s1 END) AS s1_1,
+             max(CASE WHEN arm = 0 THEN s2 END) AS s2_0,
+             max(CASE WHEN arm = 1 THEN s2 END) AS s2_1,
+             max(CASE WHEN arm = 0 THEN s11 END) AS s11_0,
+             max(CASE WHEN arm = 1 THEN s11 END) AS s11_1,
+             max(CASE WHEN arm = 0 THEN s22 END) AS s22_0,
+             max(CASE WHEN arm = 1 THEN s22 END) AS s22_1,
+             max(CASE WHEN arm = 0 THEN s12 END) AS s12_0,
+             max(CASE WHEN arm = 1 THEN s12 END) AS s12_1
+      FROM m
+    ),
+    t AS (
+      SELECT *,
+             CAST(s1_0 + s1_1 AS DOUBLE) / n AS mpre,
+             CAST(s2_0 + s2_1 AS DOUBLE) / n AS mpost,
+             (CAST(s12_0 + s12_1 AS DOUBLE) / n
+              - (CAST(s1_0 + s1_1 AS DOUBLE) / n)
+                * (CAST(s2_0 + s2_1 AS DOUBLE) / n))
+             / nullif(CAST(s11_0 + s11_1 AS DOUBLE) / n
+                      - (CAST(s1_0 + s1_1 AS DOUBLE) / n)
+                        * (CAST(s1_0 + s1_1 AS DOUBLE) / n), 0.0) AS theta
+      FROM w
+    ),
+    z AS (
+      SELECT n0, n1, theta, mpre, mpost,
+             CAST(s2_0 AS DOUBLE) / n0
+               - theta * (CAST(s1_0 AS DOUBLE) / n0 - mpre) AS adj0,
+             CAST(s2_1 AS DOUBLE) / n1
+               - theta * (CAST(s1_1 AS DOUBLE) / n1 - mpre) AS adj1,
+             greatest(CAST(s22_0 AS DOUBLE) / n0
+                      - (CAST(s2_0 AS DOUBLE) / n0)
+                        * (CAST(s2_0 AS DOUBLE) / n0)
+                      + theta * theta
+                        * (CAST(s11_0 AS DOUBLE) / n0
+                           - (CAST(s1_0 AS DOUBLE) / n0)
+                             * (CAST(s1_0 AS DOUBLE) / n0))
+                      - 2 * theta
+                        * (CAST(s12_0 AS DOUBLE) / n0
+                           - (CAST(s1_0 AS DOUBLE) / n0)
+                             * (CAST(s2_0 AS DOUBLE) / n0)), 0.0) AS v0,
+             greatest(CAST(s22_1 AS DOUBLE) / n1
+                      - (CAST(s2_1 AS DOUBLE) / n1)
+                        * (CAST(s2_1 AS DOUBLE) / n1)
+                      + theta * theta
+                        * (CAST(s11_1 AS DOUBLE) / n1
+                           - (CAST(s1_1 AS DOUBLE) / n1)
+                             * (CAST(s1_1 AS DOUBLE) / n1))
+                      - 2 * theta
+                        * (CAST(s12_1 AS DOUBLE) / n1
+                           - (CAST(s1_1 AS DOUBLE) / n1)
+                             * (CAST(s2_1 AS DOUBLE) / n1)), 0.0) AS v1,
+             CAST(s22_0 + s22_1 AS DOUBLE) / (n0 + n1) - mpost * mpost
+               AS vpost,
+             CAST(s11_0 + s11_1 AS DOUBLE) / (n0 + n1) - mpre * mpre
+               AS vpre,
+             CAST(s12_0 + s12_1 AS DOUBLE) / (n0 + n1) - mpre * mpost
+               AS cpp
+      FROM t
+    )
+    SELECT n0, n1,
+           round(theta + 1e-9, 6) + 0.0 AS theta,
+           round(mpre / 100 + 1e-9, 4) AS mean_pre,
+           round(adj0 / 100 + 1e-9, 4) AS adj_mean0,
+           round(adj1 / 100 + 1e-9, 4) AS adj_mean1,
+           round((adj1 - adj0)
+                 / nullif(sqrt(v1 / n1 + v0 / n0), 0.0) + 1e-9, 4) + 0.0
+             AS z,
+           round(cpp * cpp / nullif(vpre * vpost, 0.0) + 1e-9, 6)
+             AS var_reduction
+    FROM z
+    """,
+)
+def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n0, n1, theta, mean_pre, adj_mean0, adj_mean1, z,
+    var_reduction): CUPED-adjusted two-sample z between the hash
+    arms; var_reduction is the squared pre/post correlation — the
+    share of outcome variance the covariate removes (see header)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = e.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid")
+    )
+    dec = "decimal(38,0)"
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("post"),
+        )
+        .select(
+            ((F.col("user_id") * F.lit(AB_KNUTH)) % F.lit(AB_MOD) % 2)
+            .cast("bigint")
+            .alias("arm"),
+            "pre",
+            "post",
+        )
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("pre").cast(dec)).alias("s1"),
+        F.sum(F.col("post").cast(dec)).alias("s2"),
+        F.sum(F.col("pre").cast(dec) * F.col("pre")).alias("s11"),
+        F.sum(F.col("post").cast(dec) * F.col("post")).alias("s22"),
+        F.sum(F.col("pre").cast(dec) * F.col("post")).alias("s12"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum("n").cast("bigint").alias("n"),
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{a}")
+            for c in ("s1", "s2", "s11", "s22", "s12")
+            for a in (0, 1)
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tsum = lambda c: (F.col(f"{c}_0") + F.col(f"{c}_1")).cast("double")  # noqa: E731
+    mpre = tsum("s1") / F.col("n")
+    mpost = tsum("s2") / F.col("n")
+    theta = (tsum("s12") / F.col("n") - mpre * mpost) / F.nullif(
+        tsum("s11") / F.col("n") - mpre * mpre, F.lit(0.0)
+    )
+    t = w.select(
+        "*",
+        mpre.alias("mpre"),
+        mpost.alias("mpost"),
+        theta.alias("theta"),
+    )
+
+    def arm_exprs(a: str):
+        n = F.col(f"n{a}")
+        mp = d(f"s1_{a}") / n
+        mo = d(f"s2_{a}") / n
+        adj = mo - F.col("theta") * (mp - F.col("mpre"))
+        v = F.greatest(
+            d(f"s22_{a}") / n
+            - mo * mo
+            + F.col("theta") * F.col("theta") * (d(f"s11_{a}") / n - mp * mp)
+            - 2 * F.col("theta") * (d(f"s12_{a}") / n - mp * mo),
+            F.lit(0.0),
+        )
+        return adj, v
+
+    adj0, v0 = arm_exprs("0")
+    adj1, v1 = arm_exprs("1")
+    npool = F.col("n0") + F.col("n1")
+    vpost = tsum("s22") / npool - F.col("mpost") * F.col("mpost")
+    vpre = tsum("s11") / npool - F.col("mpre") * F.col("mpre")
+    cpp = tsum("s12") / npool - F.col("mpre") * F.col("mpost")
+    z = t.select(
+        "n0",
+        "n1",
+        "theta",
+        "mpre",
+        adj0.alias("adj0"),
+        adj1.alias("adj1"),
+        v0.alias("v0"),
+        v1.alias("v1"),
+        vpost.alias("vpost"),
+        vpre.alias("vpre"),
+        cpp.alias("cpp"),
+    )
+    return z.select(
+        "n0",
+        "n1",
+        (F.round(F.col("theta") + F.lit(1e-9), 6) + F.lit(0.0)).alias("theta"),
+        F.round(F.col("mpre") / 100 + F.lit(1e-9), 4).alias("mean_pre"),
+        F.round(F.col("adj0") / 100 + F.lit(1e-9), 4).alias("adj_mean0"),
+        F.round(F.col("adj1") / 100 + F.lit(1e-9), 4).alias("adj_mean1"),
+        (
+            F.round(
+                (F.col("adj1") - F.col("adj0"))
+                / F.nullif(
+                    F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+        F.round(
+            F.col("cpp") * F.col("cpp")
+            / F.nullif(F.col("vpre") * F.col("vpost"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("var_reduction"),
+    )

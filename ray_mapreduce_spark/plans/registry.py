@@ -142,9 +142,13 @@ def register(
 # order. = 1 + 1 + 23 + 5 + 20 = 50.
 # ROUND 14 PLAN: (a) CORRECTNESS_r13 red rows first, then (b) the
 # remaining 29 r7-stale names (listed verbatim past the window
-# below), then (c) r14 additions/changed plans (cap ~5), then (e)
-# the oldest r8 rows (47 names). Additions displace from (e), never
-# from (b).
+# below), then (c) the 3 LATE-r13 additions with no driver row —
+# orders_association_rules, events_cuped_adjusted_ab,
+# lineitem_theil_index (each carries individual 3-SF oracle-green +
+# 2-SF partition-determinism + replay-gate + stress10x evidence, the
+# late-r11 precedent) — plus r14 additions/changed plans (cap ~5
+# total with the carried three counted), then (e) the oldest r8 rows
+# (47 names). Additions displace from (e), never from (b).
 # r14 addition CANDIDATES (design notes only — each oracle-able with
 # the existing determinism discipline; honor gotcha #15's fold size
 # bound everywhere):
@@ -163,9 +167,6 @@ def register(
 #   the ordered day frame — cumulative llr is an ordered fold over a
 #   bounded (<=62-day) frame; decision boundaries ln((1-b)/a),
 #   ln(b/(1-a)) as shared Python literals (the Benford rule).
-# - privacy_l_diversity: entropy l-diversity per QI group (the
-#   k_anonymity ladder's companion) — integer counts, ln on exact
-#   rationals, min-entropy argmin with composite tiebreak.
 # - orders_association_rules: support/confidence/lift from the
 #   market-basket pair counts (integer counts, exact ratio outputs,
 #   unique-key tiebreak on the LIMIT).

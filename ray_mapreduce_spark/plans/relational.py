@@ -3037,3 +3037,192 @@ def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil T inequality decomposition of supplier revenue: how unequal
+# is lineitem revenue across suppliers, and how much of that
+# inequality lives WITHIN nations vs BETWEEN them — the additive
+# inequality readout (unlike Gini, Theil decomposes exactly:
+# T_total = T_between + sum_g share_g * T_g). Companion to
+# events_user_gini on the procurement axis.
+#
+# Determinism: per-supplier revenue is an exact integer cent sum;
+# every ln input is a quotient of exact integers built as
+# CAST(a AS DOUBLE) * b / c in one identical tree, so both engines
+# feed ln identical doubles (the bigram_pmi discipline; the summed
+# ulp drift of ln across |suppliers| terms is ~1e-14, far under the
+# 6dp round + 1e-9 bias). The float reductions honor gotcha #15:
+# per-supplier terms fold per NATION over suppkey, then the
+# |nations| partials fold — every window frame stays small (at crawl
+# SF the per-nation supplier count grows ~|S|/25; escalate to a
+# three-level fold before it passes ~1k rows/nation).
+#
+# Scale shape: ONE fact scan partial-aggregates per-supplier cents
+# (supplier/nation dims broadcast); nation totals REUSE the
+# checkpointed supplier aggregate (sibling consumers, gotcha #14);
+# folds and algebra run on supplier/nation-bounded frames.
+@register(
+    "lineitem_theil_index",
+    tags=("relational", "inequality", "theil", "window"),
+    oracle="""
+    WITH sup AS (
+      SELECT s.s_nationkey AS nat, l.l_suppkey AS sk,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nat, CAST(sum(x) AS BIGINT) AS totg,
+             CAST(count(*) AS BIGINT) AS ng
+      FROM sup GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(x) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n
+      FROM sup
+    ),
+    terms AS (
+      SELECT sup.nat, sup.sk,
+             CAST(sup.x AS DOUBLE) / tot.tot
+               * ln(CAST(sup.x AS DOUBLE) * tot.n / tot.tot) AS t_tot,
+             CAST(sup.x AS DOUBLE) / tot.tot
+               * ln(CAST(sup.x AS DOUBLE) * g.ng / g.totg) AS t_win
+      FROM sup JOIN g ON g.nat = sup.nat CROSS JOIN tot
+    ),
+    fp AS (
+      SELECT nat, ct, cw FROM (
+        SELECT nat,
+               row_number() OVER (PARTITION BY nat ORDER BY sk) AS rk,
+               count(*) OVER (PARTITION BY nat) AS k,
+               sum(t_tot) OVER w AS ct,
+               sum(t_win) OVER w AS cw
+        FROM terms
+        WINDOW w AS (PARTITION BY nat ORDER BY sk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE rk = k
+    ),
+    fn AS (
+      SELECT ct, cw, cb FROM (
+        SELECT row_number() OVER (ORDER BY fp.nat) AS rk,
+               count(*) OVER () AS k,
+               sum(fp.ct) OVER w AS ct,
+               sum(fp.cw) OVER w AS cw,
+               sum(CAST(g.totg AS DOUBLE) / tot.tot
+                   * ln(CAST(g.totg AS DOUBLE) * tot.n
+                        / (CAST(tot.tot AS DOUBLE) * g.ng))) OVER w AS cb
+        FROM fp JOIN g ON g.nat = fp.nat CROSS JOIN tot
+        WINDOW w AS (ORDER BY fp.nat ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ) WHERE rk = k
+    )
+    SELECT tot.n AS n_suppliers,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_nations,
+           round(fn.ct + 1e-9, 6) AS theil_total,
+           round(fn.cb + 1e-9, 6) AS theil_between,
+           round(fn.cw + 1e-9, 6) AS theil_within
+    FROM fn CROSS JOIN tot
+    """,
+)
+def lineitem_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_suppliers, n_nations, theil_total, theil_between,
+    theil_within): Theil T revenue inequality across suppliers with
+    the exact within/between-nation decomposition (see header; the
+    replay gate pins total = between + weighted-within)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nat"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("c").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    g = sup.groupBy("nat").agg(
+        F.sum("x").cast("bigint").alias("totg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    tot = sup.agg(
+        F.sum("x").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = (
+        sup.join(F.broadcast(g), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nat",
+            "sk",
+            (
+                F.col("x").cast("double")
+                / F.col("tot")
+                * F.log(F.col("x").cast("double") * F.col("n") / F.col("tot"))
+            ).alias("t_tot"),
+            (
+                F.col("x").cast("double")
+                / F.col("tot")
+                * F.log(F.col("x").cast("double") * F.col("ng") / F.col("totg"))
+            ).alias("t_win"),
+        )
+    )
+    w_nat = (
+        Window.partitionBy("nat")
+        .orderBy("sk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fp = (
+        terms.select(
+            "nat",
+            F.row_number().over(Window.partitionBy("nat").orderBy("sk")).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("nat")).alias("k"),
+            F.sum("t_tot").over(w_nat).alias("ct"),
+            F.sum("t_win").over(w_nat).alias("cw"),
+        )
+        .filter(F.col("rk") == F.col("k"))
+        .select("nat", "ct", "cw")
+    )
+    b_term = (
+        F.col("totg").cast("double")
+        / F.col("tot")
+        * F.log(
+            F.col("totg").cast("double")
+            * F.col("n")
+            / (F.col("tot").cast("double") * F.col("ng"))
+        )
+    )
+    w_all = Window.orderBy("nat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fn = (
+        fp.join(F.broadcast(g), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(Window.orderBy("nat")).alias("rk"),
+            F.count(F.lit(1))
+            .over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("k"),
+            F.sum("ct").over(w_all).alias("ct"),
+            F.sum("cw").over(w_all).alias("cw"),
+            F.sum(b_term).over(w_all).alias("cb"),
+        )
+        .filter(F.col("rk") == F.col("k"))
+    )
+    ng_count = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_nations"))
+    return (
+        fn.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ng_count))
+        .select(
+            F.col("n").alias("n_suppliers"),
+            "n_nations",
+            F.round(F.col("ct") + F.lit(1e-9), 6).alias("theil_total"),
+            F.round(F.col("cb") + F.lit(1e-9), 6).alias("theil_between"),
+            F.round(F.col("cw") + F.lit(1e-9), 6).alias("theil_within"),
+        )
+    )

@@ -4354,3 +4354,133 @@ def test_benjamini_hochberg_rejects_planted_effect(spark, tmp_path):
     assert out["boost"]["p_value"] < 1e-4
     assert out["flat"]["rejected"] == 0
     assert out["flat"]["z"] == 0.0 and out["flat"]["p_value"] > 0.99
+
+
+def test_late_r13_additions_semantics(spark, sf_dir):
+    """Semantic gates for the late-r13 additions: association rules
+    replay exactly in python (integer confidence ranking included);
+    CUPED's theta / adjusted means / z replay from per-user sums
+    (validating the all-moments algebraic expansion of
+    var(post - theta*pre)); Theil replays from the definition and
+    the decomposition identity total = between + weighted-within
+    holds."""
+    import math
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import (
+        AB_KNUTH,
+        AB_MOD,
+        ASSOC_MIN_BOTH,
+        ASSOC_TOP_N,
+    )
+
+    q = all_queries()
+
+    # --- orders_association_rules: exact python replay ---
+    got = [
+        (r["antecedent"], r["consequent"], r["n_both"], r["n_antecedent"],
+         r["conf_u"])
+        for r in q["orders_association_rules"].builder(spark, sf_dir).collect()
+    ]
+    rows = _dd.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_order: dict[int, list[int]] = {}
+    n_with: dict[int, int] = {}
+    for ok, pk in rows:
+        by_order.setdefault(ok, []).append(pk)
+        n_with[pk] = n_with.get(pk, 0) + 1
+    pair_n: dict[tuple[int, int], int] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] = pair_n.get((ps[i], ps[j]), 0) + 1
+    rules = []
+    for (pa, pb), nb in pair_n.items():
+        if nb < ASSOC_MIN_BOTH:
+            continue
+        for x, y in ((pa, pb), (pb, pa)):
+            cu = nb * 1000000 // n_with[x]
+            rules.append((-cu, -nb, x, y, n_with[x]))
+    rules.sort()
+    expect = [(x, y, -nnb, nx, -cu) for cu, nnb, x, y, nx in rules[:ASSOC_TOP_N]]
+    assert got == expect
+
+    # --- events_cuped_adjusted_ab: python replay ---
+    cu = q["events_cuped_adjusted_ab"].builder(spark, sf_dir).collect()[0]
+    rows = _dd.sql(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000, "
+        "CAST(round(value*100) AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    days = [d for _, d, _ in rows]
+    mid = (min(days) + max(days) + 1) // 2
+    pp: dict[int, list[int]] = {}
+    for uid, d, c in rows:
+        e = pp.setdefault(uid, [0, 0])
+        e[0 if d < mid else 1] += c
+    pre = {u: v[0] for u, v in pp.items()}
+    post = {u: v[1] for u, v in pp.items()}
+    n = len(pp)
+    mpre = sum(pre.values()) / n
+    mpost = sum(post.values()) / n
+    cov = sum(pre[u] * post[u] for u in pp) / n - mpre * mpost
+    vpre = sum(v * v for v in pre.values()) / n - mpre * mpre
+    theta = cov / vpre
+    arms = {0: [], 1: []}
+    for u in pp:
+        arms[u * AB_KNUTH % AB_MOD % 2].append(u)
+    adj, var = {}, {}
+    for a, us in arms.items():
+        ys = [post[u] - theta * (pre[u] - mpre) for u in us]
+        m = sum(ys) / len(ys)
+        adj[a] = m
+        var[a] = sum((y - m) ** 2 for y in ys) / len(ys)
+    z = (adj[1] - adj[0]) / math.sqrt(var[1] / len(arms[1]) + var[0] / len(arms[0]))
+    assert cu["n0"] == len(arms[0]) and cu["n1"] == len(arms[1])
+    assert abs(cu["theta"] - theta) < 1e-5, (cu["theta"], theta)
+    assert abs(cu["mean_pre"] - mpre / 100) < 1e-3
+    assert abs(cu["adj_mean0"] - adj[0] / 100) < 1e-3
+    assert abs(cu["adj_mean1"] - adj[1] / 100) < 1e-3
+    assert abs(cu["z"] - z) < 1e-3, (cu["z"], z)
+    vpost = sum(v * v for v in post.values()) / n - mpost * mpost
+    assert abs(cu["var_reduction"] - cov * cov / (vpre * vpost)) < 1e-5
+    assert abs(cu["z"]) < 6.0  # A/A split carries no planted effect
+
+    # --- lineitem_theil_index: definition replay + identity ---
+    th = q["lineitem_theil_index"].builder(spark, sf_dir).collect()[0]
+    rows = _dd.sql(
+        "SELECT s.s_nationkey, l.l_suppkey, "
+        "CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey "
+        "GROUP BY 1, 2"
+    ).fetchall()
+    tot = sum(x for _, _, x in rows)
+    N = len(rows)
+    t_total = sum(x / tot * math.log(x * N / tot) for _, _, x in rows)
+    groups: dict[int, list[int]] = {}
+    for nat, _, x in rows:
+        groups.setdefault(nat, []).append(x)
+    t_between = sum(
+        sum(xs) / tot * math.log((sum(xs) / tot) * (N / len(xs)))
+        for xs in groups.values()
+    )
+    t_within = sum(
+        (sum(xs) / tot)
+        * sum(x / sum(xs) * math.log(x * len(xs) / sum(xs)) for x in xs)
+        for xs in groups.values()
+    )
+    assert th["n_suppliers"] == N and th["n_nations"] == len(groups)
+    assert abs(th["theil_total"] - t_total) < 1e-5
+    assert abs(th["theil_between"] - t_between) < 1e-5
+    assert abs(th["theil_within"] - t_within) < 1e-5
+    # the additive decomposition identity
+    assert abs(t_total - (t_between + t_within)) < 1e-9
+    assert (
+        abs(th["theil_total"] - (th["theil_between"] + th["theil_within"]))
+        < 2e-6
+    )

@@ -224,6 +224,10 @@ EXTRA = (
     "text_keyword_rake",
     "orders_twoway_fixed_effects",
     "sample_pps_systematic",
+    # late-r13 additions
+    "orders_association_rules",
+    "events_cuped_adjusted_ab",
+    "lineitem_theil_index",
 )
 
 
