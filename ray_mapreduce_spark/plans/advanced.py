@@ -7,6 +7,8 @@ reference, expressible there only as hand-written reduce fns).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -6989,9 +6991,16 @@ def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     w1 AS (
+      -- the i > 62 guard mirrors the Spark plan's raise_error
+      -- (ADVICE r13): past 62 steps the 1::BIGINT << i shift would
+      -- silently wrap where Spark raises — error() keeps the oracle
+      -- loud standalone too (lazy inside CASE, verified).
       SELECT event_type, day, x, i,
              sum(CAST(x AS DOUBLE)
-                 * CAST(1::BIGINT << CASE WHEN i = 1 THEN 1
+                 * CAST(1::BIGINT << CASE WHEN i > 62 THEN CAST(error(
+                            'events_double_ewma_holt: series longer '
+                            'than 62 steps — chunk by re-basing') AS INT)
+                                          WHEN i = 1 THEN 1
                                           ELSE CAST(i - 1 AS INT) END
                         AS DOUBLE)) OVER (
                PARTITION BY event_type ORDER BY i) AS wt
@@ -7005,7 +7014,10 @@ def events_winsorized_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 AS (
       SELECT event_type, day, x, i, s1,
              sum(s1
-                 * CAST(1::BIGINT << CASE WHEN i = 1 THEN 1
+                 * CAST(1::BIGINT << CASE WHEN i > 62 THEN CAST(error(
+                            'events_double_ewma_holt: series longer '
+                            'than 62 steps — chunk by re-basing') AS INT)
+                                          WHEN i = 1 THEN 1
                                           ELSE CAST(i - 1 AS INT) END
                         AS DOUBLE)) OVER (
                PARTITION BY event_type ORDER BY i) AS vt
@@ -7386,16 +7398,24 @@ def orders_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(antecedent, consequent, n_both, n_antecedent, conf_u, support,
     confidence, lift): top directed association rules by exact
     integer confidence (see header). Scale shape: the distinct
-    (order, part) frame self-joins on orderkey (identical scan-rooted
-    subtrees -> ONE runtime-reused exchange, gotcha #14); both rule
-    directions explode from the single pair aggregate; the per-part
-    count joins are equi (broadcast at small sf); top-N rides
-    TakeOrdered."""
+    (order, part) frame is computed ONCE (eager checkpoint — it feeds
+    the self-join, the per-part counts and the order total, ADVICE
+    r13); the self-join of the checkpointed frame runtime-reuses one
+    exchange; both rule directions explode from the single pair
+    aggregate; the per-part count joins are equi (broadcast at small
+    sf); top-N rides TakeOrdered."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    # `op` feeds FOUR consumers: the a/b self-join plus the cnt
+    # (groupBy partkey) and tot (countDistinct) branches — the latter
+    # two are differently-shaped siblings that never exchange-reuse
+    # (gotcha #14), so without this the scan+distinct lineage executes
+    # up to four times (ADVICE r13). One eager checkpoint (gotcha #9);
+    # the self-join of the checkpointed frame still runtime-reuses.
+    op = op.localCheckpoint(eager=True)
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
     pairs = (
@@ -7721,4 +7741,180 @@ def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             6,
         ).alias("var_reduction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT readout: a sequential probability-ratio test walk per
+# event type over the ordered day axis — "is this type's share of
+# daily traffic p1 rather than p0?", decided the moment the evidence
+# crosses a boundary instead of at a fixed horizon (Wald 1945; the
+# sequential-testing companion to events_power_analysis's fixed-n
+# design and events_benjamini_hochberg's fixed-horizon family).
+# Daily increment llr_d = n_t*ln(p1/p0) + (n-n_t)*ln((1-p1)/(1-p0));
+# accept H1 at cum >= ln((1-beta)/alpha), H0 at cum <= ln(beta/(1-alpha)).
+#
+# Determinism: ln(p1/p0), ln((1-p1)/(1-p0)) and both decision
+# boundaries are SHARED PYTHON LITERALS interpolated into both
+# engines (the Benford rule — no engine libm in the tree); the daily
+# increment is exact-integer counts times those literals (identical
+# IEEE products), the cumulative walk folds identical doubles in
+# identical day order over a <= SPRT_MAX_DAYS frame (gotcha #15 size
+# bound — the walk is hard-truncated at 62 days, the EWMA horizon
+# discipline, so the readout is "decide within the window or report
+# 'continue'"), and every crossing compare pits identical doubles
+# against a shared literal — so decision, decision_day and the llr
+# extremes are bit-identical cross-engine before the display round.
+#
+# Scale shape: ONE partial-aggregated fact collapse to the bounded
+# (type, day) frame, checkpointed (it feeds the day-total rollup and
+# the walk join — sibling consumers, gotcha #14); the walk, the
+# per-type summary and the crossing-row rejoin all run on <= |types|
+# x 62 rows (the cum frame is checkpointed for its two consumers).
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+SPRT_MAX_DAYS = 62
+_SPRT_L1 = math.log(SPRT_P1 / SPRT_P0)
+_SPRT_L0 = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+_SPRT_A = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+_SPRT_B = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+
+
+@register(
+    "events_sprt_readout",
+    tags=("events", "ab-test", "sprt", "sequential", "window"),
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day
+      FROM events
+    ),
+    td AS (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_t
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT day, CAST(sum(n_t) AS BIGINT) AS n_all FROM td GROUP BY 1
+    ),
+    walk AS (
+      SELECT t.event_type, t.day,
+             CAST(t.n_t AS DOUBLE) * {_SPRT_L1!r}
+               + CAST(o.n_all - t.n_t AS DOUBLE) * {_SPRT_L0!r} AS inc,
+             row_number() OVER (
+               PARTITION BY t.event_type ORDER BY t.day) AS i
+      FROM td t JOIN tot o ON o.day = t.day
+    ),
+    cum AS (
+      SELECT event_type, day, CAST(i AS BIGINT) AS i,
+             sum(inc) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS llr
+      FROM walk WHERE i <= {SPRT_MAX_DAYS}
+    ),
+    summ AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             arg_max(llr, i) AS final_raw,
+             max(llr) AS max_raw, min(llr) AS min_raw,
+             min(CASE WHEN llr >= {_SPRT_A!r} OR llr <= {_SPRT_B!r}
+                      THEN i END) AS cross_i
+      FROM cum GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_days,
+           CASE WHEN c.llr IS NULL THEN 'continue'
+                WHEN c.llr >= {_SPRT_A!r} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(c.day, -1) AS BIGINT) AS decision_day,
+           round(s.final_raw + 1e-9, 6) + 0.0 AS final_llr,
+           round(s.max_raw + 1e-9, 6) + 0.0 AS max_llr,
+           round(s.min_raw + 1e-9, 6) + 0.0 AS min_llr
+    FROM summ s LEFT JOIN cum c
+      ON c.event_type = s.event_type AND c.i = s.cross_i
+    """,
+)
+def events_sprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, decision, decision_day, final_llr,
+    max_llr, min_llr): Wald SPRT walk per event type on its daily
+    traffic share, H0 p0={SPRT_P0} vs H1 p1={SPRT_P1} (see header;
+    boundaries and log terms are shared Python literals, the walk is
+    bit-identical cross-engine)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    td = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    # Feeds the day-total rollup AND the walk join (differently-shaped
+    # siblings, gotcha #14) — checkpoint the bounded (type, day) frame.
+    td = td.localCheckpoint(eager=True)
+    tot = td.groupBy("day").agg(F.sum("n_t").cast("bigint").alias("n_all"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    walk = (
+        td.join(F.broadcast(tot), "day")
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("n_t").cast("double") * F.lit(_SPRT_L1)
+                + (F.col("n_all") - F.col("n_t")).cast("double")
+                * F.lit(_SPRT_L0)
+            ).alias("inc"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("i") <= SPRT_MAX_DAYS)
+    )
+    cum = walk.withColumn(
+        "llr",
+        F.sum("inc").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("event_type", "day", "i", "llr")
+    # Two consumers (the per-type summary and the crossing-row
+    # rejoin) — checkpoint the <= |types| x 62-row frame (gotcha #9).
+    cum = cum.localCheckpoint(eager=True)
+    is_cross = (F.col("llr") >= F.lit(_SPRT_A)) | (
+        F.col("llr") <= F.lit(_SPRT_B)
+    )
+    summ = cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max_by("llr", "i").alias("final_raw"),
+        F.max("llr").alias("max_raw"),
+        F.min("llr").alias("min_raw"),
+        F.min(F.when(is_cross, F.col("i"))).alias("cross_i"),
+    )
+    c = cum.select(
+        F.col("event_type").alias("ct"),
+        F.col("i").alias("ci"),
+        F.col("day").alias("cross_day"),
+        F.col("llr").alias("cross_llr"),
+    )
+    return (
+        summ.join(
+            c,
+            (F.col("event_type") == F.col("ct"))
+            & (F.col("cross_i") == F.col("ci")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.when(F.col("cross_llr").isNull(), F.lit("continue"))
+            .when(F.col("cross_llr") >= F.lit(_SPRT_A), F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.coalesce(F.col("cross_day"), F.lit(-1))
+            .cast("bigint")
+            .alias("decision_day"),
+            (F.round(F.col("final_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "final_llr"
+            ),
+            (F.round(F.col("max_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "max_llr"
+            ),
+            (F.round(F.col("min_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "min_llr"
+            ),
+        )
     )

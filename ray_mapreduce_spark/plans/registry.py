@@ -140,94 +140,58 @@ def register(
 # 2-SF partition-deterministic + replay pytest gates in-round); (e)
 # the first 20 of the 49 r7-stale names in CORRECTNESS_r07 key
 # order. = 1 + 1 + 23 + 5 + 20 = 50.
-# ROUND 14 PLAN: (a) CORRECTNESS_r13 red rows first, then (b) the
-# remaining 29 r7-stale names (listed verbatim past the window
-# below), then (c) the 3 LATE-r13 additions with no driver row —
-# orders_association_rules, events_cuped_adjusted_ab,
-# lineitem_theil_index (each carries individual 3-SF oracle-green +
-# 2-SF partition-determinism + replay-gate + stress10x evidence, the
-# late-r11 precedent) — plus r14 additions/changed plans (cap ~5
-# total with the carried three counted), then (e) the oldest r8 rows
-# (47 names). Additions displace from (e), never from (b).
-# r14 addition CANDIDATES (design notes only — each oracle-able with
-# the existing determinism discipline; honor gotcha #15's fold size
-# bound everywhere):
-# - events_cuped_adjusted_ab: CUPED variance-reduced A/B — split the
-#   corpus at the median day (integer epoch-day threshold), theta =
-#   cov(pre,post)/var(pre) from exact integer per-user moments, the
-#   adjusted-mean z is one identical closed form (the winsorized_ab
-#   shape with a per-user two-period collapse first).
-# - text_burrows_delta: per-(lang, source) authorship delta over the
-#   top-K corpus words' z-scores (explicit (sum, sumsq, n) integer
-#   moments, 6dp re-round before the bounded |pairs| compare stage).
-# - lineitem_theil_index: within/between-nation Theil inequality
-#   decomposition of revenue cents — log terms on exact integer
-#   ratios, per-nation partials folded hierarchically (gotcha #15).
-# - events_sprt_readout: sequential probability-ratio test walk over
-#   the ordered day frame — cumulative llr is an ordered fold over a
-#   bounded (<=62-day) frame; decision boundaries ln((1-b)/a),
-#   ln(b/(1-a)) as shared Python literals (the Benford rule).
-# - orders_association_rules: support/confidence/lift from the
-#   market-basket pair counts (integer counts, exact ratio outputs,
-#   unique-key tiebreak on the LIMIT).
+# ROUND 14 WINDOW (pinned this round, exactly 50; executes VERDICT
+# r13 #1/#3/#4/#5): (a) the r13 red orders_twoway_fixed_effects at
+# slot 1 (OUTPUT REDESIGNED — the raw within-sums were cancelled
+# ~1e15-term residuals the engines genuinely disagree on by ~1 ulp-
+# sum; now exact-integer df accounting + the scale-free 4dp slope;
+# gotcha #17); (a2) events_double_ewma_holt, whose ORACLE changed
+# this round (the i>62 guard mirrored via lazy error() — ADVICE r13;
+# changed-plan > everything); (c) the 3 late-r13 additions with no
+# driver row (orders_association_rules — whose plan ALSO changed
+# this round, the op eager-checkpoint, ADVICE r13 —
+# events_cuped_adjusted_ab, lineitem_theil_index); (b) the 29
+# r7-stale names (CORRECTNESS_r07 key order — after r14 no driver
+# row anywhere is older than r8); the 2 r14 additions (cap ~5 incl.
+# the carried three, VERDICT r13 #5 — each 3-SF STRICT-oracle-green
+# + 2-SF partition-deterministic + exact-equality replay gates green
+# at all 3 SFs in-round); (e) the first 14 of the 47 r8-stale names
+# (CORRECTNESS_r08 key order). = 1 + 1 + 3 + 29 + 2 + 14 = 50.
+# ROUND 15 PLAN: (a) CORRECTNESS_r14 red rows first, then (b) the
+# remaining 33 r8-stale names (listed verbatim past the window
+# below), then r15 additions/changed plans (cap ~5), then (e) the
+# oldest r9 rows. Additions displace from (e), never from (b).
+# r15 addition CANDIDATES (design notes only — each oracle-able with
+# the existing determinism discipline; gotcha #15 size bound AND
+# gotcha #17 magnitude bound everywhere — never hash a cancelled
+# residual):
+# - events_page_hinkley_drift: Page-Hinkley mean-drift detector per
+#   type — like CUSUM but with the running-min subtraction; daily
+#   means 6dp-locked first, PH statistic is an ordered fold of
+#   identical doubles over the bounded day frame.
+# - orders_chow_break_test: Chow structural-break F at the median
+#   month — two sub-period OLS from exact integer moments (the
+#   linreg_trend six-sum shape twice + pooled), F emitted as a
+#   scale-free ratio (gotcha #17).
+# - text_yule_k: Yule's K vocabulary-richness per (lang, source) —
+#   pure exact-integer spectrum sums (K = 1e4 * (S2 - S1) / S1^2 as
+#   integer-cleared micro-units).
+# - lineitem_newsvendor_quantile: critical-fractile stocking level
+#   per part segment from the integer-cents demand histogram
+#   (threshold-crossing idiom, no engine percentile).
+# - events_recurrence_cohorts: k-th repeat-purchase latency curves
+#   (rank-k gap percentiles via the verified bit-exact
+#   percentile parity, gotcha from winsorize_stats).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (a) the r12 red, oracle typing fixed this round --
-    "events_kaplan_meier",
-    # -- (a2) oracle changed this round (DECIMAL lo -> DOUBLE) --
-    "embedding_pca_histogram",
-    # -- (b) the 23 r6-stale names (CORRECTNESS_r06 key order) --
-    "events_zscore_outliers",
-    "histogram_event_values",
-    "pivot_event_counts",
-    "variant_props_extract",
-    "agg_min_max_by",
-    "median_by_group",
-    "stream_interval_join",
-    "filter_project_revenue",
-    "join_anti_no_big_order",
-    "join_range_price_band",
-    "agg_count_distinct",
-    "distinct_flag_status",
-    "rollup_order_status",
-    "cube_flag_status",
-    "set_union_all_keys",
-    "set_intersect_keys",
-    "set_except_keys",
-    "join_full_outer_nation_counts",
-    "join_salted_skew",
-    "window_topk_per_customer",
-    "window_distribution",
-    "window_range_frame",
-    "window_value_functions",
-    # -- (c) the 5 r13 additions --
-    "events_double_ewma_holt",
-    "events_benjamini_hochberg",
-    "text_keyword_rake",
+    # -- (a) the r13 red, output redesigned this round (gotcha #17) --
     "orders_twoway_fixed_effects",
-    "sample_pps_systematic",
-    # -- (e) first 20 r7-stale names (CORRECTNESS_r07 key order) --
-    "sample_split_assign",
-    "text_unigram_incremental",
-    "events_sessionize_gap",
-    "text_bm25_incremental",
-    "dedup_repeated_spans",
-    "events_decayed_score",
-    "corpus_composition_report",
-    "decontaminate_embedding",
-    "similarity_topk_ivf_kmeans",
-    "dedup_simhash_pairs",
-    "dedup_containment_pairs",
-    "text_quality_classifier",
-    "text_bigram_pmi",
-    "dedup_semantic_kmeans",
-    "graph_pagerank_neardup",
-    "graph_triangle_count",
-    "dedup_survivors_quality",
-    "events_key_skew_profile",
-    "events_winsorize_stats",
-    "text_bigram_logprob",
-    # ---- past the 50-slot window: r14 leads, in order ----
-    # the remaining 29 r7-stale names (CORRECTNESS_r07 key order)
+    # -- (a2) oracle changed this round (i>62 guard mirrored) --
+    "events_double_ewma_holt",
+    # -- (c) the 3 late-r13 additions, first driver rows --
+    "orders_association_rules",
+    "events_cuped_adjusted_ab",
+    "lineitem_theil_index",
+    # -- (b) the 29 r7-stale names (CORRECTNESS_r07 key order) --
     "grouping_sets_sql",
     "unpivot_nation_counts",
     "explode_outer_long_words",
@@ -257,6 +221,59 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ohlc",
     "timeseries_gapfill",
     "asof_join_last_click",
+    # -- the 2 r14 additions --
+    "events_sprt_readout",
+    "text_burrows_delta",
+    # -- (e) first 14 r8-stale names (CORRECTNESS_r08 key order) --
+    "events_anomaly_mad",
+    "text_token_entropy",
+    "sample_weighted_priority",
+    "dedup_jaccard_prefixfilter",
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "similarity_pq_rerank_topk",
+    "events_linreg_trend",
+    "corpus_source_kl",
+    "dedup_cross_source_matrix",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "text_heavy_hitters_mg",
+    "corpus_snapshot_diff",
+    # ---- past the 50-slot window: r15 leads, in order ----
+    # the remaining 33 r8-stale names (CORRECTNESS_r08 key order)
+    "text_vocab_coverage",
+    "similarity_tfidf_cosine_pairs",
+    "events_markov_transitions",
+    "embedding_covariance",
+    "dedup_exact_normalized",
+    "events_hourly_seasonality",
+    "embedding_power_iteration",
+    "events_funnel_time_to_convert",
+    "orders_repeat_purchase_rate",
+    "q7_nation_trade_matrix",
+    "dedup_rate_by_source",
+    "events_value_autocorr",
+    "events_wau_rolling",
+    "events_top_paths",
+    "text_oov_rate",
+    "text_quality_length_corr",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_capital",
+    "orders_market_basket_pairs",
+    "events_user_overlap",
+    "embedding_dim_stats",
+    "text_truncation_loss",
+    "q2_best_supplier_per_part",
+    "text_ngram_novelty",
+    "events_session_length_stats",
+    "sample_temperature_mixture",
+    "embedding_znorm_outliers",
+    "events_cusum_changepoint",
+    "orders_revenue_momentum",
+    "orders_priority_drift",
+    "text_length_weighted_quantiles",
 )
 
 

@@ -2735,11 +2735,29 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation (25) x order month (~80), never custkey — so every
 # correction sum runs over a bounded frame: the three float
 # reductions (nation / month / cell terms) fold as key-ordered
-# running-window sums (the ANOVA/CUSUM discipline) adding identical
-# doubles in identical order on both engines, and the group moments
-# they consume are exact integers. The products Sx_g * Sy_g can pass
-# 2^63 at crawl SFs, so each term casts to DOUBLE BEFORE multiplying
-# (identical tree both sides).
+# running-window sums (the ANOVA/CUSUM discipline), and the group
+# moments they consume are exact integers. The products Sx_g * Sy_g
+# can pass 2^63 at crawl SFs, so each term casts to DOUBLE BEFORE
+# multiplying (identical tree both sides); the raw cell moments
+# sxx/sxy accumulate in decimal(38,0)/HUGEINT (the CUPED discipline)
+# so the per-cell sum never hits the 2^63 ANSI overflow around
+# sf10-20 (ADVICE r13).
+#
+# OUTPUT DESIGN (r14, the CORRECTNESS_r13 red): the raw within-sums
+# S_x~y~ / S_x~x~ are catastrophically-cancelled residuals of
+# ~1.5e15-scale fold terms (ulp 0.25 up there) — the engines' folds
+# genuinely land a few ulp apart (measured: spark 22130666317 vs
+# duckdb 22130666318 vs exact ...318.15 at sf0.01), so a residual of
+# 2.2e10 magnitude can NEVER survive a 4dp hash (the observed
+# divergence is ~131,000 ulp of the rounded value; gotcha #3's
+# scaled-bias rule has no workable bias between the error and the
+# tick). The hashed output therefore carries only hash-stable
+# values: the exact-integer df accounting (n_orders, n_nations,
+# n_months, n_cells, df_within = n - I - T + 1) and the SCALE-FREE
+# slope = S_x~y~/S_x~x~, whose cross-engine error is relative
+# (~1e-10; absolute ~3e-7 at slope ~2e3 cents/day), rounded at 4dp
+# (half-tick 5e-5, ~150x the error) with a +1e-6 bias (>> error,
+# << tick) and the +0.0 signed-zero guard.
 #
 # Scale shape: ONE fact scan partial-aggregates the (nation, month)
 # cell moments (customer's nation joined broadcast); nation and
@@ -2766,8 +2784,8 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
+             sum(x * x) AS sxx,
+             sum(x * y) AS sxy
       FROM r GROUP BY 1, 2
     ),
     ni AS (
@@ -2782,9 +2800,10 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS ncell,
              CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
-             CAST(sum(sxx) AS BIGINT) AS sxx,
-             CAST(sum(sxy) AS BIGINT) AS sxy
+             sum(sxx) AS sxx,
+             sum(sxy) AS sxy
       FROM cell
     ),
     fi AS (
@@ -2858,25 +2877,23 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.n AS n_orders,
            CAST(fi.k AS BIGINT) AS n_nations,
            CAST(ft.k AS BIGINT) AS n_months,
-           round(CAST(g.sxy AS DOUBLE) - fi.cxy - ft.cxy
-                 - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE) / g.n
-                 + fc.cxy + 1e-9, 4) AS sxy_within,
-           round(CAST(g.sxx AS DOUBLE) - fi.cxx - ft.cxx
-                 - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) / g.n
-                 + fc.cxx + 1e-9, 4) AS sxx_within,
+           g.ncell AS n_cells,
+           CAST(g.n - fi.k - ft.k + 1 AS BIGINT) AS df_within,
            round((CAST(g.sxy AS DOUBLE) - fi.cxy - ft.cxy
                   - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE) / g.n
                   + fc.cxy)
                  / (CAST(g.sxx AS DOUBLE) - fi.cxx - ft.cxx
                     - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) / g.n
-                    + fc.cxx) + 1e-9, 6) + 0.0 AS slope_cents_per_day
+                    + fc.cxx) + 1e-6, 4) + 0.0 AS slope_cents_per_day
     FROM g, fi, ft, fc
     """,
 )
 def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_orders, n_nations, n_months, sxy_within, sxx_within,
+    """(n_orders, n_nations, n_months, n_cells, df_within,
     slope_cents_per_day): two-way (nation, month) within-transform
-    OLS slope of order cents on calendar day (see header)."""
+    OLS slope of order cents on calendar day, with exact-integer df
+    accounting (see header; the raw within-sums are deliberately NOT
+    emitted — they cannot survive the driver hash)."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders").select(
@@ -2902,8 +2919,11 @@ def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        # Raw second moments accumulate in decimal(38,0) (HUGEINT on
+        # the oracle side): per-row x*y ~ 5e11 approaches the 2^63
+        # ANSI sum overflow around sf10-20 under bigint (ADVICE r13).
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
     # The cell aggregate feeds four sibling consumers (marginals, the
     # cell fold, the global rollup) — differently-pruned branches that
@@ -2921,10 +2941,11 @@ def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = cell.agg(
         F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("ncell"),
         F.sum("sx").cast("bigint").alias("sx"),
         F.sum("sy").cast("bigint").alias("sy"),
-        F.sum("sxx").cast("bigint").alias("sxx"),
-        F.sum("sxy").cast("bigint").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
     )
 
     def _fold(df, keys, term_xy, term_xx):
@@ -3031,9 +3052,11 @@ def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_orders"),
         F.col("ki").cast("bigint").alias("n_nations"),
         F.col("kt").cast("bigint").alias("n_months"),
-        F.round(sxy_w + F.lit(1e-9), 4).alias("sxy_within"),
-        F.round(sxx_w + F.lit(1e-9), 4).alias("sxx_within"),
-        (F.round(sxy_w / sxx_w + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+        F.col("ncell").alias("n_cells"),
+        (F.col("n") - F.col("ki") - F.col("kt") + F.lit(1))
+        .cast("bigint")
+        .alias("df_within"),
+        (F.round(sxy_w / sxx_w + F.lit(1e-6), 4) + F.lit(0.0)).alias(
             "slope_cents_per_day"
         ),
     )

@@ -3693,3 +3693,213 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rake_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta authorship distance between sources: for the top-K
+# corpus words, z-score each source's word frequency across sources,
+# then Delta(a, b) = mean_w |z_a(w) - z_b(w)| — the classic
+# stylometry readout ("which crawl sources write alike?"), run before
+# attributing near-dups or contamination to a shared upstream author
+# (Burrows 2002 / Argamon 2008).
+#
+# Determinism: per-source word frequencies are exact integer
+# micro-units (cnt * 1e6 div total — the quality-classifier
+# discipline); the z-score clears the mean denominator into exact
+# integers, z = (fu*S - sum_f) / sqrt(S*sum_f2 - sum_f^2), so the
+# only float ops are ONE correctly-rounded sqrt of an exact integer
+# and ONE division — identical IEEE trees both engines — then z is
+# 6dp-LOCKED before the pair stage (the BH p-value discipline).
+# Zero-variance words (disc = 0) are excluded on both engines by an
+# exact integer comparison; n_words records the surviving count. The
+# per-pair fold adds identical doubles in identical token order over
+# a <= K-row frame (gotcha #15 size bound; |z6| is O(sqrt(S)) so the
+# magnitude bound is never in play). The K-th-rank vocabulary cutoff
+# uses the unique (count DESC, token) order (the OOV idiom). The
+# disc product S*sum_f2 runs in decimal(38,0)/HUGEINT: sum_f2 <=
+# S*1e12, so bigint would overflow past ~3k sources (documented
+# bound lifted the CUPED way).
+#
+# Scale shape: ONE tokenize lineage collapses to the (source, token)
+# count aggregate, checkpointed (it feeds the per-source totals, the
+# global top-K vocabulary and the spine probe — three differently-
+# shaped siblings, gotcha #14; the text_distinctive_terms
+# precedent); everything downstream runs on the bounded
+# |sources| x K spine (vocab and word moments broadcast). The
+# |pairs| x K compare stage is |sources|^2-bounded — sources are a
+# bounded dimension in this corpus (20), never fact-proportional.
+BURROWS_TOP_K = 40
+
+
+@register(
+    "text_burrows_delta",
+    tags=("text", "stylometry", "burrows", "delta", "window"),
+    oracle=f"""
+    WITH stc AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS total FROM stc GROUP BY 1
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY sum(c) DESC, t) AS rk
+        FROM stc GROUP BY t
+      ) WHERE rk <= {BURROWS_TOP_K}
+    ),
+    f AS (
+      SELECT tot.source, v.t,
+             CAST(CAST(coalesce(s.c, 0) AS BIGINT) * 1000000 // tot.total
+                  AS BIGINT) AS fu
+      FROM tot CROSS JOIN vocab v
+      LEFT JOIN stc s ON s.source = tot.source AND s.t = v.t
+    ),
+    wm AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS s_n,
+             CAST(sum(fu) AS BIGINT) AS sumf,
+             CAST(sum(fu * fu) AS BIGINT) AS sumf2
+      FROM f GROUP BY t
+    ),
+    z AS (
+      SELECT f.source, f.t,
+             round(CAST(f.fu * wm.s_n - wm.sumf AS DOUBLE)
+                   / sqrt(CAST(CAST(wm.s_n AS HUGEINT)
+                                 * CAST(wm.sumf2 AS HUGEINT)
+                               - CAST(wm.sumf AS HUGEINT)
+                                 * CAST(wm.sumf AS HUGEINT)
+                          AS DOUBLE)) + 1e-9, 6) AS z6
+      FROM f JOIN wm ON wm.t = f.t
+      WHERE CAST(wm.s_n AS HUGEINT) * CAST(wm.sumf2 AS HUGEINT)
+            - CAST(wm.sumf AS HUGEINT) * CAST(wm.sumf AS HUGEINT) > 0
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.t,
+             abs(a.z6 - b.z6) AS d
+      FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+    ),
+    fold AS (
+      SELECT source_a, source_b, k, cd FROM (
+        SELECT source_a, source_b,
+               row_number() OVER (
+                 PARTITION BY source_a, source_b ORDER BY t) AS rk,
+               count(*) OVER (PARTITION BY source_a, source_b) AS k,
+               sum(d) OVER (PARTITION BY source_a, source_b ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cd
+        FROM pairs
+      ) WHERE rk = k
+    )
+    SELECT source_a, source_b, CAST(k AS BIGINT) AS n_words,
+           round(cd / k + 1e-9, 6) AS delta
+    FROM fold
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_words, delta): Burrows' Delta stylometric
+    distance between every source pair over the corpus top-K words
+    (see header; z-scores clear denominators into exact integers, the
+    pair fold runs over a <= K-row frame)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    stc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # Three differently-shaped sibling consumers (totals, vocabulary,
+    # spine probe) — checkpoint the tokenize aggregate once
+    # (gotcha #14; the text_distinctive_terms precedent).
+    stc = stc.localCheckpoint(eager=True)
+    tot = stc.groupBy("source").agg(F.sum("c").cast("bigint").alias("total"))
+    vocab = (
+        stc.groupBy("t")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.col("gc").desc(), "t")
+        .limit(BURROWS_TOP_K)
+        .select("t")
+    )
+    fu = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(
+            stc.select(
+                F.col("source").alias("s2"), F.col("t").alias("t2"), "c"
+            ),
+            (F.col("source") == F.col("s2")) & (F.col("t") == F.col("t2")),
+            "left",
+        )
+        .select(
+            "source",
+            "t",
+            F.expr("coalesce(c, 0) * 1000000 div total")
+            .cast("bigint")
+            .alias("fu"),
+        )
+    )
+    # The bounded |sources| x K spine feeds the word-moment aggregate
+    # AND the z probe — checkpoint (<= S*K rows, gotcha #9).
+    fu = fu.localCheckpoint(eager=True)
+    wm = fu.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_n"),
+        F.sum("fu").cast("bigint").alias("sumf"),
+        F.sum(F.col("fu") * F.col("fu")).cast("bigint").alias("sumf2"),
+    )
+    disc = (
+        F.col("s_n").cast("decimal(38,0)") * F.col("sumf2").cast("decimal(38,0)")
+        - F.col("sumf").cast("decimal(38,0)") * F.col("sumf").cast("decimal(38,0)")
+    )
+    zf = (
+        fu.join(F.broadcast(wm), "t")
+        .filter(disc > 0)
+        .select(
+            "source",
+            "t",
+            F.round(
+                (F.col("fu") * F.col("s_n") - F.col("sumf")).cast("double")
+                / F.sqrt(disc.cast("double"))
+                + F.lit(1e-9),
+                6,
+            ).alias("z6"),
+        )
+    )
+    # Self-join of an aggregated frame never runtime-reuses
+    # (gotcha #14 r7 refinement) — checkpoint the <= S*K-row z frame.
+    zf = zf.localCheckpoint(eager=True)
+    a = zf.select(
+        F.col("source").alias("source_a"),
+        F.col("t").alias("ta"),
+        F.col("z6").alias("za"),
+    )
+    b = zf.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb"),
+        F.col("z6").alias("zb"),
+    )
+    pairs = a.join(
+        b, (F.col("ta") == F.col("tb")) & (F.col("source_a") < F.col("source_b"))
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("ta").alias("t"),
+        F.abs(F.col("za") - F.col("zb")).alias("d"),
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("t")
+    folded = pairs.select(
+        "source_a",
+        "source_b",
+        F.row_number().over(wp).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source_a", "source_b"))
+        .alias("k"),
+        F.sum("d")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cd"),
+    ).filter(F.col("rk") == F.col("k"))
+    return folded.select(
+        "source_a",
+        "source_b",
+        F.col("k").cast("bigint").alias("n_words"),
+        F.round(F.col("cd") / F.col("k") + F.lit(1e-9), 6).alias("delta"),
+    )

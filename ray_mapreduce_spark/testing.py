@@ -3,11 +3,15 @@
 Runs a registered query's Spark builder and its DuckDB oracle SQL on
 the same sf dir, then compares row count, column names, and values
 order-insensitively — the same contract the driver applies at sf0.01
-(see __spark_entry__.py docstring). Values are compared exactly for
-non-floats and to 1e-9 relative tolerance for floats (the real driver
-hashes, so plans must round float outputs; the tolerance here only
-localizes diagnostics, it does not paper over mismatches beyond
-rounding artifacts).
+(see __spark_entry__.py docstring). Values are compared EXACTLY for
+every type, floats included (bit equality up to NaN, signed zero
+distinguished): the driver hashes typed values, so any float the two
+engines disagree on — by even one ulp — is a driver red. r13's
+`orders_twoway_fixed_effects` red walked through the old
+`math.isclose(rel_tol=1e-9)` comparator (±22 of slack at 2.2e10
+magnitude); the r13 judge's strict sweep showed 307/308 queries
+already compare bit-identical, so exactness costs nothing and makes
+every local sweep exactly as strict as the driver hash.
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ class CompareResult:
 # (the events_kaplan_meier r12 red). compare_query rejects them at
 # fetch time; tests/test_oracle_types.py sweeps the whole registry.
 DRIVER_SAFE_ORACLE_TYPES = frozenset(
-    {"int64", "int32", "double", "string", "large_string", "bool"}
+    {"int64", "int32", "double", "string", "bool"}
 )
 
 
@@ -76,7 +80,12 @@ def _values_equal(a: Any, b: Any) -> bool:
             return False
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # EXACT float equality (r14, the float half of the comparator
+        # blind spot — the integer/HUGEINT half closed in r13): the
+        # driver hashes typed bytes, so a 1-ulp cross-engine divergence
+        # is a red no tolerance may hide. Signed zero is distinguished
+        # (gotcha #3: -0.0 and 0.0 hash differently).
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     return a == b
 
 

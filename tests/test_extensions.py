@@ -4274,12 +4274,25 @@ def test_r13_additions_semantics(spark, sf_dir):
     slope = float(xd @ yd) / float(xd @ xd)
     assert fe["n_orders"] == len(rows)
     assert fe["n_nations"] == len(nats) and fe["n_months"] == len(mths)
-    assert abs(fe["slope_cents_per_day"] - slope) / abs(slope) < 1e-6, (
+    assert fe["n_cells"] == len({(r[0], r[1]) for r in rows})
+    assert fe["df_within"] == len(rows) - len(nats) - len(mths) + 1
+    # Equality-after-round (VERDICT r13 #2): the hashed slope must
+    # EQUAL the replay's HALF_UP round of (slope + bias) — the replay
+    # double's own error (~1e-12 rel) and the cross-engine fold error
+    # (~1e-10 rel) are both far inside the 1e-6 bias, so the rounded
+    # values coincide exactly unless the output design regresses.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    expect = float(
+        Decimal(repr(slope + 1e-6)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert fe["slope_cents_per_day"] == expect, (
         fe["slope_cents_per_day"],
+        expect,
         slope,
     )
-    assert abs(fe["sxy_within"] - float(xd @ yd)) / abs(float(xd @ yd)) < 1e-9
-    assert abs(fe["sxx_within"] - float(xd @ xd)) / abs(float(xd @ xd)) < 1e-9
 
     # --- sample_pps_systematic: exact integer replay ---
     pps = {
@@ -4484,3 +4497,187 @@ def test_late_r13_additions_semantics(spark, sf_dir):
         abs(th["theil_total"] - (th["theil_between"] + th["theil_within"]))
         < 2e-6
     )
+
+
+def test_r14_additions_semantics(spark, sf_dir):
+    """Full python replays for the r14 additions, asserting EXACT
+    equality after round (VERDICT r13 #2 — no relative tolerances):
+    the engines and the replay fold identical doubles in identical
+    order, so the rounded outputs must coincide bit-for-bit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+        SPRT_MAX_DAYS,
+    )
+    from ray_mapreduce_spark.plans.text_analysis import BURROWS_TOP_K
+
+    q = all_queries()
+
+    def r6(x):
+        return (
+            float(
+                Decimal(repr(x + 1e-9)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            + 0.0
+        )
+
+    # --- events_sprt_readout: full walk replay ---
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in q["events_sprt_readout"].builder(spark, sf_dir).collect()
+    }
+    rows = _dd.sql(
+        "SELECT event_type, "
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    td: dict[tuple, int] = {}
+    tot: dict[int, int] = {}
+    for t, d in rows:
+        td[(t, d)] = td.get((t, d), 0) + 1
+        tot[d] = tot.get(d, 0) + 1
+    expect = {}
+    for t in {k[0] for k in td}:
+        days = sorted(d for (tt, d) in td if tt == t)[:SPRT_MAX_DAYS]
+        cum, walk = 0.0, []
+        for d in days:
+            n_t, n = td[(t, d)], tot[d]
+            cum += float(n_t) * _SPRT_L1 + float(n - n_t) * _SPRT_L0
+            walk.append((d, cum))
+        cross = [(d, c) for d, c in walk if c >= _SPRT_A or c <= _SPRT_B]
+        if cross:
+            dd, cc = cross[0]
+            dec = "accept_h1" if cc >= _SPRT_A else "accept_h0"
+        else:
+            dd, dec = -1, "continue"
+        lls = [c for _, c in walk]
+        expect[t] = (
+            len(walk),
+            dec,
+            dd,
+            r6(lls[-1]),
+            r6(max(lls)),
+            r6(min(lls)),
+        )
+    assert got == expect, (got, expect)
+
+    # --- text_burrows_delta: full replay ---
+    got_b = {
+        (r["source_a"], r["source_b"]): (r["n_words"], r["delta"])
+        for r in q["text_burrows_delta"].builder(spark, sf_dir).collect()
+    }
+    toks = _dd.sql(
+        "SELECT source, unnest(string_split(lower(text), ' ')) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    stc: dict[tuple, int] = {}
+    for s, t in toks:
+        stc[(s, t)] = stc.get((s, t), 0) + 1
+    totals: dict[str, int] = {}
+    gcnt: dict[str, int] = {}
+    for (s, t), c in stc.items():
+        totals[s] = totals.get(s, 0) + c
+        gcnt[t] = gcnt.get(t, 0) + c
+    vocab = [t for _, t in sorted(((-c, t) for t, c in gcnt.items()))][
+        :BURROWS_TOP_K
+    ]
+    sources = sorted(totals)
+    S = len(sources)
+    fu = {
+        (s, t): stc.get((s, t), 0) * 1000000 // totals[s]
+        for s in sources
+        for t in vocab
+    }
+    z6: dict[tuple, float] = {}
+    kept = []
+    for t in vocab:
+        sumf = sum(fu[(s, t)] for s in sources)
+        sumf2 = sum(fu[(s, t)] ** 2 for s in sources)
+        disc = S * sumf2 - sumf * sumf
+        if disc <= 0:
+            continue
+        kept.append(t)
+        for s in sources:
+            z = float(fu[(s, t)] * S - sumf) / math.sqrt(float(disc))
+            z6[(s, t)] = float(
+                Decimal(repr(z + 1e-9)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+    expect_b = {}
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            cd = 0.0
+            for t in sorted(kept):
+                cd += abs(z6[(sa, t)] - z6[(sb, t)])
+            if kept:
+                expect_b[(sa, sb)] = (
+                    len(kept),
+                    float(
+                        Decimal(repr(cd / len(kept) + 1e-9)).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                )
+    assert got_b == expect_b, (
+        len(got_b),
+        len(expect_b),
+        sorted(got_b.items())[:3],
+        sorted(expect_b.items())[:3],
+    )
+
+
+def test_sprt_planted_decisions(spark, tmp_path):
+    """The real corpus may or may not decide within the horizon —
+    plant a fixture with one type decisively ABOVE p1 (accept_h1),
+    one decisively BELOW p0 (accept_h0), and one sitting exactly at
+    the p0/p1 midpoint whose drift cannot reach either boundary in
+    the fixture's 10 days (continue)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    # daily counts: shares 0.30 (h1) / 0.05 (h0) / 0.20 (drift ~ +0.014
+    # per day -> continue) / 0.45 filler
+    per_day = [("hot", 30), ("cold", 5), ("mid", 20), ("fill", 45)]
+    rows = []
+    eid = 0
+    for d in range(10):
+        for typ, cnt in per_day:
+            for j in range(cnt):
+                eid += 1
+                rows.append((eid, (20000 + d) * 86400_000000 + eid, typ))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1 + r[0] % 50 for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_sprt_readout"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["hot"]["decision"] == "accept_h1"
+    assert out["cold"]["decision"] == "accept_h0"
+    assert out["cold"]["decision_day"] == 20000  # crosses on day 1
+    assert out["mid"]["decision"] == "continue"
+    assert out["mid"]["decision_day"] == -1
+    assert out["hot"]["decision_day"] >= 20001  # needs >= 2 days to cross

@@ -52,7 +52,21 @@ def test_values_equal_rejects_int_float_type_drift():
     assert not _values_equal(9.0, 9)
     assert _values_equal(9, 9)
     assert _values_equal(9.0, 9.0)
-    assert _values_equal(9.0, 9.0 + 1e-12)
     assert _values_equal(float("nan"), float("nan"))
     assert not _values_equal(None, 0.0)
     assert _values_equal(None, None)
+
+
+def test_values_equal_is_bit_exact_for_floats():
+    """Regression for r13's orders_twoway_fixed_effects red row: the
+    engines diverged by 1.0 at 2.2e10 magnitude, inside the old
+    comparator's rel_tol=1e-9 slack (±22 up there) — every local sweep
+    was green while the driver hash red-flagged it. Floats now compare
+    EXACTLY (the driver hashes typed bytes), signed zero included
+    (gotcha #3: -0.0 and 0.0 hash differently)."""
+    from ray_mapreduce_spark.testing import _values_equal
+
+    assert not _values_equal(9.0, 9.0 + 1e-12)
+    assert not _values_equal(22130666317.0, 22130666318.0)
+    assert not _values_equal(0.0, -0.0)
+    assert _values_equal(-0.0, -0.0)
