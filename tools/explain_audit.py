@@ -228,6 +228,9 @@ EXTRA = (
     "orders_association_rules",
     "events_cuped_adjusted_ab",
     "lineitem_theil_index",
+    # r14 additions
+    "events_sprt_readout",
+    "text_burrows_delta",
 )
 
 
