@@ -7918,3 +7918,125 @@ def events_sprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Page-Hinkley mean-drift detector per event type: the streaming
+# change-detection companion to events_cusum_changepoint (CUSUM finds
+# the most likely PAST shift; Page-Hinkley answers "has the daily
+# mean drifted UP enough to alarm, and on which day") — the standard
+# drift monitor data pipelines run on model-input streams (Page 1954;
+# Gama et al. 2014 variant with the running mean as the baseline).
+# Per day t: m_t = sum_{i<=t} (x_i - xbar_i - delta) with xbar_i the
+# running mean of the first i days (inclusive), M_t = min m_t, and
+# the alarm fires when PH_t = m_t - M_t > lambda.
+#
+# Determinism: daily means are 6dp-LOCKED before any cross-day
+# arithmetic (the CUSUM discipline); the running mean is cum/i — one
+# identical division per step; every fold (cum x, cum terms, running
+# min) adds/compares identical doubles in identical day order, and
+# delta/lambda are shared Python literals — so PH_t, the alarm day
+# and the flag are bit-identical cross-engine. Magnitude bound
+# (gotcha #17): terms are O(daily mean) ~ 1e2, so even a years-long
+# 1000-day frame accumulates ~1e-11 of fold noise against a 1e-6
+# tick — no truncation needed (unlike the SPRT walk, whose terms
+# scale with daily VOLUME).
+#
+# Scale shape: ONE partial-aggregated fact collapse to the bounded
+# (type, day) daily-mean frame; all three folds share one per-type
+# sort; the summary is a |types|-row aggregate (single chain — the
+# alarm day comes from a conditional min, no rejoin).
+PH_DELTA = 0.5
+PH_LAMBDA = 10.0
+
+
+@register(
+    "events_page_hinkley_drift",
+    tags=("events", "drift", "changepoint", "page-hinkley", "window"),
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day,
+             round(avg(value) + 1e-9, 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+      SELECT event_type, day, i,
+             sum(x - cumx / i - {PH_DELTA!r}) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM walk
+    ),
+    ph AS (
+      SELECT event_type, day, i, mt,
+             mt - min(mt) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pht
+      FROM m
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(max(pht) + 1e-9, 6) + 0.0 AS ph_max,
+           CAST(coalesce(min(CASE WHEN pht > {PH_LAMBDA!r} THEN day END),
+                         -1) AS BIGINT) AS alarm_day,
+           CAST(max(CASE WHEN pht > {PH_LAMBDA!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS alarmed
+    FROM ph GROUP BY event_type
+    """,
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, ph_max, alarm_day, alarmed): Page-Hinkley
+    upward mean-drift statistic over 6dp-locked daily means, with the
+    first alarm day at lambda={PH_LAMBDA} (see header; the walk is
+    bit-identical cross-engine)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("x").over(wrun).alias("cumx"),
+    )
+    m = walk.withColumn(
+        "mt",
+        F.sum(
+            F.col("x") - F.col("cumx") / F.col("i") - F.lit(PH_DELTA)
+        ).over(wrun),
+    )
+    ph = m.withColumn("pht", F.col("mt") - F.min("mt").over(wrun))
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.round(F.max("pht") + F.lit(1e-9), 6) + F.lit(0.0)).alias("ph_max"),
+        F.coalesce(
+            F.min(F.when(F.col("pht") > F.lit(PH_LAMBDA), F.col("day"))),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("alarm_day"),
+        F.max(
+            F.when(F.col("pht") > F.lit(PH_LAMBDA), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("alarmed"),
+    )

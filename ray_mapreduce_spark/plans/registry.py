@@ -161,27 +161,31 @@ def register(
 # remaining 33 r8-stale names (listed verbatim past the window
 # below), then r15 additions/changed plans (cap ~5), then (e) the
 # oldest r9 rows. Additions displace from (e), never from (b).
+# LATE-r14 additions (after the closing sweeps; the late-r13
+# precedent — each with INDIVIDUAL 3-SF STRICT-oracle-green + 2-SF
+# partition-determinism + exact-equality python-replay gates green
+# at all 3 SFs; they take r15 window slots right after any red
+# rows + changed plans): text_yule_k, events_page_hinkley_drift,
+# lineitem_newsvendor_quantile.
 # r15 addition CANDIDATES (design notes only — each oracle-able with
 # the existing determinism discipline; gotcha #15 size bound AND
 # gotcha #17 magnitude bound everywhere — never hash a cancelled
 # residual):
-# - events_page_hinkley_drift: Page-Hinkley mean-drift detector per
-#   type — like CUSUM but with the running-min subtraction; daily
-#   means 6dp-locked first, PH statistic is an ordered fold of
-#   identical doubles over the bounded day frame.
-# - orders_chow_break_test: Chow structural-break F at the median
-#   month — two sub-period OLS from exact integer moments (the
-#   linreg_trend six-sum shape twice + pooled), F emitted as a
-#   scale-free ratio (gotcha #17).
-# - text_yule_k: Yule's K vocabulary-richness per (lang, source) —
-#   pure exact-integer spectrum sums (K = 1e4 * (S2 - S1) / S1^2 as
-#   integer-cleared micro-units).
-# - lineitem_newsvendor_quantile: critical-fractile stocking level
-#   per part segment from the integer-cents demand histogram
-#   (threshold-crossing idiom, no engine percentile).
 # - events_recurrence_cohorts: k-th repeat-purchase latency curves
 #   (rank-k gap percentiles via the verified bit-exact
 #   percentile parity, gotcha from winsorize_stats).
+# - text_ttr_curve: type-token ratio at fixed token budgets per lang
+#   (Herdan's C companion to yule_k; exact integer threshold
+#   crossings over the cumulative type count).
+# - orders_queue_little_law: arrival rate x mean open-interval time
+#   vs observed mean backlog (Little's law audit over the
+#   open_backlog frame; exact integer day sums, single divisions).
+# REJECTED candidate (design note, r14): orders_chow_break_test —
+# the Chow F needs N1^2 with N1 = n*Sxy - Sx*Sy ~ 6e19 at sf0.01
+# (N1^2 ~ 3.6e39 overflows decimal(38,0)/HUGEINT), and its
+# SSR_p - SSR_1 - SSR_2 numerator is exactly the cancelled-residual
+# shape gotcha #17 forbids hashing; a break test needs a different
+# oracle-able formulation (e.g. integer-moment eta^2 per half).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- (a) the r13 red, output redesigned this round (gotcha #17) --
     "orders_twoway_fixed_effects",

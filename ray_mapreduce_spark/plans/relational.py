@@ -3249,3 +3249,88 @@ def lineitem_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cw") + F.lit(1e-9), 6).alias("theil_within"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Newsvendor stocking quantile per brand: the critical-fractile
+# answer to "how much should each brand line stock per day" —
+# with underage cost 4x overage the optimal stock is the 0.8-quantile
+# of the daily demand distribution (the newsvendor model; q =
+# Cu/(Cu+Co) = 0.8 here), read EXACTLY off the integer demand
+# order statistics rather than an engine percentile.
+#
+# Determinism: daily demand is an exact integer quantity sum; the
+# 0.8-quantile is the k-th order statistic with k = ceil(0.8*n) =
+# (8n + 9) div 10 — a pure-integer rank with a (demand, day)
+# tiebreak, so no float quantile semantics are ever in play (the
+# threshold-crossing idiom); mean_daily is ONE division of exact
+# integers (+1e-9, 6dp).
+#
+# Scale shape: ONE fact scan partial-aggregates the (brand, day)
+# demand frame (part dim broadcast); the rank runs per brand
+# over the calendar-bounded daily frame; the readout is a
+# |brands|-row aggregate.
+NEWSVENDOR_FRACTILE_NUM = 8  # q = 0.8 as the exact rational 8/10
+
+
+@register(
+    "lineitem_newsvendor_quantile",
+    tags=("relational", "lineitem", "newsvendor", "quantile", "window"),
+    oracle=f"""
+    WITH dd AS (
+      SELECT p.p_brand AS brand, l.l_shipdate AS day,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT brand, d,
+             row_number() OVER (
+               PARTITION BY brand ORDER BY d, day) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM dd
+    )
+    SELECT brand,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CAST(min(CASE WHEN rn = ({NEWSVENDOR_FRACTILE_NUM} * n + 9) // 10
+                         THEN d END) AS BIGINT) AS demand_q80,
+           CAST(max(d) AS BIGINT) AS max_daily,
+           round(CAST(sum(d) AS DOUBLE) / max(n) + 1e-9, 6) AS mean_daily
+    FROM r GROUP BY brand
+    """,
+)
+def lineitem_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand, n_days, demand_q80, max_daily, mean_daily): exact
+    0.8-quantile newsvendor stocking level of daily demand per part
+    brand (see header; integer order statistics, never an engine
+    percentile)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dd = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("l_shipdate").alias("day"))
+        .agg(F.sum("qty").cast("bigint").alias("d"))
+    )
+    w = Window.partitionBy("brand").orderBy("d", "day")
+    r = dd.select(
+        "brand",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("brand")).alias("n"),
+    )
+    k = F.expr(f"({NEWSVENDOR_FRACTILE_NUM} * n + 9) div 10")
+    return r.groupBy("brand").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.min(F.when(F.col("rn") == k, F.col("d")))
+        .cast("bigint")
+        .alias("demand_q80"),
+        F.max("d").cast("bigint").alias("max_daily"),
+        F.round(
+            F.sum("d").cast("double") / F.max("n") + F.lit(1e-9), 6
+        ).alias("mean_daily"),
+    )

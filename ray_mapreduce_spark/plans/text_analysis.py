@@ -3903,3 +3903,71 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("n_words"),
         F.round(F.col("cd") / F.col("k") + F.lit(1e-9), 6).alias("delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Yule's K vocabulary-richness per language: K = 1e4 * (S2 - S1) / S1^2
+# over the token-frequency spectrum (S1 = total tokens, S2 = sum of
+# squared type counts) — the length-robust repetitiveness readout
+# (Yule 1944; high K = formulaic/boilerplate text, low K = rich
+# vocabulary), the corpus-health companion to text_token_entropy
+# (per-doc) at the language level.
+#
+# Determinism: S1, n_types and S2 are EXACT integers; S2 accumulates
+# in decimal(38,0)/HUGEINT (cnt^2 per term can pass 2^63 once a
+# stop-word's count reaches ~3e9 at crawl scale — the CUPED
+# discipline); K is ONE division of exact-integer-derived doubles in
+# an identical tree (+1e-9 bias, 6dp).
+#
+# Scale shape: one tokenize lineage -> (lang, token) partial-
+# aggregated counts -> a |langs|-row rollup; single chain, no sibling
+# consumers, no joins, no folds.
+@register(
+    "text_yule_k",
+    tags=("text", "vocabulary", "richness", "yule"),
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS s1,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+      FROM c GROUP BY 1
+    )
+    SELECT lang, s1 AS n_tokens, n_types,
+           round(CAST(s2 - s1 AS DOUBLE) * 10000
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) + 1e-9, 6)
+             AS yule_k
+    FROM s
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tokens, n_types, yule_k): Yule's K repetitiveness of
+    the token-frequency spectrum per language (see header; exact
+    integer spectrum sums, one identical division)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = c.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    return s.select(
+        "lang",
+        F.col("s1").alias("n_tokens"),
+        "n_types",
+        F.round(
+            (F.col("s2") - F.col("s1")).cast("double")
+            * F.lit(10000)
+            / (F.col("s1").cast("double") * F.col("s1").cast("double"))
+            + F.lit(1e-9),
+            6,
+        ).alias("yule_k"),
+    )

@@ -4681,3 +4681,152 @@ def test_sprt_planted_decisions(spark, tmp_path):
     assert out["mid"]["decision"] == "continue"
     assert out["mid"]["decision_day"] == -1
     assert out["hot"]["decision_day"] >= 20001  # needs >= 2 days to cross
+
+
+def test_late_r14_additions_semantics(spark, sf_dir):
+    """Full python replays for the late-r14 additions (exact equality
+    after round — the r14 replay-gate idiom)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import PH_DELTA, PH_LAMBDA
+    from ray_mapreduce_spark.plans.relational import NEWSVENDOR_FRACTILE_NUM
+
+    q = all_queries()
+
+    def rq(x, nd):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(f"0.{'0' * (nd - 1)}1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    # --- text_yule_k: exact-integer spectrum replay ---
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_types"], r["yule_k"])
+        for r in q["text_yule_k"].builder(spark, sf_dir).collect()
+    }
+    toks = _dd.sql(
+        "SELECT lang, unnest(string_split(lower(text), ' ')) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cnt: dict[tuple, int] = {}
+    for lang, t in toks:
+        cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+    expect = {}
+    for lang in {k[0] for k in cnt}:
+        cs = [c for (lg, _), c in cnt.items() if lg == lang]
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        k = float(s2 - s1) * 10000 / (float(s1) * float(s1))
+        expect[lang] = (s1, len(cs), rq(k + 1e-9, 6))
+    assert got == expect, (got, expect)
+
+    # --- events_page_hinkley_drift: walk replay on the locked means ---
+    got_ph = {
+        r["event_type"]: tuple(r)[1:]
+        for r in q["events_page_hinkley_drift"].builder(spark, sf_dir).collect()
+    }
+    daily = _dd.sql(
+        "SELECT event_type, "
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT), "
+        "round(avg(value) + 1e-9, 6) "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    bytype: dict[str, list] = {}
+    for t, d, x in daily:
+        bytype.setdefault(t, []).append((d, x))
+    expect_ph = {}
+    for t, rows in bytype.items():
+        rows.sort()
+        cumx, mt, mn, phmax, alarm = 0.0, 0.0, None, 0.0, -1
+        for i, (d, x) in enumerate(rows, start=1):
+            cumx += x
+            mt += x - cumx / i - PH_DELTA
+            mn = mt if mn is None else min(mn, mt)
+            pht = mt - mn
+            phmax = max(phmax, pht)
+            if alarm == -1 and pht > PH_LAMBDA:
+                alarm = d
+        expect_ph[t] = (
+            len(rows),
+            rq(phmax + 1e-9, 6) + 0.0,
+            alarm,
+            1 if alarm != -1 else 0,
+        )
+    assert got_ph == expect_ph, (got_ph, expect_ph)
+
+    # --- lineitem_newsvendor_quantile: exact order-statistic replay ---
+    got_nv = {
+        r["brand"]: tuple(r)[1:]
+        for r in q["lineitem_newsvendor_quantile"].builder(spark, sf_dir).collect()
+    }
+    dd = _dd.sql(
+        "SELECT p.p_brand, l.l_shipdate, "
+        "CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/part.parquet' p ON p.p_partkey = l.l_partkey "
+        "GROUP BY 1, 2"
+    ).fetchall()
+    byb: dict[str, list] = {}
+    for b, day, d in dd:
+        byb.setdefault(b, []).append((d, day))
+    expect_nv = {}
+    for b, rows in byb.items():
+        rows.sort()
+        n = len(rows)
+        k = (NEWSVENDOR_FRACTILE_NUM * n + 9) // 10
+        tot = sum(d for d, _ in rows)
+        expect_nv[b] = (
+            n,
+            rows[k - 1][0],
+            max(d for d, _ in rows),
+            rq(tot / n + 1e-9, 6),
+        )
+    assert got_nv == expect_nv, (
+        sorted(got_nv.items())[:2],
+        sorted(expect_nv.items())[:2],
+    )
+
+
+def test_page_hinkley_planted_level_shift(spark, tmp_path):
+    """The driver corpus is stationary (no alarm expected) — plant a
+    mid-series upward level shift that must alarm, next to a flat
+    type that must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        for typ in ("shift", "flat"):
+            v = 80.0 if (typ == "shift" and d >= 20) else 50.0
+            for j in range(5):
+                eid += 1
+                rows.append((eid, (21000 + d) * 86400_000000 + eid, typ, v))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1 + r[0] % 20 for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["events_page_hinkley_drift"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["shift"]["alarmed"] == 1
+    # the shift lands on day index 20 (day 21020); PH needs a day or
+    # two of accumulation past the running mean to clear lambda=10
+    assert 21020 <= out["shift"]["alarm_day"] <= 21022
+    assert out["flat"]["alarmed"] == 0 and out["flat"]["alarm_day"] == -1
+    assert out["flat"]["ph_max"] == 0.0

@@ -231,6 +231,10 @@ EXTRA = (
     # r14 additions
     "events_sprt_readout",
     "text_burrows_delta",
+    # late-r14 additions
+    "text_yule_k",
+    "events_page_hinkley_drift",
+    "lineitem_newsvendor_quantile",
 )
 
 
