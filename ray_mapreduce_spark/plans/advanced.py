@@ -7837,7 +7837,7 @@ _SPRT_B = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
 def events_sprt_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_days, decision, decision_day, final_llr,
     max_llr, min_llr): Wald SPRT walk per event type on its daily
-    traffic share, H0 p0={SPRT_P0} vs H1 p1={SPRT_P1} (see header;
+    traffic share, H0 p0=0.18 vs H1 p1=0.22 (SPRT_P0/SPRT_P1 above;
     boundaries and log terms are shared Python literals, the walk is
     bit-identical cross-engine)."""
     e = load_table(spark, sf_dir, "events").select(
@@ -7997,7 +7997,7 @@ PH_LAMBDA = 10.0
 def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_days, ph_max, alarm_day, alarmed): Page-Hinkley
     upward mean-drift statistic over 6dp-locked daily means, with the
-    first alarm day at lambda={PH_LAMBDA} (see header; the walk is
+    first alarm day at lambda=10.0 (PH_LAMBDA above; the walk is
     bit-identical cross-engine)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -8039,4 +8039,171 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("alarmed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Little's law audit over the open-order queue (L = lambda * W): the
+# classic capacity-planning identity, computed by TWO independent
+# plans whose agreement is hashed — (1) the per-order route: total
+# order-days = sum(close - open + 1) per order, and (2) the
+# sweep-line route: the time integral of the concurrent-open count
+# (orders_open_backlog_daily's delta/running-sum frame, weighted by
+# the gap to the next change day). Both are EXACT integer sums, so
+# order_days == order_days_sweep must hold bit-for-bit in both
+# engines (sweep_matches = 1), and lambda (arrivals/day), W (mean
+# days open) and L (time-average backlog) are single divisions of
+# exact integers — identical IEEE doubles cross-engine (the
+# supplier_reliability_wilson discipline; no float folds anywhere,
+# gotchas #15/#17 trivially satisfied).
+#
+# Scale shape: ONE fact shuffle (the per-order close agg; orders
+# joins on the same key so AQE co-partitions). The per-order frame is
+# eager-checkpointed (gotcha #9: the direct agg and the delta explode
+# are SIBLING consumers under the final join and would otherwise both
+# re-run the fact lineage). The delta explode doubles only the
+# AGGREGATED frame; the running-sum/lead window runs on the per-day
+# frame (calendar-bounded, ~2400 rows — the open_backlog precedent),
+# and the final join is a 1-row x 1-row BNLJ.
+@register(
+    "orders_queue_little_law",
+    tags=("orders", "lineitem", "queue", "interval", "stats", "window"),
+    oracle="""
+    WITH close AS (
+      SELECT l.l_orderkey,
+             greatest(max(CAST(l.l_shipdate AS DATE)),
+                      min(CAST(o.o_orderdate AS DATE))) AS close_d,
+             min(CAST(o.o_orderdate AS DATE)) AS open_d
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    direct AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(date_diff('day', open_d, close_d) + 1) AS BIGINT)
+               AS order_days,
+             CAST(date_diff('day', min(open_d), max(close_d)) + 1 AS BIGINT)
+               AS n_days
+      FROM close
+    ),
+    delta AS (
+      SELECT open_d AS day, 1 AS d FROM close
+      UNION ALL
+      SELECT close_d + INTERVAL 1 DAY AS day, -1 AS d FROM close
+    ),
+    daily AS (
+      SELECT CAST(day AS DATE) AS day, CAST(sum(d) AS BIGINT) AS delta
+      FROM delta GROUP BY day
+    ),
+    run AS (
+      SELECT day,
+             CAST(sum(delta) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS open_count,
+             lead(day) OVER (ORDER BY day) AS nxt
+      FROM daily
+    ),
+    sweep AS (
+      SELECT CAST(sum(open_count * date_diff('day', day, nxt)) AS BIGINT)
+               AS order_days_sweep
+      FROM run WHERE nxt IS NOT NULL
+    )
+    SELECT d.n_orders, d.n_days, d.order_days, s.order_days_sweep,
+           CAST(CASE WHEN d.order_days = s.order_days_sweep
+                     THEN 1 ELSE 0 END AS BIGINT) AS sweep_matches,
+           round(CAST(d.n_orders AS DOUBLE) / d.n_days + 1e-9, 6)
+             AS lambda_per_day,
+           round(CAST(d.order_days AS DOUBLE) / d.n_orders + 1e-9, 6)
+             AS w_days,
+           round(CAST(d.order_days AS DOUBLE) / d.n_days + 1e-9, 6)
+             AS l_backlog,
+           round((CAST(d.n_orders AS DOUBLE) / d.n_days)
+                 * (CAST(d.order_days AS DOUBLE) / d.n_orders) + 1e-9, 6)
+             AS l_little
+    FROM direct d, sweep s
+    """,
+)
+def orders_queue_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_orders, n_days, order_days, order_days_sweep, sweep_matches,
+    lambda_per_day, w_days, l_backlog, l_little): Little's law audit
+    — per-order total open days vs the sweep-line time integral of
+    the concurrent-open count (exact-integer equality, hashed), plus
+    arrival rate, mean time-in-system and time-average backlog as
+    single divisions of exact integers (see header)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    close = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.greatest(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("close_d"),
+            F.min(F.col("o_orderdate").cast("date")).alias("open_d"),
+        )
+        # gotcha #9: direct agg + delta explode are sibling consumers
+        # under the final join — lazy persist could be missed
+        # concurrently; eager checkpoint the aggregated frame.
+        .localCheckpoint(eager=True)
+    )
+    direct = close.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.datediff("close_d", "open_d") + F.lit(1))
+        .cast("bigint")
+        .alias("order_days"),
+        (F.datediff(F.max("close_d"), F.min("open_d")) + F.lit(1))
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    delta = close.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("open_d").alias("day"), F.lit(1).alias("d")),
+                F.struct(
+                    F.date_add("close_d", 1).alias("day"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
+    daily = delta.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = daily.select(
+        "day",
+        F.sum("delta").over(wrun).cast("bigint").alias("open_count"),
+        F.lead("day").over(Window.orderBy("day")).alias("nxt"),
+    )
+    sweep = run.where(F.col("nxt").isNotNull()).agg(
+        F.sum(F.col("open_count") * F.datediff("nxt", "day"))
+        .cast("bigint")
+        .alias("order_days_sweep")
+    )
+    j = direct.crossJoin(sweep)
+    return j.select(
+        "n_orders",
+        "n_days",
+        "order_days",
+        "order_days_sweep",
+        F.when(F.col("order_days") == F.col("order_days_sweep"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("sweep_matches"),
+        F.round(
+            F.col("n_orders").cast("double") / F.col("n_days") + F.lit(1e-9), 6
+        ).alias("lambda_per_day"),
+        F.round(
+            F.col("order_days").cast("double") / F.col("n_orders") + F.lit(1e-9),
+            6,
+        ).alias("w_days"),
+        F.round(
+            F.col("order_days").cast("double") / F.col("n_days") + F.lit(1e-9), 6
+        ).alias("l_backlog"),
+        F.round(
+            (F.col("n_orders").cast("double") / F.col("n_days"))
+            * (F.col("order_days").cast("double") / F.col("n_orders"))
+            + F.lit(1e-9),
+            6,
+        ).alias("l_little"),
     )

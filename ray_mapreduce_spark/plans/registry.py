@@ -157,29 +157,30 @@ def register(
 # + 2-SF partition-deterministic + exact-equality replay gates green
 # at all 3 SFs in-round); (e) the first 14 of the 47 r8-stale names
 # (CORRECTNESS_r08 key order). = 1 + 1 + 3 + 29 + 2 + 14 = 50.
-# ROUND 15 PLAN: (a) CORRECTNESS_r14 red rows first, then (b) the
-# remaining 33 r8-stale names (listed verbatim past the window
-# below), then r15 additions/changed plans (cap ~5), then (e) the
-# oldest r9 rows. Additions displace from (e), never from (b).
-# LATE-r14 additions (after the closing sweeps; the late-r13
-# precedent — each with INDIVIDUAL 3-SF STRICT-oracle-green + 2-SF
-# partition-determinism + exact-equality python-replay gates green
-# at all 3 SFs; they take r15 window slots right after any red
-# rows + changed plans): text_yule_k, events_page_hinkley_drift,
-# lineitem_newsvendor_quantile.
-# r15 addition CANDIDATES (design notes only — each oracle-able with
-# the existing determinism discipline; gotcha #15 size bound AND
-# gotcha #17 magnitude bound everywhere — never hash a cancelled
+# ROUND 15 WINDOW (pinned this round, exactly 50; executes VERDICT
+# r14 #1/#2/#3/#4): (a) CORRECTNESS_r14 had ZERO red rows and the
+# only in-round plan edits are docstring/comment-only (ADVICE r14 —
+# no changed-plan slots); (c) the 3 late-r14 additions take slots
+# 1-3 (first driver rows; each carried 3-SF STRICT-oracle +
+# 2-SF determinism + exact-replay evidence from r14); (b) the 33
+# r8-stale names (CORRECTNESS_r08 key order — after r15 no driver
+# row anywhere is older than r9); the 2 r15 additions (cap ~5 incl.
+# the carried three, VERDICT r14 #4 — each 3-SF STRICT-oracle-green
+# + 2-SF partition-deterministic + exact-equality replay gates green
+# at all 3 SFs + stress10x ~flat in-round); (e) the first 12 of the
+# 49 r9-stale names (CORRECTNESS_r09 key order).
+# = 3 + 33 + 2 + 12 = 50.
+# ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then (b) the
+# remaining 37 r9-stale names (listed verbatim past the window
+# below), then r16 additions/changed plans (cap ~5), then (e) the
+# oldest r10 rows (45 names). Additions displace from (e), never
+# from (b). After the r9 cohort drains consider pinning the standing
+# invariant "no driver row older than N-7" (VERDICT r14 #7).
+# r16 addition CANDIDATES (design notes — gotcha #15 size bound AND
+# gotcha #17 magnitude bound everywhere; never hash a cancelled
 # residual):
-# - events_recurrence_cohorts: k-th repeat-purchase latency curves
-#   (rank-k gap percentiles via the verified bit-exact
-#   percentile parity, gotcha from winsorize_stats).
-# - text_ttr_curve: type-token ratio at fixed token budgets per lang
-#   (Herdan's C companion to yule_k; exact integer threshold
-#   crossings over the cumulative type count).
-# - orders_queue_little_law: arrival rate x mean open-interval time
-#   vs observed mean backlog (Little's law audit over the
-#   open_backlog frame; exact integer day sums, single divisions).
+# - events_recurrence_cohorts: k-th repeat latency curves via the
+#   bit-exact percentile parity (the winsorize_stats finding).
 # REJECTED candidate (design note, r14): orders_chow_break_test —
 # the Chow F needs N1^2 with N1 = n*Sxy - Sx*Sy ~ 6e19 at sf0.01
 # (N1^2 ~ 3.6e39 overflows decimal(38,0)/HUGEINT), and its
@@ -187,64 +188,11 @@ def register(
 # shape gotcha #17 forbids hashing; a break test needs a different
 # oracle-able formulation (e.g. integer-moment eta^2 per half).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- (a) the r13 red, output redesigned this round (gotcha #17) --
-    "orders_twoway_fixed_effects",
-    # -- (a2) oracle changed this round (i>62 guard mirrored) --
-    "events_double_ewma_holt",
-    # -- (c) the 3 late-r13 additions, first driver rows --
-    "orders_association_rules",
-    "events_cuped_adjusted_ab",
-    "lineitem_theil_index",
-    # -- (b) the 29 r7-stale names (CORRECTNESS_r07 key order) --
-    "grouping_sets_sql",
-    "unpivot_nation_counts",
-    "explode_outer_long_words",
-    "sql_recursive_month_spine",
-    "listagg_priorities",
-    "nested_case_matrix",
-    "exists_correlated_sql",
-    "udtf_tokenize_lateral",
-    "dedup_incremental_merge",
-    "decontaminate_ngram_overlap",
-    "similarity_topk_brute",
-    "dedup_embedding_cosine",
-    "embedding_centroid_by_bucket",
-    "embedding_norm_stats",
-    "text_quality_score",
-    "text_zipf_head",
-    "text_redact_terms",
-    "multimodal_decode_features",
-    "sample_stratified_capped",
-    "pack_sequences_greedy",
-    "sample_weighted_mixture",
-    "pipeline_training_batch",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_counts",
-    "timeseries_rollup_hierarchy",
-    "timeseries_ohlc",
-    "timeseries_gapfill",
-    "asof_join_last_click",
-    # -- the 2 r14 additions --
-    "events_sprt_readout",
-    "text_burrows_delta",
-    # -- (e) first 14 r8-stale names (CORRECTNESS_r08 key order) --
-    "events_anomaly_mad",
-    "text_token_entropy",
-    "sample_weighted_priority",
-    "dedup_jaccard_prefixfilter",
-    "similarity_pq_codes",
-    "similarity_pq_adc_topk",
-    "similarity_pq_rerank_topk",
-    "events_linreg_trend",
-    "corpus_source_kl",
-    "dedup_cross_source_matrix",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "text_heavy_hitters_mg",
-    "corpus_snapshot_diff",
-    # ---- past the 50-slot window: r15 leads, in order ----
-    # the remaining 33 r8-stale names (CORRECTNESS_r08 key order)
+    # -- (c) the 3 late-r14 additions, first driver rows --
+    "text_yule_k",
+    "events_page_hinkley_drift",
+    "lineitem_newsvendor_quantile",
+    # -- (b) the 33 r8-stale names (CORRECTNESS_r08 key order) --
     "text_vocab_coverage",
     "similarity_tfidf_cosine_pairs",
     "events_markov_transitions",
@@ -278,6 +226,61 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_revenue_momentum",
     "orders_priority_drift",
     "text_length_weighted_quantiles",
+    # -- the 2 r15 additions --
+    "orders_queue_little_law",
+    "text_ttr_curve",
+    # -- (e) first 12 r9-stale names (CORRECTNESS_r09 key order) --
+    "text_distinctive_terms",
+    "orders_cohort_ltv",
+    "events_bot_score",
+    "q8_national_market_share",
+    "q16_part_supplier_variety",
+    "q21_late_sole_suppliers",
+    "dedup_minhash_estimate_pairs",
+    "decontaminate_substring_spans",
+    "sample_epoch_mixture_plan",
+    "q9_product_profit",
+    "q11_important_part_value",
+    "q12_ship_class_priority",
+    # ---- past the 50-slot window: r16 leads, in order ----
+    # the remaining 37 r9-stale names (CORRECTNESS_r09 key order)
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    "supplier_reliability_wilson",
+    "profile_documents_columns",
+    "graph_degree_assortativity",
+    "embedding_sq8_error",
+    "stream_dedup_ids",
+    "orders_open_backlog_daily",
+    "events_ab_test_zscore",
+    "text_gopher_filters",
+    "lineitem_consistency_rules",
+    "json_extract_agg",
+    "interval_shift",
+    "math_functions",
+    "error_branch_classify",
+    "month_count",
+    "date_functions",
+    "sort_limit_top100",
+    "window_rank_dense",
+    "window_running_and_lag",
+    "window_moving_avg",
+    "string_functions",
+    "map_functions",
+    "regexp_normalize",
+    "array_map_explode",
+    "stats_aggregates",
+    "levenshtein_type_pairs",
+    "null_semantics",
+    "cross_join_regions",
+    "in_subquery_custkeys",
+    "q1_pricing_summary",
+    "join_left_outer_customer",
+    "join_semi_open_orders",
+    "q6_forecast_revenue",
+    "join_customer_orders",
+    "q5_local_supplier_revenue",
+    "q3_shipping_priority",
 )
 
 

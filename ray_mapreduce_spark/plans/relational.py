@@ -2753,7 +2753,9 @@ def lineitem_supplier_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scaled-bias rule has no workable bias between the error and the
 # tick). The hashed output therefore carries only hash-stable
 # values: the exact-integer df accounting (n_orders, n_nations,
-# n_months, n_cells, df_within = n - I - T + 1) and the SCALE-FREE
+# n_months, n_cells, df_within = n - I - T + 1 — NOTE df_within
+# counts the DEMEANING df only; the FE regression's residual df
+# subtracts one more for the slope, n - I - T) and the SCALE-FREE
 # slope = S_x~y~/S_x~x~, whose cross-engine error is relative
 # (~1e-10; absolute ~3e-7 at slope ~2e3 cents/day), rounded at 4dp
 # (half-tick 5e-5, ~150x the error) with a +1e-6 bias (>> error,
@@ -2892,8 +2894,10 @@ def orders_twoway_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_orders, n_nations, n_months, n_cells, df_within,
     slope_cents_per_day): two-way (nation, month) within-transform
     OLS slope of order cents on calendar day, with exact-integer df
-    accounting (see header; the raw within-sums are deliberately NOT
-    emitted — they cannot survive the driver hash)."""
+    accounting (see header; df_within = n - I - T + 1 counts the
+    demeaning df only — subtract 1 more for the regression's residual
+    df; the raw within-sums are deliberately NOT emitted — they
+    cannot survive the driver hash)."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders").select(

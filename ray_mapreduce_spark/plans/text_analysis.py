@@ -3971,3 +3971,120 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yule_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Type-token ratio growth curve per language: vocabulary size (and
+# TTR, Herdan's C) at fixed token budgets over the canonical corpus
+# token order — the standard corpus-linguistics richness curve that,
+# unlike a single whole-corpus TTR, is COMPARABLE across languages
+# and scale factors because every point conditions on the same token
+# budget (the Yule's K companion: K is length-robust repetitiveness,
+# the TTR curve is richness growth).
+#
+# Determinism: the token order is the unique (doc_id, pos) key within
+# each language, so the global per-lang position is
+# partition-deterministic; types_at_budget is an exact integer count
+# of first-occurrence positions <= budget; ttr is ONE division of
+# exact integers and herdan_c one ln/ln of exact integers — identical
+# IEEE trees cross-engine (+1e-9, 6dp). Budgets are shared Python
+# literals (the Benford rule).
+#
+# Scale shape: the ONLY fact-proportional ordered op is the grouped
+# two-pass rank (functions/scale.py::two_pass_rank with
+# group_cols=[lang] — range-partition on (lang, doc_id, pos), no
+# one-lang-one-partition sort); first-occurrence collapses to the
+# vocab-bounded (lang, type) frame; the budget spine is a bounded
+# |budgets|-row broadcast BNLJ; the final agg is |langs| x |budgets|.
+TTR_BUDGETS = (100, 300, 1000, 3000, 10000, 30000, 100000, 300000)
+_TTR_BUDGET_LIST = ", ".join(str(b) for b in TTR_BUDGETS)
+
+
+@register(
+    "text_ttr_curve",
+    tags=("text", "vocabulary", "richness", "ttr", "two-pass-rank"),
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, doc_id,
+             unnest(string_split(lower(text), ' ')) AS t,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, t,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id, pos)
+               AS gpos
+      FROM tok
+    ),
+    nt AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY lang
+    ),
+    fp AS (
+      SELECT lang, t, min(gpos) AS first_pos FROM r GROUP BY lang, t
+    ),
+    b AS (SELECT unnest([{_TTR_BUDGET_LIST}]) AS budget),
+    agg AS (
+      SELECT fp.lang, CAST(b.budget AS BIGINT) AS budget,
+             CAST(sum(CASE WHEN fp.first_pos <= b.budget THEN 1 ELSE 0 END)
+                  AS BIGINT) AS types_at_budget
+      FROM fp
+      JOIN nt ON fp.lang = nt.lang
+      JOIN b ON b.budget <= nt.n_tok
+      GROUP BY 1, 2
+    )
+    SELECT lang, budget, types_at_budget,
+           round(CAST(types_at_budget AS DOUBLE) / budget + 1e-9, 6) AS ttr,
+           round(ln(CAST(types_at_budget AS DOUBLE))
+                 / ln(CAST(budget AS DOUBLE)) + 1e-9, 6) AS herdan_c
+    FROM agg
+    """,
+)
+def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, budget, types_at_budget, ttr, herdan_c): vocabulary
+    growth at fixed token budgets per language over the canonical
+    (doc_id, pos) token order (see header; budgets beyond a
+    language's token count are not emitted)."""
+    from ..functions.scale import two_pass_rank
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t"),
+    )
+    ranked = two_pass_rank(
+        tok, ["doc_id", "pos"], "gpos", total_col="n_tok", group_cols=["lang"]
+    )
+    fp = ranked.groupBy("lang", "t").agg(
+        F.min("gpos").alias("first_pos"), F.max("n_tok").alias("n_tok")
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in TTR_BUDGETS], "budget bigint"
+    )
+    agg = (
+        fp.join(F.broadcast(budgets), F.col("budget") <= F.col("n_tok"))
+        .groupBy("lang", "budget")
+        .agg(
+            F.sum(
+                F.when(F.col("first_pos") <= F.col("budget"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("types_at_budget")
+        )
+    )
+    return agg.select(
+        "lang",
+        "budget",
+        "types_at_budget",
+        F.round(
+            F.col("types_at_budget").cast("double") / F.col("budget")
+            + F.lit(1e-9),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.log(F.col("types_at_budget").cast("double"))
+            / F.log(F.col("budget").cast("double"))
+            + F.lit(1e-9),
+            6,
+        ).alias("herdan_c"),
+    )

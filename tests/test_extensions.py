@@ -4830,3 +4830,105 @@ def test_page_hinkley_planted_level_shift(spark, tmp_path):
     assert 21020 <= out["shift"]["alarm_day"] <= 21022
     assert out["flat"]["alarmed"] == 0 and out["flat"]["alarm_day"] == -1
     assert out["flat"]["ph_max"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# r15 additions: full python replays asserting EXACT equality after
+# round (the r14 replay-gate idiom — Decimal(repr()) HALF_UP
+# replicates Spark's BigDecimal.valueOf round; no tolerances).
+
+
+def test_r15_additions_semantics(spark, sf_dir):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.text_analysis import TTR_BUDGETS
+
+    q = all_queries()
+
+    def r6(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    # --- orders_queue_little_law: two-route integer replay ---
+    row = q["orders_queue_little_law"].builder(spark, sf_dir).collect()[0]
+    per_order = _dd.sql(
+        "SELECT greatest(max(CAST(l.l_shipdate AS DATE)),"
+        "                min(CAST(o.o_orderdate AS DATE))) AS close_d,"
+        "       min(CAST(o.o_orderdate AS DATE)) AS open_d "
+        f"FROM '{sf_dir}/lineitem.parquet' l "
+        f"JOIN '{sf_dir}/orders.parquet' o ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY l.l_orderkey"
+    ).fetchall()
+    n_orders = len(per_order)
+    order_days = sum((c - o).days + 1 for c, o in per_order)
+    lo = min(o for _, o in per_order)
+    hi = max(c for c, _ in per_order)
+    n_days = (hi - lo).days + 1
+    # independent sweep-line replay
+    delta: dict = {}
+    for c, o in per_order:
+        delta[o] = delta.get(o, 0) + 1
+        import datetime as _dt
+
+        nxt = c + _dt.timedelta(days=1)
+        delta[nxt] = delta.get(nxt, 0) - 1
+    days = sorted(delta)
+    run, sweep = 0, 0
+    for d, d2 in zip(days, days[1:]):
+        run += delta[d]
+        sweep += run * (d2 - d).days
+    assert row["n_orders"] == n_orders
+    assert row["n_days"] == n_days
+    assert row["order_days"] == order_days
+    assert row["order_days_sweep"] == sweep
+    # Little's law identity: both routes count the same order-days
+    assert sweep == order_days and row["sweep_matches"] == 1
+    assert row["lambda_per_day"] == r6(float(n_orders) / n_days)
+    assert row["w_days"] == r6(float(order_days) / n_orders)
+    assert row["l_backlog"] == r6(float(order_days) / n_days)
+    assert row["l_little"] == r6(
+        (float(n_orders) / n_days) * (float(order_days) / n_orders)
+    )
+
+    # --- text_ttr_curve: canonical-order vocabulary-growth replay ---
+    got = {
+        (r["lang"], r["budget"]): (
+            r["types_at_budget"],
+            r["ttr"],
+            r["herdan_c"],
+        )
+        for r in q["text_ttr_curve"].builder(spark, sf_dir).collect()
+    }
+    docs = _dd.sql(
+        f"SELECT lang, doc_id, lower(text) FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY lang, doc_id"
+    ).fetchall()
+    seq: dict = {}
+    for lang, _doc, text in docs:
+        seq.setdefault(lang, []).extend(text.split(" "))
+    expect = {}
+    for lang, toks in seq.items():
+        first: dict = {}
+        for i, t in enumerate(toks, start=1):
+            if t not in first:
+                first[t] = i
+        for b in TTR_BUDGETS:
+            if b > len(toks):
+                continue
+            types = sum(1 for p in first.values() if p <= b)
+            expect[(lang, b)] = (
+                types,
+                r6(float(types) / b),
+                r6(math.log(float(types)) / math.log(float(b))),
+            )
+    assert got == expect, (
+        {k: v for k, v in got.items() if expect.get(k) != v},
+        {k: v for k, v in expect.items() if got.get(k) != v},
+    )
