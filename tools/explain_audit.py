@@ -235,6 +235,9 @@ EXTRA = (
     "text_yule_k",
     "events_page_hinkley_drift",
     "lineitem_newsvendor_quantile",
+    # r15 additions
+    "orders_queue_little_law",
+    "text_ttr_curve",
 )
 
 
