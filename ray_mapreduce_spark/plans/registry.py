@@ -181,6 +181,21 @@ def register(
 # residual):
 # - events_recurrence_cohorts: k-th repeat latency curves via the
 #   bit-exact percentile parity (the winsorize_stats finding).
+# - text_freq_spectrum: V1..V5 frequency-spectrum counts + hapax
+#   share per lang (pure exact integers off the yule_k count frame;
+#   one division for the share — trivially hash-safe).
+# - graph_local_clustering: per-node clustering coefficient over the
+#   near-dup graph (closed wedges from the triangle-count ordered
+#   closure; coeff = 2*tri / (deg*(deg-1)) — exact integers + one
+#   division; guard deg<=1 nodes; mind the r9 kcore lesson — check
+#   the graph is non-degenerate at each SF before trusting a green).
+# - sample_horvitz_thompson: HT total estimator + variance bound over
+#   the PPS systematic sample (inclusion probs are exact rationals
+#   n*size/total — keep them as integer numerator/denominator pairs
+#   and divide ONCE per term; variance needs joint-inclusion terms —
+#   only the Hartley-Rao approximation is fold-free, hash its
+#   exact-integer pieces, never the subtracted variance residual
+#   (gotcha #17)).
 # REJECTED candidate (design note, r14): orders_chow_break_test —
 # the Chow F needs N1^2 with N1 = n*Sxy - Sx*Sy ~ 6e19 at sf0.01
 # (N1^2 ~ 3.6e39 overflows decimal(38,0)/HUGEINT), and its
