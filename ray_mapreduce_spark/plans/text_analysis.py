@@ -4088,3 +4088,85 @@ def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("herdan_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-frequency spectrum per language: V_m = number of types seen
+# exactly m times (m = 1..5) plus the hapax/dis-legomena shares — the
+# lexicographer's companion readout to text_yule_k (K is a scalar of
+# the same spectrum; the V_m profile is what LNRE vocabulary models
+# like Zipf-Mandelbrot are fit to, and the hapax share is the
+# standard OCR-garbage / boilerplate-collapse corpus-health signal).
+#
+# Determinism: every V_m is an EXACT integer off the (lang, type)
+# count frame; the two shares are ONE division each of exact
+# integers — identical IEEE doubles cross-engine (+1e-9, 6dp).
+# No folds, no decimals needed (counts of types fit bigint at any
+# conceivable vocabulary).
+#
+# Scale shape: one tokenize lineage -> (lang, token)
+# partial-aggregated counts -> a |langs|-row rollup; single chain,
+# no joins, no checkpoints (the yule_k shape).
+@register(
+    "text_freq_spectrum",
+    tags=("text", "vocabulary", "spectrum", "hapax"),
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      FROM c GROUP BY 1
+    )
+    SELECT lang, n_tokens, n_types, v1, v2, v3, v4, v5,
+           round(CAST(v1 AS DOUBLE) / n_types + 1e-9, 6) AS hapax_share,
+           round(CAST(v2 AS DOUBLE) / n_types + 1e-9, 6) AS dis_share
+    FROM s
+    """,
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_tokens, n_types, v1..v5, hapax_share, dis_share):
+    token-frequency spectrum V_m (types seen exactly m times) per
+    language with hapax/dis shares (see header; exact integers, two
+    single divisions)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    c = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    aggs = [
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    ] + [
+        F.sum(F.when(F.col("c") == m, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"v{m}")
+        for m in range(1, 6)
+    ]
+    s = c.groupBy("lang").agg(*aggs)
+    return s.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "v1",
+        "v2",
+        "v3",
+        "v4",
+        "v5",
+        F.round(
+            F.col("v1").cast("double") / F.col("n_types") + F.lit(1e-9), 6
+        ).alias("hapax_share"),
+        F.round(
+            F.col("v2").cast("double") / F.col("n_types") + F.lit(1e-9), 6
+        ).alias("dis_share"),
+    )

@@ -4932,3 +4932,46 @@ def test_r15_additions_semantics(spark, sf_dir):
         {k: v for k, v in got.items() if expect.get(k) != v},
         {k: v for k, v in expect.items() if got.get(k) != v},
     )
+
+
+def test_freq_spectrum_replay(spark, sf_dir):
+    """text_freq_spectrum (late r15): exact-integer spectrum replay +
+    equality-after-round shares (the r14 replay-gate idiom)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    def r6(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in all_queries()["text_freq_spectrum"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    toks = _dd.sql(
+        "SELECT lang, unnest(string_split(lower(text), ' ')) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cnt: dict = {}
+    for lang, t in toks:
+        cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+    expect = {}
+    for lang in {k[0] for k in cnt}:
+        cs = [c for (lg, _), c in cnt.items() if lg == lang]
+        vm = [sum(1 for c in cs if c == m) for m in range(1, 6)]
+        expect[lang] = (
+            sum(cs),
+            len(cs),
+            *vm,
+            r6(float(vm[0]) / len(cs)),
+            r6(float(vm[1]) / len(cs)),
+        )
+    assert got == expect, (got, expect)

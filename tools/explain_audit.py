@@ -238,6 +238,8 @@ EXTRA = (
     # r15 additions
     "orders_queue_little_law",
     "text_ttr_curve",
+    # late-r15 addition
+    "text_freq_spectrum",
 )
 
 
