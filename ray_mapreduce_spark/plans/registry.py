@@ -170,26 +170,24 @@ def register(
 # at all 3 SFs + stress10x ~flat in-round); (e) the first 12 of the
 # 49 r9-stale names (CORRECTNESS_r09 key order).
 # = 3 + 33 + 2 + 12 = 50.
-# ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the
-# late-r15 addition text_freq_spectrum (first driver row; carries
-# INDIVIDUAL 3-SF STRICT-oracle-green + 2-SF partition-determinism +
-# exact-replay + stress10x evidence from r15 — the late-r14
-# precedent), then (b) the remaining 37 r9-stale names (listed
-# verbatim past the window below), then r16 additions/changed plans
-# (cap ~5 incl. the carried one), then (e) the oldest r10 rows (45
-# names). Additions displace from (e), never from (b). After the r9
-# cohort drains consider pinning the standing invariant "no driver
-# row older than N-7" (VERDICT r14 #7).
+# ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the 2
+# late-r15 additions text_freq_spectrum + events_recurrence_cohorts
+# (first driver rows; each carries INDIVIDUAL 3-SF
+# STRICT-oracle-green + 2-SF partition-determinism + exact-replay +
+# stress10x evidence from r15 — the late-r14 precedent), then (b)
+# the remaining 37 r9-stale names (listed verbatim past the window
+# below), then r16 additions/changed plans (cap ~5 incl. the two
+# carried ones), then (e) the oldest r10 rows (45 names). Additions
+# displace from (e), never from (b). After the r9 cohort drains
+# consider pinning the standing invariant "no driver row older than
+# N-7" (VERDICT r14 #7).
 # r16 addition CANDIDATES (design notes — gotcha #15 size bound AND
 # gotcha #17 magnitude bound everywhere; never hash a cancelled
 # residual):
-# - events_recurrence_cohorts: k-th repeat latency curves via the
-#   bit-exact percentile parity (the winsorize_stats finding).
-# - graph_local_clustering: per-node clustering coefficient over the
-#   near-dup graph (closed wedges from the triangle-count ordered
-#   closure; coeff = 2*tri / (deg*(deg-1)) — exact integers + one
-#   division; guard deg<=1 nodes; mind the r9 kcore lesson — check
-#   the graph is non-degenerate at each SF before trusting a green).
+# NOTE a prior "graph_local_clustering" candidate was dropped: it
+# duplicates the existing graph_clustering_coefficient (lcc per node
+# has been registered since r13 — check the registry before trusting
+# a candidate note).
 # - sample_horvitz_thompson: HT total estimator + variance bound over
 #   the PPS systematic sample (inclusion probs are exact rationals
 #   n*size/total — keep them as integer numerator/denominator pairs

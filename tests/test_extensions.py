@@ -4975,3 +4975,71 @@ def test_freq_spectrum_replay(spark, sf_dir):
             r6(float(vm[1]) / len(cs)),
         )
     assert got == expect, (got, expect)
+
+
+def test_recurrence_cohorts_replay(spark, sf_dir):
+    """events_recurrence_cohorts (late r15): full python replay —
+    exact counts/retention/mean via equality-after-round, p50/p90 via
+    the linear-interpolation formula (probing whether Spark's
+    percentile matches bitwise; equality-after-round idiom)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.advanced import RECURRENCE_MAX_K
+
+    def rnd(x, nd):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rows = (
+        all_queries()["events_recurrence_cohorts"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    got = {(r["event_type"], r["k"]): tuple(r)[2:] for r in rows}
+    ev = _dd.sql(
+        "SELECT event_type, user_id, epoch_us(CAST(ts AS TIMESTAMP)), event_id "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    seq: dict = {}
+    for t, u, us, eid in ev:
+        seq.setdefault((t, u), []).append((us, eid))
+    cnt: dict = {}
+    lat: dict = {}
+    for (t, _u), v in seq.items():
+        v.sort()
+        for i in range(min(len(v), RECURRENCE_MAX_K)):
+            k = i + 1
+            cnt[(t, k)] = cnt.get((t, k), 0) + 1
+            if k >= 2:
+                lat.setdefault((t, k), []).append(v[i][0] - v[i - 1][0])
+
+    def pct(a, q):
+        a = sorted(a)
+        pos = (len(a) - 1) * q
+        lo = int(pos)
+        d = pos - lo
+        if d == 0:
+            return float(a[lo])
+        return a[lo] + d * (a[lo + 1] - a[lo])
+
+    expect = {}
+    for (t, k), ls in sorted(lat.items()):
+        n = len(ls)
+        assert n == cnt[(t, k)]
+        expect[(t, k)] = (
+            n,
+            rnd(n / cnt[(t, k - 1)], 6),
+            rnd(float(sum(ls)) / n / 1000000.0, 4),
+            rnd(pct(ls, 0.5) / 1000000.0, 4),
+            rnd(pct(ls, 0.9) / 1000000.0, 4),
+        )
+    assert got == expect, (
+        {k: v for k, v in got.items() if expect.get(k) != v},
+        {k: v for k, v in expect.items() if got.get(k) != v},
+    )

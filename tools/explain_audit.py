@@ -238,8 +238,9 @@ EXTRA = (
     # r15 additions
     "orders_queue_little_law",
     "text_ttr_curve",
-    # late-r15 addition
+    # late-r15 additions
     "text_freq_spectrum",
+    "events_recurrence_cohorts",
 )
 
 
