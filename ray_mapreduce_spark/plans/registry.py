@@ -170,31 +170,30 @@ def register(
 # at all 3 SFs + stress10x ~flat in-round); (e) the first 12 of the
 # 49 r9-stale names (CORRECTNESS_r09 key order).
 # = 3 + 33 + 2 + 12 = 50.
-# ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the 2
+# ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the
 # late-r15 additions text_freq_spectrum + events_recurrence_cohorts
-# (first driver rows; each carries INDIVIDUAL 3-SF
-# STRICT-oracle-green + 2-SF partition-determinism + exact-replay +
-# stress10x evidence from r15 — the late-r14 precedent), then (b)
-# the remaining 37 r9-stale names (listed verbatim past the window
-# below), then r16 additions/changed plans (cap ~5 incl. the two
-# carried ones), then (e) the oldest r10 rows (45 names). Additions
-# displace from (e), never from (b). After the r9 cohort drains
-# consider pinning the standing invariant "no driver row older than
-# N-7" (VERDICT r14 #7).
+# + sample_horvitz_thompson (first driver rows; each carries
+# INDIVIDUAL 3-SF STRICT-oracle-green + partition-determinism +
+# exact-replay + stress10x evidence from r15 — the late-r14
+# precedent) + sample_pps_systematic (oracle refactored to the
+# shared _PPS_HITS_CTES constant — assembled SQL byte-identical,
+# plan unchanged, re-greened 3-SF in r15; a window slot is cheap
+# insurance), then (b) the remaining 37 r9-stale names (listed
+# verbatim past the window below), then r16 additions/changed plans
+# (cap ~5 incl. the carried ones), then (e) the oldest r10 rows (45
+# names). Additions displace from (e), never from (b). After the r9
+# cohort drains consider pinning the standing invariant "no driver
+# row older than N-7" (VERDICT r14 #7).
 # r16 addition CANDIDATES (design notes — gotcha #15 size bound AND
 # gotcha #17 magnitude bound everywhere; never hash a cancelled
 # residual):
 # NOTE a prior "graph_local_clustering" candidate was dropped: it
 # duplicates the existing graph_clustering_coefficient (lcc per node
 # has been registered since r13 — check the registry before trusting
-# a candidate note).
-# - sample_horvitz_thompson: HT total estimator + variance bound over
-#   the PPS systematic sample (inclusion probs are exact rationals
-#   n*size/total — keep them as integer numerator/denominator pairs
-#   and divide ONCE per term; variance needs joint-inclusion terms —
-#   only the Hartley-Rao approximation is fold-free, hash its
-#   exact-integer pieces, never the subtracted variance residual
-#   (gotcha #17)).
+# a candidate note). sample_horvitz_thompson shipped late-r15 as a
+# Hansen-Hurwitz form (the with-replacement estimator matches the
+# multiplicity-carrying systematic design; SYG joint-inclusion
+# variance rejected per the gotcha #17 warning that stood here).
 # REJECTED candidate (design note, r14): orders_chow_break_test —
 # the Chow F needs N1^2 with N1 = n*Sxy - Sx*Sy ~ 6e19 at sf0.01
 # (N1^2 ~ 3.6e39 overflows decimal(38,0)/HUGEINT), and its

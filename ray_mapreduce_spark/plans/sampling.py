@@ -1219,12 +1219,11 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPS_N = 200
 _PPS_SEED_HEX_LEN = 12  # 48-bit start offset
 
-
-@register(
-    "sample_pps_systematic",
-    tags=("sampling", "pps", "systematic", "deterministic", "window"),
-    oracle=f"""
-    WITH w AS (
+# The PPS systematic sample CTE tower, shared verbatim by the
+# sample_pps_systematic oracle and the sample_horvitz_thompson
+# oracle (the QUALITY_RAW_SQL factoring rule: consumers can't
+# drift). `hits` carries (o_orderkey, wc, cum, tot, n_hits).
+_PPS_HITS_CTES = f"""w AS (
       SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS wc,
              CAST(concat('0x', substr(sha256(CAST(o_orderkey AS VARCHAR)),
@@ -1251,7 +1250,14 @@ _PPS_SEED_HEX_LEN = 12  # 48-bit start offset
              - (((cum - wc) * {PPS_N} - u0 * {PPS_N} + tot * {PPS_N}
                  + tot - 1) // tot - {PPS_N}) AS n_hits
       FROM c CROSS JOIN u
-    )
+    )"""
+
+
+@register(
+    "sample_pps_systematic",
+    tags=("sampling", "pps", "systematic", "deterministic", "window"),
+    oracle=f"""
+    WITH {_PPS_HITS_CTES}
     SELECT o_orderkey, CAST(wc AS BIGINT) AS weight_cents,
            CAST(n_hits AS BIGINT) AS n_hits,
            round(CAST(wc AS DOUBLE) * {PPS_N} / tot + 1e-9, 6)
@@ -1306,4 +1312,188 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             6,
         ).alias("expected_hits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson / Hansen-Hurwitz audit estimator over the PPS
+# systematic sample: estimate the corpus-wide total of a DIFFERENT
+# study variable (total shipped quantity, from lineitem) using only
+# the PPS_N value-weighted order draws, and report the relative
+# error against the exact census total plus the Hansen-Hurwitz
+# relative standard error — the audit-sampling readout that tells a
+# data platform how much a 200-order sample can say about the whole
+# book. (Design note in registry.py: the variance is shipped in its
+# FOLD-FREE with-replacement Hansen-Hurwitz form; joint-inclusion
+# Sen-Yates-Grundy terms are quadratic and the subtracted textbook
+# residual is exactly the cancelled shape gotcha #17 forbids.)
+#
+# Exact-integer discipline (the pps/recency integer idiom):
+# z_i = y_i/p_i in milli-units is ONE truncating integer division
+# (y_i * tot * HT_SCALE) div wc_i per sampled order (numerator in
+# decimal(38,0)/HUGEINT; quotient fits bigint — ~1.5e14 at sf0.1,
+# rescale HT_SCALE past a ~1e15-order corpus). The estimator
+# A = sum(n_hits * z_i) and the variance pieces d_i = PPS_N*z_i - A,
+# S = sum(n_hits * d_i^2) (decimal(38,0): |d| <= ~6e16 at sf0.1 so
+# d^2 <= 4e33, x200 well under 1e38) are exact integers — both
+# engines assemble identical values, THEN the two outputs are single
+# float chains: rel_err = th/(tt*HT_SCALE) - 1 (signed near-zero ->
+# the +0.0 guard) and rel_se = sqrt(S/(n(n-1)))/A (one sqrt, one
+# division of identical doubles; v(T_hat) = S/(n^3(n-1)) and
+# T_hat = A/n, so se/T_hat clears to exactly this). No float folds
+# anywhere (gotchas #15/#17 by construction).
+HT_SCALE = 1000  # milli-units of the study variable
+
+
+@register(
+    "sample_horvitz_thompson",
+    tags=("sampling", "pps", "estimator", "variance", "audit"),
+    oracle=f"""
+    WITH {_PPS_HITS_CTES},
+    s AS (
+      SELECT o_orderkey, wc, tot, n_hits
+      FROM hits WHERE n_hits >= 1
+    ),
+    yy AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ),
+    z AS (
+      SELECT s.o_orderkey, s.n_hits, s.tot,
+             CAST(CAST(coalesce(yy.y, 0) AS HUGEINT) * s.tot * {HT_SCALE}
+                  // s.wc AS BIGINT) AS z
+      FROM s LEFT JOIN yy USING (o_orderkey)
+    ),
+    a AS (
+      SELECT CAST(sum(n_hits * z) AS BIGINT) AS a,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM z
+    ),
+    v AS (
+      SELECT CAST(sum(CAST(z.n_hits AS HUGEINT)
+                      * (CAST({PPS_N} AS HUGEINT) * z.z - a.a)
+                      * (CAST({PPS_N} AS HUGEINT) * z.z - a.a))
+                  AS DOUBLE) AS s2,
+             min(a.a) AS a, min(a.n_distinct) AS n_distinct
+      FROM z CROSS JOIN a
+    ),
+    t AS (
+      SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS t_true_qty
+      FROM lineitem
+    )
+    SELECT CAST({PPS_N} AS BIGINT) AS n_draws,
+           v.n_distinct,
+           t.t_true_qty,
+           CAST(v.a // {PPS_N} AS BIGINT) AS t_hat_milli,
+           round(CAST(v.a // {PPS_N} AS DOUBLE)
+                 / (CAST(t.t_true_qty AS DOUBLE) * {HT_SCALE}.0)
+                 - 1.0 + 1e-9, 6) + 0.0 AS rel_err,
+           round(sqrt(v.s2 / ({PPS_N} * ({PPS_N} - 1))) / CAST(v.a AS DOUBLE)
+                 + 1e-9, 6) AS rel_se
+    FROM v CROSS JOIN t
+    """,
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_draws, n_distinct, t_true_qty, t_hat_milli, rel_err,
+    rel_se): Hansen-Hurwitz estimate of total shipped quantity from
+    the PPS_N value-weighted order sample, vs the exact census total
+    (see header for the exact-integer discipline).
+
+    Scale shape: the sample frame reuses sample_pps_systematic's
+    lineage (two_pass_cumsum — no single-partition fact sort) and is
+    ~PPS_N rows; the study variable comes from ONE lineitem scan
+    pre-aggregated per orderkey after a broadcast semi-join on the
+    sampled keys (fact rows never shuffle — the ~200-key set prunes
+    map-side), plus one census agg scan for t_true. The enriched
+    sample is eager-checkpointed (gotcha #9: the A aggregate and the
+    variance fold are sibling consumers under the final cross join);
+    everything downstream is 1-to-200-row frames and 1x1 BNLJs."""
+    smp = sample_pps_systematic(spark, sf_dir).select(
+        "o_orderkey", F.col("weight_cents").alias("wc"), "n_hits"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("tot")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = smp.select(F.col("o_orderkey").alias("l_orderkey"))
+    y = (
+        li.join(F.broadcast(keys), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    z = (
+        smp.join(y, smp["o_orderkey"] == y["l_orderkey"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "n_hits",
+            "tot",
+            (
+                F.coalesce(F.col("y"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("tot")
+                * F.lit(HT_SCALE)
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            F.col("wc"),
+        )
+        .withColumn("z", F.expr("num div wc").cast("bigint"))
+        .drop("num", "wc")
+        .localCheckpoint(eager=True)
+    )
+    a = z.agg(
+        F.sum(F.col("n_hits") * F.col("z")).cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    d = F.lit(PPS_N).cast("bigint") * F.col("z") - F.col("a")
+    v = (
+        z.crossJoin(F.broadcast(a))
+        .select(
+            "n_hits",
+            "a",
+            "n_distinct",
+            (d.cast("decimal(38,0)") * d * F.col("n_hits")).alias("dd"),
+        )
+        .agg(
+            F.sum("dd").cast("double").alias("s2"),
+            F.min("a").alias("a"),
+            F.min("n_distinct").alias("n_distinct"),
+        )
+    )
+    t = li.agg(
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("t_true_qty")
+    )
+    th = F.expr(f"a div {PPS_N}").cast("bigint")
+    return v.crossJoin(t).select(
+        F.lit(PPS_N).cast("bigint").alias("n_draws"),
+        "n_distinct",
+        "t_true_qty",
+        th.alias("t_hat_milli"),
+        (
+            F.round(
+                th.cast("double")
+                / (F.col("t_true_qty").cast("double") * F.lit(float(HT_SCALE)))
+                - F.lit(1.0)
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rel_err"),
+        F.round(
+            F.sqrt(F.col("s2") / F.lit(float(PPS_N * (PPS_N - 1))))
+            / F.col("a").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("rel_se"),
     )

@@ -5043,3 +5043,83 @@ def test_recurrence_cohorts_replay(spark, sf_dir):
         {k: v for k, v in got.items() if expect.get(k) != v},
         {k: v for k, v in expect.items() if got.get(k) != v},
     )
+
+
+def test_horvitz_thompson_replay(spark, sf_dir):
+    """sample_horvitz_thompson (late r15): full pure-python replay —
+    the PPS sample, exact-integer z/A/S pieces, and the two float
+    outputs via equality-after-round (+0.0 signed-zero normalization
+    mirrors the plan)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.sampling import HT_SCALE, PPS_N
+
+    def r6(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    got = (
+        all_queries()["sample_horvitz_thompson"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert len(got) == 1
+    got = tuple(got[0])
+
+    rows = _dd.sql(
+        "SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    keyed = sorted(
+        (int(hashlib.sha256(str(k).encode()).hexdigest()[:6], 16), k, wc)
+        for k, wc in rows
+    )
+    tot = sum(wc for _, _, wc in keyed)
+    u0 = int(hashlib.sha256(b"pps_systematic_seed").hexdigest()[:12], 16) % tot
+    sample: dict[int, tuple[int, int]] = {}
+    cum = 0
+    for _, k, wc in keyed:
+        prev = cum
+        cum += wc
+        hi = (cum * PPS_N - u0 * PPS_N + tot * PPS_N + tot - 1) // tot - PPS_N
+        lo = (prev * PPS_N - u0 * PPS_N + tot * PPS_N + tot - 1) // tot - PPS_N
+        if hi - lo >= 1:
+            sample[k] = (wc, hi - lo)
+    ys = dict(
+        _dd.sql(
+            "SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) "
+            f"AS BIGINT) FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    t_true = sum(
+        r[0]
+        for r in _dd.sql(
+            "SELECT CAST(round(l_quantity) AS BIGINT) "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+    )
+    z = {
+        k: ys.get(k, 0) * tot * HT_SCALE // wc
+        for k, (wc, _nh) in sample.items()
+    }
+    a = sum(nh * z[k] for k, (_wc, nh) in sample.items())
+    s2 = float(
+        sum(nh * (PPS_N * z[k] - a) ** 2 for k, (_wc, nh) in sample.items())
+    )
+    th = a // PPS_N
+    expect = (
+        PPS_N,
+        len(sample),
+        t_true,
+        th,
+        r6(float(th) / (float(t_true) * float(HT_SCALE)) - 1.0) + 0.0,
+        r6((s2 / float(PPS_N * (PPS_N - 1))) ** 0.5 / float(a)),
+    )
+    assert got == expect, (got, expect)

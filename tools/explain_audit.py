@@ -241,6 +241,7 @@ EXTRA = (
     # late-r15 additions
     "text_freq_spectrum",
     "events_recurrence_cohorts",
+    "sample_horvitz_thompson",
 )
 
 
