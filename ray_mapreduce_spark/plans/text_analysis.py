@@ -8,6 +8,8 @@ pipeline combined; these stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3999,12 +4001,11 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 TTR_BUDGETS = (100, 300, 1000, 3000, 10000, 30000, 100000, 300000)
 _TTR_BUDGET_LIST = ", ".join(str(b) for b in TTR_BUDGETS)
 
-
-@register(
-    "text_ttr_curve",
-    tags=("text", "vocabulary", "richness", "ttr", "two-pass-rank"),
-    oracle=f"""
-    WITH tok AS (
+# The TTR growth-curve CTE tower, shared verbatim by the
+# text_ttr_curve oracle and the text_heaps_law_fit oracle (the
+# QUALITY_RAW_SQL factoring rule: consumers can't drift). `agg`
+# carries (lang, budget, types_at_budget).
+_TTR_CURVE_CTES = f"""tok AS (
       SELECT lang, doc_id,
              unnest(string_split(lower(text), ' ')) AS t,
              generate_subscripts(string_split(lower(text), ' '), 1) AS pos
@@ -4031,7 +4032,14 @@ _TTR_BUDGET_LIST = ", ".join(str(b) for b in TTR_BUDGETS)
       JOIN nt ON fp.lang = nt.lang
       JOIN b ON b.budget <= nt.n_tok
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "text_ttr_curve",
+    tags=("text", "vocabulary", "richness", "ttr", "two-pass-rank"),
+    oracle=f"""
+    WITH {_TTR_CURVE_CTES}
     SELECT lang, budget, types_at_budget,
            round(CAST(types_at_budget AS DOUBLE) / budget + 1e-9, 6) AS ttr,
            round(ln(CAST(types_at_budget AS DOUBLE))
@@ -4169,4 +4177,210 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("v2").cast("double") / F.col("n_types") + F.lit(1e-9), 6
         ).alias("dis_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law fit per language: regress ln(vocabulary) on ln(budget)
+# over the TTR growth-curve points (V(N) ~ K*N^beta) — the two-number
+# summary (growth exponent beta, scale K) a corpus report quotes
+# instead of the raw curve, and the standard way to EXTRAPOLATE
+# vocabulary to crawl-scale token budgets. r2 reports how
+# Heaps-linear the curve actually is (boilerplate-heavy corpora
+# bend it).
+#
+# Determinism design — NO float folds anywhere (gotcha #15 by
+# construction): the budget axis is the FIXED shared literal list, so
+# each lang's curve pivots into <= 8 COLUMNS (max over a 1-value
+# group is order-free) and every OLS sum is an UNROLLED left-assoc
+# chain in fixed budget order, identical on both engines. x = ln(b)
+# and x^2 are PYTHON literals (the Benford rule); y = ln(types) is
+# 6dp-LOCKED before entering any chain, so even a sub-ulp cross-
+# engine ln divergence collapses before arithmetic. The closed-form
+# slope/intercept/r2 then operate on bit-identical inputs; term
+# magnitudes are O(1e2) so the subtracted moments carry ~1e-13
+# cancellation noise against 1e-6 ticks (the gotcha #17 magnitude
+# bound holds with ~7 orders of margin). Langs emit a PREFIX of the
+# budget list (emission rule: budget <= n_tok), and fits require
+# n_points >= 3.
+_HEAPS_MIN_POINTS = 3
+
+
+def _heaps_terms() -> tuple[str, str, str, str, str, str]:
+    """Build the six unrolled OLS-sum SQL chains in fixed budget
+    order (shared structure with the Spark side below)."""
+    n = " + ".join(
+        f"CASE WHEN y{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(TTR_BUDGETS))
+    )
+    sx = " + ".join(
+        f"CASE WHEN y{i} IS NOT NULL THEN {math.log(b)!r} ELSE 0.0 END"
+        for i, b in enumerate(TTR_BUDGETS)
+    )
+    sy = " + ".join(f"coalesce(y{i}, 0.0)" for i in range(len(TTR_BUDGETS)))
+    sxx = " + ".join(
+        f"CASE WHEN y{i} IS NOT NULL THEN {math.log(b) * math.log(b)!r} "
+        "ELSE 0.0 END"
+        for i, b in enumerate(TTR_BUDGETS)
+    )
+    sxy = " + ".join(
+        f"CASE WHEN y{i} IS NOT NULL THEN {math.log(b)!r} * y{i} "
+        "ELSE 0.0 END"
+        for i, b in enumerate(TTR_BUDGETS)
+    )
+    syy = " + ".join(
+        f"coalesce(y{i} * y{i}, 0.0)" for i in range(len(TTR_BUDGETS))
+    )
+    return n, sx, sy, sxx, sxy, syy
+
+
+def _heaps_oracle() -> str:
+    n, sx, sy, sxx, sxy, syy = _heaps_terms()
+    piv = ",\n             ".join(
+        f"max(CASE WHEN budget = {b} THEN y END) AS y{i}"
+        for i, b in enumerate(TTR_BUDGETS)
+    )
+    return f"""
+    WITH {_TTR_CURVE_CTES},
+    yv AS (
+      SELECT lang, budget,
+             round(ln(CAST(types_at_budget AS DOUBLE)) + 1e-9, 6) AS y
+      FROM agg
+    ),
+    p AS (
+      SELECT lang,
+             {piv}
+      FROM yv GROUP BY lang
+    ),
+    m AS (
+      SELECT lang,
+             CAST({n} AS BIGINT) AS n_points,
+             {sx} AS sx,
+             {sy} AS sy,
+             {sxx} AS sxx,
+             {sxy} AS sxy,
+             {syy} AS syy
+      FROM p
+    ),
+    d AS (
+      SELECT lang, n_points,
+             CAST(n_points AS DOUBLE) * sxy - sx * sy AS num,
+             CAST(n_points AS DOUBLE) * sxx - sx * sx AS den,
+             CAST(n_points AS DOUBLE) * syy - sy * sy AS deny,
+             sx, sy
+      FROM m
+    )
+    SELECT lang, n_points,
+           round(num / den + 1e-9, 6) AS beta,
+           round(exp((sy - ((num / den) * sx)) / CAST(n_points AS DOUBLE))
+                 + 1e-9, 4) AS k_coef,
+           CASE WHEN deny > 0.0
+                THEN round((num * num) / (den * deny) + 1e-9, 6)
+           END AS r2
+    FROM d WHERE n_points >= {_HEAPS_MIN_POINTS}
+    """
+
+
+@register(
+    "text_heaps_law_fit",
+    tags=("text", "vocabulary", "heaps-law", "ols", "fold-free"),
+    oracle=_heaps_oracle(),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_points, beta, k_coef, r2): Heaps'-law log-log OLS fit
+    of the TTR growth curve per language (see header; pivot-to-
+    columns makes every OLS sum an unrolled fixed-order chain — no
+    float folds).
+
+    Scale shape: everything upstream is text_ttr_curve's lineage
+    (grouped two-pass rank, vocab-bounded collapse, bounded budget
+    BNLJ); the fit itself runs on the |langs| x |budgets| curve frame
+    pivoted to |langs| rows — asymptotically free."""
+    curve = text_ttr_curve(spark, sf_dir)
+    yv = curve.select(
+        "lang",
+        "budget",
+        F.round(
+            F.log(F.col("types_at_budget").cast("double")) + F.lit(1e-9), 6
+        ).alias("y"),
+    )
+    p = yv.groupBy("lang").agg(
+        *[
+            F.max(F.when(F.col("budget") == b, F.col("y"))).alias(f"y{i}")
+            for i, b in enumerate(TTR_BUDGETS)
+        ]
+    )
+
+    def chain(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    ys = [F.col(f"y{i}") for i in range(len(TTR_BUDGETS))]
+    xs = [math.log(b) for b in TTR_BUDGETS]
+    n = chain(
+        [F.when(y.isNotNull(), 1).otherwise(0) for y in ys]
+    ).cast("bigint")
+    sx = chain(
+        [
+            F.when(y.isNotNull(), F.lit(x)).otherwise(F.lit(0.0))
+            for y, x in zip(ys, xs)
+        ]
+    )
+    sy = chain([F.coalesce(y, F.lit(0.0)) for y in ys])
+    sxx = chain(
+        [
+            F.when(y.isNotNull(), F.lit(x * x)).otherwise(F.lit(0.0))
+            for y, x in zip(ys, xs)
+        ]
+    )
+    sxy = chain(
+        [
+            F.when(y.isNotNull(), F.lit(x) * y).otherwise(F.lit(0.0))
+            for y, x in zip(ys, xs)
+        ]
+    )
+    syy = chain([F.coalesce(y * y, F.lit(0.0)) for y in ys])
+    m = p.select(
+        "lang",
+        n.alias("n_points"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxx.alias("sxx"),
+        sxy.alias("sxy"),
+        syy.alias("syy"),
+    )
+    nd = F.col("n_points").cast("double")
+    d = m.select(
+        "lang",
+        "n_points",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+        "sx",
+        "sy",
+    )
+    nd2 = F.col("n_points").cast("double")
+    return d.filter(F.col("n_points") >= _HEAPS_MIN_POINTS).select(
+        "lang",
+        "n_points",
+        F.round(F.col("num") / F.col("den") + F.lit(1e-9), 6).alias("beta"),
+        F.round(
+            F.exp(
+                (F.col("sy") - ((F.col("num") / F.col("den")) * F.col("sx")))
+                / nd2
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("k_coef"),
+        F.when(
+            F.col("deny") > 0.0,
+            F.round(
+                (F.col("num") * F.col("num"))
+                / (F.col("den") * F.col("deny"))
+                + F.lit(1e-9),
+                6,
+            ),
+        ).alias("r2"),
     )

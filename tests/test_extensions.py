@@ -5123,3 +5123,141 @@ def test_horvitz_thompson_replay(spark, sf_dir):
         r6((s2 / float(PPS_N * (PPS_N - 1))) ** 0.5 / float(a)),
     )
     assert got == expect, (got, expect)
+
+
+def _heaps_expect_from_tokens(per_lang_tokens):
+    """Pure-python Heaps-fit replay mirroring the plan's unrolled
+    chains exactly (fixed budget order, 6dp-locked y, closed form)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ray_mapreduce_spark.plans.text_analysis import (
+        _HEAPS_MIN_POINTS,
+        TTR_BUDGETS,
+    )
+
+    def rnd(x, nd):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    expect = {}
+    for lang, toks in per_lang_tokens.items():
+        n_tok = len(toks)
+        first = {}
+        for i, t in enumerate(toks, start=1):
+            if t not in first:
+                first[t] = i
+        ys = []
+        for b in TTR_BUDGETS:
+            if b <= n_tok:
+                v = sum(1 for p in first.values() if p <= b)
+                ys.append(rnd(math.log(float(v)), 6))
+            else:
+                ys.append(None)
+
+        def chain(terms):
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            return acc
+
+        xs = [math.log(b) for b in TTR_BUDGETS]
+        n = chain([1 if y is not None else 0 for y in ys])
+        sx = chain([x if y is not None else 0.0 for x, y in zip(xs, ys)])
+        sy = chain([y if y is not None else 0.0 for y in ys])
+        sxx = chain(
+            [x * x if y is not None else 0.0 for x, y in zip(xs, ys)]
+        )
+        sxy = chain(
+            [x * y if y is not None else 0.0 for x, y in zip(xs, ys)]
+        )
+        syy = chain([y * y if y is not None else 0.0 for y in ys])
+        if n < _HEAPS_MIN_POINTS:
+            continue
+        nd = float(n)
+        num = nd * sxy - sx * sy
+        den = nd * sxx - sx * sx
+        deny = nd * syy - sy * sy
+        r2 = rnd((num * num) / (den * deny), 6) if deny > 0.0 else None
+        expect[lang] = (
+            n,
+            rnd(num / den, 6),
+            rnd(math.exp((sy - ((num / den) * sx)) / nd), 4),
+            r2,
+        )
+    return expect
+
+
+def test_heaps_law_fit_replay(spark, sf_dir):
+    """text_heaps_law_fit (late r15): full python replay with
+    equality-after-round on every output."""
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in all_queries()["text_heaps_law_fit"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = _dd.sql(
+        "SELECT lang, doc_id, lower(text) "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY lang, doc_id"
+    ).fetchall()
+    per_lang: dict = {}
+    for lang, _did, txt in rows:
+        per_lang.setdefault(lang, []).extend(txt.split(" "))
+    assert got == _heaps_expect_from_tokens(per_lang), (
+        got,
+        _heaps_expect_from_tokens(per_lang),
+    )
+
+
+def test_heaps_law_fit_power_law_fixture(spark, tmp_path):
+    """The driver corpus has a bounded shared vocabulary (beta ~ 0.01,
+    near-flat growth) so the fit's GROWTH regime never exercises on
+    real data. Planted sqrt-vocabulary stream: token at global
+    position p is w_isqrt(p), so V(N) = isqrt(N) and the true Heaps
+    exponent is 0.5 with an almost perfect log-log line — the fit
+    must recover beta in [0.45, 0.55] with r2 >= 0.98 (the
+    naive_bayes/IVF planted-fixture precedent)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    n_total, per_doc = 12000, 200
+    toks = [f"w{math.isqrt(p)}" for p in range(1, n_total + 1)]
+    docs = []
+    for d in range(n_total // per_doc):
+        body = " ".join(toks[d * per_doc : (d + 1) * per_doc])
+        docs.append((d + 1, body, "xx", "fixture", len(body)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array([r[2] for r in docs], pa.string()),
+            "source": pa.array([r[3] for r in docs], pa.string()),
+            "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    rows = (
+        all_queries()["text_heaps_law_fit"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "xx" and r["n_points"] == 5
+    assert 0.45 <= r["beta"] <= 0.55, r["beta"]
+    assert r["r2"] >= 0.98, r["r2"]
+    # and the replay agrees exactly on the fixture too
+    expect = _heaps_expect_from_tokens({"xx": toks})
+    assert tuple(r)[1:] == expect["xx"]

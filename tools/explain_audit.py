@@ -242,6 +242,7 @@ EXTRA = (
     "text_freq_spectrum",
     "events_recurrence_cohorts",
     "sample_horvitz_thompson",
+    "text_heaps_law_fit",
 )
 
 
