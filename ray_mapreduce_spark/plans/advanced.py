@@ -8323,3 +8323,144 @@ def events_recurrence_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p50") / F.lit(1000000.0) + F.lit(1e-9), 4).alias("p50_s"),
         F.round(F.col("p90") / F.lit(1000000.0) + F.lit(1e-9), 4).alias("p90_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue per order priority: is
+# the above/below-median sign sequence of a priority class's daily
+# revenue RANDOM over time, or does it cluster (momentum / regime
+# persistence) or alternate (mean reversion / over-smoothing)? The
+# nonparametric randomness check an ops review runs before trusting
+# any trend narrative — too FEW runs = persistent regimes, too MANY
+# = oscillation.
+#
+# Determinism: daily revenue is exact integer cents; the per-priority
+# median rides the bit-exact Spark percentile == DuckDB quantile_cont
+# parity (integer inputs); sign comparisons are identical doubles on
+# both engines; runs/n_above/n_below are exact integer counts over
+# the unique day order; E[R] = 1 + 2*n1*n2/n and
+# Var[R] = 2*n1*n2*(2*n1*n2-n) / (n^2*(n-1)) assemble from exact
+# integer products (days are calendar-bounded so products stay tiny);
+# z is one subtraction + one sqrt + one division of identical doubles
+# (signed near-zero -> the +0.0 guard). Days equal to the median are
+# dropped (the standard treatment) — the drop set is identical
+# cross-engine because both compare the same exact-cents double
+# against the same median double.
+@register(
+    "orders_runs_test",
+    tags=("orders", "stats", "nonparametric", "runs-test", "percentile"),
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT pr, quantile_cont(rev, 0.5) AS med FROM d GROUP BY pr
+    ),
+    s AS (
+      SELECT d.pr, d.day,
+             CASE WHEN CAST(d.rev AS DOUBLE) > m.med THEN 1 ELSE 0 END AS sgn
+      FROM d JOIN m USING (pr)
+      WHERE CAST(d.rev AS DOUBLE) <> m.med
+    ),
+    r AS (
+      SELECT pr, sgn,
+             CASE WHEN lag(sgn) OVER (PARTITION BY pr ORDER BY day)
+                       IS DISTINCT FROM sgn
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ),
+    g AS (
+      SELECT pr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+             CAST(sum(brk) AS BIGINT) AS n_runs
+      FROM r GROUP BY pr
+    )
+    SELECT pr AS o_orderpriority, n AS n_days, n1 AS n_above,
+           n2 AS n_below, n_runs,
+           round(1.0 + CAST(2 * n1 * n2 AS DOUBLE) / n + 1e-9, 4)
+             AS expected_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+             round((CAST(n_runs AS DOUBLE)
+                    - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / n))
+                   / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * (n - 1)))
+                   + 1e-9, 4) + 0.0
+           END AS z
+    FROM g
+    """,
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_days, n_above, n_below, n_runs,
+    expected_runs, z): Wald-Wolfowitz runs test of the above/below-
+    median daily-revenue sign sequence per priority (see header).
+
+    Scale shape: ONE fact shuffle — the (priority, day) partial
+    aggregate (integer cents sum map-side); the median is a per-
+    priority holistic agg over the calendar-bounded daily frame
+    (<= ~2400 rows/priority at ANY fact volume), broadcast back; the
+    sign/lag window and the final fold run on the same bounded frame.
+    Nothing downstream of the first exchange scales with the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    m = d.groupBy("pr").agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    s = (
+        d.join(F.broadcast(m), "pr")
+        .filter(F.col("rev").cast("double") != F.col("med"))
+        .select(
+            "pr",
+            "day",
+            F.when(F.col("rev").cast("double") > F.col("med"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("pr").orderBy("day")
+    r = s.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0),
+    )
+    g = r.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("bigint").alias("n2"),
+        F.sum("brk").cast("bigint").alias("n_runs"),
+    )
+    two_n1n2 = F.lit(2) * F.col("n1") * F.col("n2")
+    e_runs = F.lit(1.0) + two_n1n2.cast("double") / F.col("n")
+    var = (two_n1n2 * (two_n1n2 - F.col("n"))).cast("double") / (
+        F.col("n").cast("double") * F.col("n") * (F.col("n") - F.lit(1))
+    )
+    return g.select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "n_runs",
+        F.round(e_runs + F.lit(1e-9), 4).alias("expected_runs"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1),
+            F.round(
+                (F.col("n_runs").cast("double") - e_runs) / F.sqrt(var)
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0),
+        ).alias("z"),
+    )

@@ -172,11 +172,13 @@ def register(
 # = 3 + 33 + 2 + 12 = 50.
 # ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the
 # late-r15 additions text_freq_spectrum + events_recurrence_cohorts
-# + sample_horvitz_thompson + text_heaps_law_fit (first driver rows;
-# each carries INDIVIDUAL 3-SF STRICT-oracle-green +
-# partition-determinism + exact-replay + stress10x evidence from r15
-# — the late-r14 precedent; heaps also carries the planted sqrt-
-# vocabulary fixture) + sample_pps_systematic + text_ttr_curve
+# + sample_horvitz_thompson + text_heaps_law_fit + orders_runs_test
+# (first driver rows; each carries INDIVIDUAL 3-SF
+# STRICT-oracle-green + partition-determinism + exact-replay +
+# stress10x evidence from r15 — the late-r14 precedent; heaps also
+# carries the planted sqrt-vocabulary fixture, runs_test the
+# clustered/alternating regime fixture) + sample_pps_systematic +
+# text_ttr_curve
 # (oracles refactored to the shared _PPS_HITS_CTES /
 # _TTR_CURVE_CTES constants — assembled SQL byte-identical, plans
 # unchanged, re-greened 3-SF in r15; window slots are cheap

@@ -5261,3 +5261,110 @@ def test_heaps_law_fit_power_law_fixture(spark, tmp_path):
     # and the replay agrees exactly on the fixture too
     expect = _heaps_expect_from_tokens({"xx": toks})
     assert tuple(r)[1:] == expect["xx"]
+
+
+def test_runs_test_replay(spark, sf_dir):
+    """orders_runs_test (late r15): pure-python replay — exact
+    counts, np-style interpolated median, equality-after-round on
+    expected_runs and z."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    def r4(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    got = {
+        r["o_orderpriority"]: tuple(r)[1:]
+        for r in all_queries()["orders_runs_test"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = _dd.sql(
+        "SELECT o_orderpriority, CAST(o_orderdate AS DATE), "
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per: dict = {}
+    for pr, day, rev in rows:
+        per.setdefault(pr, []).append((day, rev))
+    expect = {}
+    for pr, drs in per.items():
+        drs.sort()
+        vals = sorted(r for _, r in drs)
+        pos = (len(vals) - 1) * 0.5
+        lo = int(pos)
+        frac = pos - lo
+        med = (
+            float(vals[lo])
+            if frac == 0
+            else vals[lo] + frac * (vals[lo + 1] - vals[lo])
+        )
+        sgns = [1 if float(r) > med else 0 for _, r in drs if float(r) != med]
+        n = len(sgns)
+        n1 = sum(sgns)
+        n2 = n - n1
+        runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+        e = 1.0 + float(2 * n1 * n2) / n
+        z = None
+        if n1 > 0 and n2 > 0 and n > 1:
+            var = float(2 * n1 * n2 * (2 * n1 * n2 - n)) / (
+                float(n) * n * (n - 1)
+            )
+            z = r4((float(runs) - e) / var**0.5) + 0.0
+        expect[pr] = (n, n1, n2, runs, r4(e), z)
+    assert got == expect, (got, expect)
+
+
+def test_runs_test_regime_fixture(spark, tmp_path):
+    """The driver corpus is random-ish (|z| < 2 everywhere), so the
+    clustered-regime branch never exercises on real data. Planted
+    fixture: one priority whose daily revenue is high for the first
+    half of days and low for the second — exactly 2 runs, z deeply
+    negative; an alternating priority maxes runs, z deeply
+    positive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    rows = []
+    ok = 0
+    base = 10957  # 2000-01-01 in epoch days
+    for day in range(200):
+        ok += 1
+        clustered = 500.0 if day < 100 else 100.0
+        rows.append((ok, "1-CLUSTER", base + day, clustered))
+        ok += 1
+        alternating = 500.0 if day % 2 == 0 else 100.0
+        rows.append((ok, "2-ALTERNATE", base + day, alternating))
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [r[2] * 86400_000_000 for r in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = {
+        r["o_orderpriority"]: r
+        for r in all_queries()["orders_runs_test"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    c = got["1-CLUSTER"]
+    assert c["n_runs"] == 2 and c["z"] < -10, dict(c.asDict())
+    a = got["2-ALTERNATE"]
+    assert a["n_runs"] == a["n_days"] and a["z"] > 10, dict(a.asDict())

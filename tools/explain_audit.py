@@ -243,6 +243,7 @@ EXTRA = (
     "events_recurrence_cohorts",
     "sample_horvitz_thompson",
     "text_heaps_law_fit",
+    "orders_runs_test",
 )
 
 
