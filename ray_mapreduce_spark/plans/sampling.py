@@ -1497,3 +1497,172 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_se"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for mean order value per
+# priority — THE production bootstrap at scale: classic multinomial
+# resampling needs the global n per draw, but with n large the
+# per-row resample count is ~Poisson(1) INDEPENDENTLY per row, so
+# every replicate is a row-local weighting and all B replicates ride
+# ONE pass (Kleiner et al.'s scalable-bootstrap observation; the
+# shape used by production metric pipelines for CI bands).
+#
+# PURE-INTEGER weights (the recency_decay/pps discipline): the
+# per-(order, replicate) uniform is the 24-bit sha256 hash of
+# "orderkey_b", compared against PRE-COMPUTED integer thresholds
+# floor(PoissonCDF_1(k) * 2^24) (python literals, the Benford rule)
+# — the weight w in 0..5 is a pure integer function of the hash, no
+# float anywhere in the resample. Replicate sums are exact bigints
+# (w <= 5 so w*cents stays ~5e17 even at 1e9 orders); each replicate
+# mean is ONE division of exact integers; the CI bounds ride the
+# bit-exact Spark percentile == DuckDB quantile_cont parity over the
+# B replicate means. Truncating the Poisson tail at w=5 drops 0.06%
+# of the mass — a bootstrap-noise-level bias, and identically on
+# both engines.
+POISSON_BOOT_B = 64
+_POISSON_T = (6171992, 12343985, 15429982, 16458647, 16715813)
+_POISSON_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POISSON_T))
+    + " ELSE 5 END"
+)
+
+
+@register(
+    "orders_bootstrap_ci",
+    tags=("sampling", "bootstrap", "poisson", "ci", "percentile"),
+    oracle=f"""
+    WITH e AS (
+      SELECT o_orderkey, o_orderpriority AS pr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rep AS (
+      SELECT e.pr, e.cents, b.b,
+             CAST(concat('0x', substr(sha256(concat(
+               CAST(e.o_orderkey AS VARCHAR), '_', CAST(b.b AS VARCHAR))),
+               1, 6)) AS BIGINT) AS h
+      FROM e CROSS JOIN (SELECT unnest(range(0, {POISSON_BOOT_B})) AS b) b
+    ),
+    w AS (
+      SELECT pr, b, cents, {_POISSON_CASE_SQL} AS w FROM rep
+    ),
+    g AS (
+      SELECT pr, b,
+             CAST(sum(w * cents) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2
+    ),
+    mb AS (
+      SELECT pr, b,
+             CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean_b
+      FROM g
+    ),
+    cen AS (
+      SELECT pr, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM e GROUP BY pr
+    )
+    SELECT mb.pr AS o_orderpriority,
+           min(cen.n_orders) AS n_orders,
+           round(CAST(min(cen.s) AS DOUBLE) / min(cen.n_orders) + 1e-9, 4)
+             AS mean_cents,
+           CAST(count(mb.mean_b) AS BIGINT) AS n_replicates,
+           round(quantile_cont(mb.mean_b, 0.025) + 1e-9, 4) AS ci_lo,
+           round(quantile_cont(mb.mean_b, 0.975) + 1e-9, 4) AS ci_hi
+    FROM mb JOIN cen USING (pr)
+    GROUP BY 1
+    """,
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_orders, mean_cents, n_replicates, ci_lo,
+    ci_hi): Poisson-bootstrap 95% CI for mean order value per
+    priority (see header; B row-local integer-weighted replicates in
+    one pass).
+
+    Scale shape: the replicate axis EXPLODES map-side (x B rows of
+    (pr, b, cents) before the partial aggregate, which collapses to
+    |priorities| x B groups per partition — shuffle volume is
+    group-bounded, never fact x B); the census aggregate shares the
+    scan shape; everything downstream is a |priorities| x B frame
+    with a per-priority holistic percentile over B values. ONE fact
+    shuffle each for replicate and census aggs."""
+    o = load_table(spark, sf_dir, "orders")
+    e = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep = e.select(
+        "pr",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(POISSON_BOOT_B - 1))
+        ).alias("b"),
+        "o_orderkey",
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w_expr = F.when(F.col("h") < _POISSON_T[0], 0)
+    for k, t in enumerate(_POISSON_T[1:], start=1):
+        w_expr = w_expr.when(F.col("h") < t, k)
+    w_expr = w_expr.otherwise(5)
+    w = rep.select("pr", "b", "cents", w_expr.alias("w"))
+    g = w.groupBy("pr", "b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s"),
+        F.sum("w").cast("bigint").alias("n"),
+    )
+    mb = g.select(
+        "pr",
+        "b",
+        F.when(
+            F.col("n") > 0, F.col("s").cast("double") / F.col("n")
+        ).alias("mean_b"),
+    )
+    cen = e.groupBy("pr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cs"),
+    )
+    return (
+        mb.join(F.broadcast(cen), "pr")
+        .groupBy("pr")
+        .agg(
+            F.min("n_orders").alias("n_orders"),
+            F.round(
+                F.min("cs").cast("double") / F.min("n_orders") + F.lit(1e-9),
+                4,
+            ).alias("mean_cents"),
+            F.count("mean_b").cast("bigint").alias("n_replicates"),
+            F.round(
+                F.expr("percentile(mean_b, 0.025)") + F.lit(1e-9), 4
+            ).alias("ci_lo"),
+            F.round(
+                F.expr("percentile(mean_b, 0.975)") + F.lit(1e-9), 4
+            ).alias("ci_hi"),
+        )
+        .select(
+            F.col("pr").alias("o_orderpriority"),
+            "n_orders",
+            "mean_cents",
+            "n_replicates",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

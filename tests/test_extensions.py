@@ -5368,3 +5368,88 @@ def test_runs_test_regime_fixture(spark, tmp_path):
     assert c["n_runs"] == 2 and c["z"] < -10, dict(c.asDict())
     a = got["2-ALTERNATE"]
     assert a["n_runs"] == a["n_days"] and a["z"] > 10, dict(a.asDict())
+
+
+def test_bootstrap_ci_replay(spark, sf_dir):
+    """orders_bootstrap_ci (late r15): pure-python replay — integer
+    Poisson weights from the same sha hashes, exact replicate sums,
+    interpolated CI bounds via equality-after-round. Also pins the
+    threshold provenance (floor(PoissonCDF_1(k) * 2^24))."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+    from ray_mapreduce_spark.plans.sampling import (
+        _POISSON_T,
+        POISSON_BOOT_B,
+    )
+
+    cdf, ts = 0.0, []
+    for k in range(5):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        ts.append(math.floor(cdf * 16777216))
+    assert tuple(ts) == _POISSON_T
+
+    def r4(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def pct(a, q):
+        a = sorted(a)
+        pos = (len(a) - 1) * q
+        lo = int(pos)
+        d = pos - lo
+        if d == 0:
+            return float(a[lo])
+        return a[lo] + d * (a[lo + 1] - a[lo])
+
+    got = {
+        r["o_orderpriority"]: tuple(r)[1:]
+        for r in all_queries()["orders_bootstrap_ci"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = _dd.sql(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(round(o_totalprice*100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+
+    def weight(okey, b):
+        h = int(
+            hashlib.sha256(f"{okey}_{b}".encode()).hexdigest()[:6], 16
+        )
+        for k, t in enumerate(_POISSON_T):
+            if h < t:
+                return k
+        return 5
+
+    per: dict = {}
+    for okey, pr, cents in rows:
+        per.setdefault(pr, []).append((okey, cents))
+    expect = {}
+    for pr, lst in per.items():
+        means = []
+        for b in range(POISSON_BOOT_B):
+            s = n = 0
+            for okey, cents in lst:
+                w = weight(okey, b)
+                s += w * cents
+                n += w
+            if n > 0:
+                means.append(float(s) / n)
+        cs = sum(c for _, c in lst)
+        expect[pr] = (
+            len(lst),
+            r4(float(cs) / len(lst)),
+            len(means),
+            r4(pct(means, 0.025)),
+            r4(pct(means, 0.975)),
+        )
+    assert got == expect, (got, expect)

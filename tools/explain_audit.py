@@ -244,6 +244,7 @@ EXTRA = (
     "sample_horvitz_thompson",
     "text_heaps_law_fit",
     "orders_runs_test",
+    "orders_bootstrap_ci",
 )
 
 
