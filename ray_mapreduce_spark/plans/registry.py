@@ -173,12 +173,13 @@ def register(
 # ROUND 16 PLAN: (a) CORRECTNESS_r15 red rows first, then the
 # late-r15 additions text_freq_spectrum + events_recurrence_cohorts
 # + sample_horvitz_thompson + text_heaps_law_fit + orders_runs_test
-# + orders_bootstrap_ci (first driver rows; each carries INDIVIDUAL
-# 3-SF STRICT-oracle-green + partition-determinism + exact-replay +
-# stress10x evidence from r15 — the late-r14 precedent; heaps also
-# carries the planted sqrt-vocabulary fixture, runs_test the
-# clustered/alternating regime fixture) + sample_pps_systematic +
-# text_ttr_curve
+# + orders_bootstrap_ci + embedding_intrinsic_dim (first driver
+# rows; each carries INDIVIDUAL 3-SF STRICT-oracle-green +
+# partition-determinism + exact-replay + stress10x evidence from r15
+# — the late-r14 precedent; heaps also carries the planted sqrt-
+# vocabulary fixture, runs_test the clustered/alternating regime
+# fixture, intrinsic_dim the planted 2-D manifold + all-duplicates
+# degenerate fixture) + sample_pps_systematic + text_ttr_curve
 # (oracles refactored to the shared _PPS_HITS_CTES /
 # _TTR_CURVE_CTES constants — assembled SQL byte-identical, plans
 # unchanged, re-greened 3-SF in r15; window slots are cheap

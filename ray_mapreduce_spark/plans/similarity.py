@@ -3064,3 +3064,166 @@ def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate per label (Facco et al. 2017):
+# for each point take the distance ratio mu = d2/d1 of its two
+# nearest neighbors; the manifold dimension is the MLE
+# ID = n / sum(ln mu). The embedding-quality audit that catches
+# collapsed or degenerate representation subspaces (ID far below the
+# ambient 64 = the space is locally low-dimensional; ID ~ ambient =
+# isotropic noise) — per label it profiles each class manifold.
+#
+# Determinism: coordinates are QUANTIZED to 1e6-unit integer-valued
+# DOUBLES (the diversity_gram discipline), so nq and every pairwise
+# inner product are exactly-representable integers (< ~2e13, far
+# under 2^53 — every partial sum is exact at ANY order, both
+# engines) and squared distances d2 = na + nb - 2*dot are EXACT
+# integer-valued doubles. Neighbor selection orders by the exact
+# (d2, j) key; ln(mu^2)/2 is one ln of a ratio of exact integers,
+# 1e-6-LOCKED into an integer micro sum (ties d2nd = d1 give exactly
+# 0); exact-duplicate points (d1 = 0) are excluded identically on
+# both engines and reported — a label whose points are ALL
+# duplicates still emits a row (n_used = 0, id_hat NULL): the audit
+# must say "degenerate", not vanish (found by stress10x, whose 10x
+# corpus duplicates every vector). id_hat is one division of exact
+# integers.
+TWONN_QUANT = 10**6
+
+
+@register(
+    "embedding_intrinsic_dim",
+    tags=("similarity", "intrinsic-dimension", "twonn", "audit"),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> round(x * {TWONN_QUANT}.0)) AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, q, list_inner_product(q, q) AS nq FROM v
+    ),
+    p AS (
+      SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+             a.nq + b.nq - 2 * list_inner_product(a.q, b.q) AS d2
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT label, i, d2,
+             row_number() OVER (PARTITION BY label, i ORDER BY d2, j)
+               AS rk
+      FROM p
+    ),
+    pv AS (
+      SELECT label, i,
+             max(CASE WHEN rk = 1 THEN d2 END) AS d1,
+             max(CASE WHEN rk = 2 THEN d2 END) AS dnn
+      FROM r WHERE rk <= 2 GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(CAST(round((0.5 * ln(dnn / d1)) * 1000000.0)
+                           AS BIGINT)) AS BIGINT) AS summ
+      FROM pv WHERE d1 > 0 GROUP BY label
+    ),
+    c AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_points FROM v GROUP BY 1
+    )
+    SELECT CAST(c.label AS INTEGER) AS label, c.n_points,
+           CAST(coalesce(u.n_used, 0) AS BIGINT) AS n_used,
+           CAST(coalesce(u.summ, 0) AS BIGINT) AS sum_lnmu_micro,
+           CASE WHEN coalesce(u.summ, 0) > 0
+                THEN round(CAST(u.n_used AS DOUBLE) * 1000000.0 / u.summ
+                           + 1e-9, 4)
+           END AS id_hat
+    FROM c LEFT JOIN u USING (label)
+    """,
+)
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_points, n_used, sum_lnmu_micro, id_hat): TwoNN
+    intrinsic-dimension estimate per label (see header; quantized
+    exact-integer distances, 1e-6-locked ln-mu integer sum).
+
+    Scale shape: a within-label self-join of ONE scan-rooted frame
+    (runtime exchange reuse, gotcha #14) — pairs are sum(n_label^2),
+    label-blocked, never the global square; the neighbor rank is a
+    per-(label, i) window over in-label candidates; everything
+    downstream is |labels|-row frames. At crawl scale the pair stage
+    swaps to an LSH/IVF candidate prefilter exactly like the
+    embedding near-dup family (the d1/d2 selection only needs each
+    point's local bucket)."""
+    d = load_table(spark, sf_dir, "embeddings")
+    v = _spread(d).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(TWONN_QUANT))),
+        ).alias("q"),
+    )
+    n = v.select("vec_id", "label", "q", _dot("q", "q").alias("nq"))
+    a = n.select(
+        "label",
+        F.col("vec_id").alias("i"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = n.select(
+        "label",
+        F.col("vec_id").alias("j"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    p = (
+        a.join(b, "label")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "label",
+            "i",
+            "j",
+            (
+                F.col("na") + F.col("nb") - F.lit(2) * _dot("qa", "qb")
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("label", "i").orderBy("d2", "j")
+    r = p.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    pv = r.groupBy("label", "i").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d1"),
+        F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("dnn"),
+    )
+    micro = F.round(
+        (F.lit(0.5) * F.log(F.col("dnn") / F.col("d1")))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    u = (
+        pv.filter(F.col("d1") > 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+            F.sum(micro).cast("bigint").alias("summ"),
+        )
+    )
+    c = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return c.join(u, "label", "left").select(
+        "label",
+        "n_points",
+        F.coalesce(F.col("n_used"), F.lit(0)).cast("bigint").alias("n_used"),
+        F.coalesce(F.col("summ"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_lnmu_micro"),
+        F.when(
+            F.coalesce(F.col("summ"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_used").cast("double")
+                * F.lit(1000000.0)
+                / F.col("summ")
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("id_hat"),
+    )

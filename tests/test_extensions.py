@@ -5453,3 +5453,136 @@ def test_bootstrap_ci_replay(spark, sf_dir):
             r4(pct(means, 0.975)),
         )
     assert got == expect, (got, expect)
+
+
+def _twonn_expect(vecs):
+    """Pure-python TwoNN replay mirroring the plan exactly:
+    {label: [vec]} -> {label: (n_points, n_used, summ, id_hat)}."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from ray_mapreduce_spark.plans.similarity import TWONN_QUANT
+
+    def r4(x):
+        return float(
+            Decimal(repr(x + 1e-9)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    expect = {}
+    for label, pts in vecs.items():
+        q = {
+            i: [float(round(x * float(TWONN_QUANT))) for x in v]
+            for i, v in pts.items()
+        }
+        nq = {i: sum(x * x for x in v) for i, v in q.items()}
+        n_used = 0
+        summ = 0
+        for i in q:
+            ds = sorted(
+                (
+                    nq[i]
+                    + nq[j]
+                    - 2 * sum(x * y for x, y in zip(q[i], q[j])),
+                    j,
+                )
+                for j in q
+                if j != i
+            )
+            d1, dnn = ds[0][0], ds[1][0]
+            if d1 > 0:
+                n_used += 1
+                summ += int(round((0.5 * math.log(dnn / d1)) * 1000000.0))
+        id_hat = r4(float(n_used) * 1000000.0 / summ) if summ > 0 else None
+        expect[label] = (len(pts), n_used, summ, id_hat)
+    return expect
+
+
+def test_intrinsic_dim_replay(spark, sf_dir):
+    """embedding_intrinsic_dim (late r15): pure-python replay with
+    exact equality on the integer pieces and equality-after-round on
+    id_hat."""
+    import duckdb as _dd
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    got = {
+        r["label"]: tuple(r)[1:]
+        for r in all_queries()["embedding_intrinsic_dim"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = _dd.sql(
+        "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    vecs: dict = {}
+    for vid, label, v in rows:
+        vecs.setdefault(label, {})[vid] = v
+    assert got == _twonn_expect(vecs), (got, _twonn_expect(vecs))
+
+
+def test_intrinsic_dim_manifold_fixture(spark, tmp_path):
+    """The driver embeddings are near-isotropic (id_hat ~ 30-40 in
+    ambient 64), so the LOW-dimensional detection branch never
+    exercises on real data. Planted fixture: points on a 2-D plane
+    embedded in 64-D (first two coords vary over a grid+jitter, rest
+    zero) must estimate id_hat ~ 2; plus one label with an exact
+    duplicate pair exercising the d1 = 0 exclusion."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_mapreduce_spark.plans import all_queries
+
+    def u(seed):
+        # deterministic uniform in [0, 1): fractional part of a
+        # high-frequency sine (classic hash-noise construction)
+        return (math.sin(seed) * 43758.5453123) % 1.0
+
+    rows = []
+    vid = 0
+    for vid in range(1, 401):
+        v = [0.0] * 64
+        v[0] = u(vid * 12.9898)
+        v[1] = u(vid * 78.233)
+        rows.append((vid, 0, v))
+    # label 1: a tiny cluster with an exact duplicate
+    for k in range(5):
+        vid += 1
+        v = [0.0] * 64
+        v[0] = 0.1 * k
+        v[2] = 0.2
+        rows.append((vid, 1, v))
+    vid += 1
+    rows.append((vid, 1, list(rows[-1][2])))  # exact duplicate
+    # label 2: ALL duplicates -> degenerate row (n_used = 0, NULL id)
+    for _ in range(3):
+        vid += 1
+        rows.append((vid, 2, [0.5] + [0.0] * 63))
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["label"]: r
+        for r in all_queries()["embedding_intrinsic_dim"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    plane = got[0]
+    assert plane["n_used"] == 400
+    assert 1.2 <= plane["id_hat"] <= 3.0, plane["id_hat"]
+    dup = got[1]
+    assert dup["n_points"] == 6 and dup["n_used"] == 4, dict(dup.asDict())
+    deg = got[2]
+    assert deg["n_points"] == 3 and deg["n_used"] == 0, dict(deg.asDict())
+    assert deg["sum_lnmu_micro"] == 0 and deg["id_hat"] is None

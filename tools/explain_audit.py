@@ -245,6 +245,7 @@ EXTRA = (
     "text_heaps_law_fit",
     "orders_runs_test",
     "orders_bootstrap_ci",
+    "embedding_intrinsic_dim",
 )
 
 
