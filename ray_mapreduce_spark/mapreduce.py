@@ -127,7 +127,16 @@ def MapReduceBulk(
     (see ``_run``); omit it for reference-exact holistic reduces.
     """
     spark = spark or get_spark()
-    data = data_list if isinstance(data_list, (list, tuple)) else list(data_list)
+    # Keep ``range`` inputs unconverted: SparkContext.parallelize has a
+    # dedicated range fast path ("Using range is recommended if the
+    # input represents a range for performance" — pyspark docs) that
+    # ships only (start, stop, step) per partition and generates the
+    # elements executor-side, instead of pickling every element
+    # through the driver and a temp file (guide §4: move fewer bytes
+    # across the Python boundary). Same elements, same order — the
+    # reference's 2M-record job drops its driver-side serialization
+    # entirely. list/tuple inputs are unchanged.
+    data = data_list if isinstance(data_list, (list, tuple, range)) else list(data_list)
     n = dataset_size if dataset_size is not None else len(data)
     chunk_size = min(max_chunk_size, math.ceil(n / max(num_mappers, 1))) or 1
     num_parts = max(min(math.ceil(len(data) / chunk_size), 10_000), int(num_mappers), 1)

@@ -677,7 +677,8 @@ def dedup_clusters(
     d = load_table(spark, sf_dir, "documents")
     if pairs is None:
         pairs = dedup_minhash_pairs(spark, sf_dir)
-    return dedup_cluster_survivors(d, pairs)
+    # minhash pairs are unique on (doc_a, doc_b) — skip the edge distinct
+    return dedup_cluster_survivors(d, pairs, pairs_unique=True)
 
 
 # --------------------------------------------------------------------------
@@ -739,7 +740,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(exact.select("doc_id", "lang", "text"))
 
     # 4. cluster and keep the best-quality doc per cluster
-    comps = connected_components(pairs)
+    # minhash pairs are unique on (doc_a, doc_b) — skip the edge distinct
+    comps = connected_components(pairs, pairs_unique=True)
     clustered = exact.join(comps, exact.doc_id == comps.node, "left").select(
         "doc_id", "lang", "quality", F.coalesce("comp", F.col("doc_id")).alias("cluster")
     )
@@ -960,7 +962,8 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import connected_components
 
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
-    return connected_components(pairs).select(
+    # ngram pairs are unique on (doc_a, doc_b) — skip the edge distinct
+    return connected_components(pairs, pairs_unique=True).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
     )
 
@@ -1141,7 +1144,7 @@ def survivors_quality(d: DataFrame) -> DataFrame:
     from ..operators.clustering import connected_components
     from .text_analysis import quality_raw_col
 
-    clusters = connected_components(ngram_jaccard_pairs(d)).select(
+    clusters = connected_components(ngram_jaccard_pairs(d), pairs_unique=True).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
     )
     q = d.select("doc_id", "lang", quality_raw_col().alias("qr"))

@@ -320,3 +320,18 @@ def test_uri_scheme_passthrough(spark, tmp_path):
     from ray_mapreduce_spark.sources.text import read_text_lines
 
     assert read_text_lines(spark, uri).count() == 1000
+
+
+def test_bulk_range_input_matches_list(spark):
+    """r15 optimization: ``range`` inputs pass through to
+    SparkContext.parallelize unconverted (its documented range fast
+    path ships (start, stop, step) per partition instead of pickling
+    every element through the driver). The result must be identical
+    to the same data as a materialized list — including a stepped,
+    offset range and both reduce paths (holistic + combiner)."""
+    r = range(7, 1000, 3)
+    out_range = MapReduceBulk(r, map_fcn, reduce_max, 3, 4, max_chunk_size=50, spark=spark)
+    out_list = MapReduceBulk(list(r), map_fcn, reduce_max, 3, 4, max_chunk_size=50, spark=spark)
+    assert sorted(out_range) == sorted(out_list)
+    comb_range = MapReduceBulk(r, map_fcn, reduce_max, 3, 4, spark=spark, combiner=max)
+    assert sorted(comb_range) == sorted(out_list)
