@@ -469,9 +469,13 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     # Semi-join the persisted shingle table down to candidate docs
     # BEFORE collect_set: building sets for the whole corpus when only
     # ~|candidates| docs need one is wasted shuffle at any scale.
+    # No distinct: cand_ids only ever feeds the RIGHT side of a
+    # left-semi join, which is duplicate-insensitive (the broadcast
+    # hash build dedupes for free) — the distinct was a pure extra
+    # exchange+aggregate stage (r15, guide §2.4).
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
+    )
     shs = (
         sh.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
@@ -745,10 +749,22 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = exact.join(comps, exact.doc_id == comps.node, "left").select(
         "doc_id", "lang", "quality", F.coalesce("comp", F.col("doc_id")).alias("cluster")
     )
-    w_best = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
-    survivors = clustered.withColumn("_rk", F.row_number().over(w_best)).filter(
-        F.col("_rk") == 1
-    )
+    # Survivor = best (quality desc, doc_id asc) row per cluster, as an
+    # argmax AGGREGATE instead of a row_number window (r15, guide
+    # §2.3 "aggregate before you shuffle"): max(struct(quality,
+    # -doc_id, lang)) partial-aggregates map-side — the cluster
+    # exchange carries one row per (cluster, input partition) instead
+    # of every clustered doc — and drops the window's per-partition
+    # sort. The ordering key (quality, -doc_id) is unique (doc_id is
+    # unique), so the selected row is identical to the old window's
+    # rk=1 row and the swap is result-exact.
+    survivors = clustered.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("quality"), (-F.col("doc_id")).alias("_nid"), F.col("lang")
+            )
+        ).alias("_best")
+    ).select(F.col("_best.lang").alias("lang"), F.col("_best.quality").alias("quality"))
 
     # 5. clean-corpus stats per language
     return survivors.groupBy("lang").agg(
@@ -1695,9 +1711,11 @@ def dedup_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # No distinct: right side of a left-semi join is
+    # duplicate-insensitive (see minhash_pairs) — skip the exchange.
     cand_ids = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
+    )
 
     # shingle STRINGS (not xxhash64 longs): the cross-engine hash must
     # see identical text; built with the _shingle_hashes lead-chain
