@@ -66,17 +66,28 @@ def _run(
     strict_keys: bool,
     combiner: CombinerFcn | None = None,
 ) -> list:
-    def mapper(record):
-        for k, v in map_fcn(record):
-            if strict_keys and not isinstance(k, str):
-                # Reference sharder behavior: non-str keys raise
-                # (key.encode on int -> AttributeError, mapreduce.py:70).
-                raise AttributeError(
-                    f"strict_keys: reference sharder requires str keys, got {type(k).__name__}"
-                )
-            yield (k, v)
+    if strict_keys:
 
-    mapped = rdd.flatMap(mapper)
+        def mapper(record):
+            for k, v in map_fcn(record):
+                if not isinstance(k, str):
+                    # Reference sharder behavior: non-str keys raise
+                    # (key.encode on int -> AttributeError, mapreduce.py:70).
+                    raise AttributeError(
+                        f"strict_keys: reference sharder requires str keys, "
+                        f"got {type(k).__name__}"
+                    )
+                yield (k, v)
+
+        mapped = rdd.flatMap(mapper)
+    else:
+        # Default path: hand the user generator straight to flatMap —
+        # the strict-keys wrapper added a second Python generator layer
+        # per record, measurable per-element overhead at millions of
+        # records (r15; guide §4 — per-row Python cost is the wall for
+        # opaque-UDF jobs). flatMap itself already evaluates
+        # chain.from_iterable(map(map_fcn, it)) in one tight loop.
+        mapped = rdd.flatMap(map_fcn)
     parts = max(int(num_reducers), 1)
     if combiner is not None:
         # Opt-in algebraic mode: the caller declares the reduction
