@@ -18,6 +18,20 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """``spread`` variant that hash-partitions on ``cols`` instead of
+    round-robin. Use when the compute-heavy stage downstream is a
+    window/groupBy KEYED on ``cols``: establishing hashpartitioning
+    BEFORE a row-multiplying op (explode) means the exchange moves one
+    row per input row, and the downstream window/agg rides the
+    partitioning with only a local sort — versus round-robin spread +
+    a second exchange of the multiplied rows (r15: removed the
+    ~tokens-sized exchange from the shingle path; guide §2.3 "project
+    before the exchange" / §2.4). Key cardinality must be far above
+    the partition count (doc_id at any corpus scale)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+
+
 def _two_pass_base(df: DataFrame, sort_cols: list[Column | str]):
     """Shared first pass of the scale-safe global rank / running sum:
 

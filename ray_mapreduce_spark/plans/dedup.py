@@ -183,7 +183,7 @@ def _ngram_common_counts(d: DataFrame, df_cap: int = DEFAULT_DF_CAP) -> DataFram
     join — ReusedExchange appears in the final adaptive plan). Also
     leaves the data partitioned by (s, lang), exactly the join's
     distribution, so the join adds no exchange of its own."""
-    ex = _with_doc_size(_shingle_hashes(_spread(d)))
+    ex = _with_doc_size(_shingle_hashes(d))
     # df >= 2 pre-filter: singleton shingles cannot appear in any pair.
     wdf = Window.partitionBy("s", "lang")
     ex = (
@@ -332,6 +332,7 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 from ..functions.scale import spread as _spread
+from ..functions.scale import spread_by as _spread_by
 
 
 def _shingle_hashes(d: DataFrame) -> DataFrame:
@@ -339,14 +340,20 @@ def _shingle_hashes(d: DataFrame) -> DataFrame:
 
     Construction is fully codegen'd (no higher-order functions, which
     Spark interprets per element — measured several x slower): tokenize
-    -> posexplode -> hash each token once -> window lead x2 (one
-    shuffle by doc_id) -> combine 3 consecutive token hashes with
-    xxhash64 -> distinct. Shingles travel as 8-byte longs from here on
+    -> posexplode -> hash each token once -> window lead x2 -> combine
+    3 consecutive token hashes with xxhash64 -> distinct. Spreads its
+    own input BY doc_id (r15; callers must NOT round-robin spread
+    first): hash-partitioning on doc_id before the posexplode moves
+    one row per DOCUMENT across the exchange, and the lead window then
+    rides that partitioning with only a local sort — the old
+    round-robin spread + window arrangement shuffled the exploded
+    TOKEN stream a second time (one row per token, ~doc_len x the
+    bytes; guide §2.3/2.4). Shingles travel as 8-byte longs from here on
     — at 100 TB that's the difference between shuffling text and
     shuffling fixed-width keys. Collision probability over a doc's
     shingle set is ~|S|²/2⁶⁴ ~ 1e-15 (none observed vs the string
     oracle at any test sf)."""
-    tok = d.select(
+    tok = _spread_by(d, "doc_id").select(
         "doc_id", "lang", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -420,7 +427,7 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = DEFAULT_DF_CAP) -> DataFram
     or two cores (CLAUDE.md gotcha #6)."""
     from pyspark import StorageLevel
 
-    sh = _shingle_hashes(_spread(docs)).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingle_hashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh)
 
     # Bands carry ONLY (doc_id, band_no, band_hash): the LSH join must
@@ -908,7 +915,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager localCheckpoint, same as pipeline_clean_corpus's survivor
     set."""
     sh = _shingle_hashes(
-        _spread(load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
     bench = (
         sh.filter(F.pmod("doc_id", F.lit(7)) == 0).select("s").distinct()
@@ -1245,7 +1252,7 @@ def jaccard_prefixfilter_pairs(d: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     num, den = _T_FRAC.numerator, _T_FRAC.denominator
-    ex = _with_doc_size(_shingle_hashes(_spread(d))).persist(
+    ex = _with_doc_size(_shingle_hashes(d)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     wdf = Window.partitionBy("s", "lang")
@@ -1587,7 +1594,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha #14), and the per-doc fold reuses nothing heavier than a
     partial-aggregated groupBy(doc_id). In a dated corpus swap
     min(doc_id) for min(ingest_ts, doc_id) — same plan."""
-    sh = _shingle_hashes(_spread(load_table(spark, sf_dir, "documents"))).select(
+    sh = _shingle_hashes(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "s"
     )
     w = Window.partitionBy("s")
