@@ -87,6 +87,12 @@ def _run(
         # records (r15; guide §4 — per-row Python cost is the wall for
         # opaque-UDF jobs). flatMap itself already evaluates
         # chain.from_iterable(map(map_fcn, it)) in one tight loop.
+        # Error-locality tradeoff (ADVICE r15): without the wrapper's
+        # per-element (k, v) unpack, a map_fcn yielding malformed
+        # elements (e.g. 3-tuples) now errors inside shuffle
+        # serialization with a less friendly traceback instead of at
+        # the mapper — that traceback is a malformed-map-output bug,
+        # not a shuffle bug. Valid-input behavior is unchanged.
         mapped = rdd.flatMap(map_fcn)
     parts = max(int(num_reducers), 1)
     if combiner is not None:
@@ -147,11 +153,46 @@ def MapReduceBulk(
     # across the Python boundary). Same elements, same order — the
     # reference's 2M-record job drops its driver-side serialization
     # entirely. list/tuple inputs are unchanged.
-    data = data_list if isinstance(data_list, (list, tuple, range)) else list(data_list)
-    n = dataset_size if dataset_size is not None else len(data)
-    chunk_size = min(max_chunk_size, math.ceil(n / max(num_mappers, 1))) or 1
-    num_parts = max(min(math.ceil(len(data) / chunk_size), 10_000), int(num_mappers), 1)
-    rdd = spark.sparkContext.parallelize(data, num_parts)
+    if isinstance(data_list, (list, tuple, range)):
+        data = data_list
+        n = dataset_size if dataset_size is not None else len(data)
+        chunk_size = min(max_chunk_size, math.ceil(n / max(num_mappers, 1))) or 1
+        num_parts = max(
+            min(math.ceil(len(data) / chunk_size), 10_000), int(num_mappers), 1
+        )
+        rdd = spark.sparkContext.parallelize(data, num_parts)
+    else:
+        # Lazy/unsized iterables: STREAM driver-side in chunks instead
+        # of materializing one full list (r16, guide §4/§5 — the
+        # driver should hold O(chunk), not O(n)). Each chunk becomes
+        # one parallelize slice; union preserves chunk order, so
+        # element order matches the list path exactly (equivalence
+        # test: test_bulk_generator_input_matches_list). Chunk size
+        # reuses the reference's partitioning arithmetic when
+        # dataset_size is given; otherwise max_chunk_size bounds
+        # driver memory. The shuffle/reduce stages are unchanged.
+        import itertools
+
+        if dataset_size is not None:
+            chunk_size = (
+                min(max_chunk_size, math.ceil(dataset_size / max(num_mappers, 1))) or 1
+            )
+        else:
+            chunk_size = max(int(max_chunk_size), 1)
+        sc = spark.sparkContext
+        it = iter(data_list)
+        rdds = []
+        while True:
+            chunk = list(itertools.islice(it, chunk_size))
+            if not chunk:
+                break
+            rdds.append(sc.parallelize(chunk, 1))
+        if not rdds:
+            rdd = sc.parallelize([], max(int(num_mappers), 1))
+        elif len(rdds) == 1:
+            rdd = rdds[0]
+        else:
+            rdd = sc.union(rdds)
     return _run(rdd, map_fcn, reduce_fcn, num_reducers, strict_keys, combiner)
 
 

@@ -569,8 +569,11 @@ def simhash_pairs(
     """Core simhash near-dup plan over any (doc_id, text) frame — see
     ``dedup_simhash_pairs``. Raises at action time (lazy in-plan
     ``raise_error`` on a broadcast saturation scalar) when band
-    buckets are systematically saturated."""
-    d = _spread(docs)
+    buckets are systematically saturated. Spread BY doc_id (r16, the
+    C6 pattern): the 64-bit-vote groupBy(doc_id) then rides the doc
+    exchange — its partial+final aggregation runs with NO exchange of
+    its own instead of re-shuffling one row per doc post-explode."""
+    d = _spread_by(docs, "doc_id")
     toks = F.array_distinct(F.split(F.lower("text"), " "))
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     # Wide expression lists built as SQL strings (one py4j call each):
@@ -1047,8 +1050,11 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a window, no agg+rejoin). The per-doc fraction
     partial-aggregates map-side. The frac division is int/int in
     IDENTICAL IEEE order on both engines, so 4dp rounding cannot
-    diverge."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    diverge. Spread BY doc_id (r16, the C6 pattern): the lead window
+    is doc_id-keyed, so hash-partitioning the DOC rows before the
+    posexplode rides one exchange — round-robin spread re-exchanged
+    the exploded token stream (~doc_len x the rows) for the window."""
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )
@@ -1707,7 +1713,13 @@ def dedup_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k·2⁻⁴), so the 4dp round is boundary-free on both engines."""
     from pyspark import StorageLevel
 
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    # Spread BY doc_id (r16, ADVICE r15): _shingle_hashes spreads its
+    # own input by doc_id, so a round-robin spread here was a pure
+    # extra exchange stacked under it (back-to-back RoundRobin ->
+    # hashpartitioning(doc_id) in the r15 plan), and the string-shingle
+    # branch below re-exchanged the exploded TOKEN stream for its
+    # doc_id-keyed lead window. One doc-keyed exchange now serves both.
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     common = _ngram_common_counts(d)
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
@@ -1818,8 +1830,11 @@ def decontaminate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def substring_span_hits(d: DataFrame) -> DataFrame:
     """Core span-collision decontamination over any (doc_id, text)
-    frame — see ``decontaminate_substring_spans`` for plan notes."""
-    d = _spread(d)
+    frame — see ``decontaminate_substring_spans`` for plan notes.
+    Spread BY doc_id (r16, the C6 pattern): the span lead-chain window
+    is doc_id-keyed — round-robin spread re-exchanged the exploded
+    token stream."""
+    d = _spread_by(d, "doc_id")
     tok = d.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )

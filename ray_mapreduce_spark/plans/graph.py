@@ -533,7 +533,12 @@ def kcore_peel_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         out.append(
             edges.select("src")
             .distinct()
-            .join(nxt.select("src").distinct(), "src", "left_anti")
+            # No distinct on the anti-join's RIGHT side: the hash build
+            # dedupes for free (duplicate-insensitive — the C2/C4 r15
+            # pattern, guide §2.4), so the per-round
+            # Exchange+HashAggregate pair it cost is gone. The LEFT
+            # distinct is semantic (one output row per removed node).
+            .join(nxt.select("src"), "src", "left_anti")
             .select(
                 F.col("src").alias("vec_id"),
                 F.lit(r).cast("bigint").alias("peel_round"),

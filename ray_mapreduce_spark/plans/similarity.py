@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scale import spread as _spread
+from ..functions.scale import spread_by as _spread_by
 from ..sources import load_table
 from .dedup import JACCARD_THRESHOLD, SHINGLE_K
 from .registry import register
@@ -68,8 +69,15 @@ def _with_vec(d: DataFrame) -> DataFrame:
     equal-or-better (r3 A/B: 0.78-0.90s vs 0.90-1.49s on the brute
     query — array Cast is itself a per-element loop, not a memcpy).
     Spread across cores: a single-file local parquet is one input
-    split otherwise."""
-    return _spread(d).select(
+    split otherwise. Spread BY vec_id (r16, the C6 pattern): a
+    keyless round-robin repartition pays a local sort of its input
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5) that a
+    hash repartition does not, vec_id is unique so the spread is as
+    even, and downstream vec_id-keyed exchanges (the PQ subspace
+    aggregation, the centroid classifier's per-vector argmax) are
+    elided by the subset rule — hashpartitioning(vec_id) satisfies
+    any ClusteredDistribution whose keys include vec_id."""
+    return _spread_by(d, "vec_id").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),

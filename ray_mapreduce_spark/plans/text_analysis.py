@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scale import spread as _spread
+from ..functions.scale import spread_by as _spread_by
 from ..sources import load_table
 from .registry import register
 
@@ -1042,7 +1043,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model swap-in replaces the weight expression with a broadcast
     bucket->weight join of the exported table; everything else keeps
     its shape."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -1143,7 +1144,7 @@ def bigram_pmi(
     ``text_bigram_pmi`` for the plan rationale."""
     from pyspark.sql.window import Window
 
-    tok = _spread(d).select(
+    tok = _spread_by(d, "doc_id").select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "t")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1300,7 +1301,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar; the per-doc mean partial-aggregates map-side. Docs with
     fewer than 2 tokens have no bigrams and drop out on both
     engines."""
-    return bigram_logprob_frame(_spread(load_table(spark, sf_dir, "documents")))
+    return bigram_logprob_frame(_spread_by(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def bigram_logprob_frame(d: DataFrame) -> DataFrame:
@@ -1392,7 +1393,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold reshuffles only the tiny (doc, term-count) rows, never text.
     Both stages map-side combine; no windows, no holistic aggs, so
     the plan is embarrassingly parallel at any corpus size."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -1709,7 +1710,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the join build side); the membership join is broadcast so the
     token stream never shuffles for it; per-doc then per-lang folds
     partial-aggregate. The rate is rational → +1e-9 bias."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -3043,7 +3044,7 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     into (t, doc_id) partial dedup then the t fold — both stages
     map-side combine); the top-N rides TakeOrderedAndProject. No
     windows, no self-joins."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
+    d = _spread_by(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
@@ -3646,7 +3647,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword scores over stopword-delimited chunks, top RAKE_TOP_N by
     the exact-integer scaled score (see header)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = _spread(d).select(
+    tok = _spread_by(d, "doc_id").select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
     )

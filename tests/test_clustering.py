@@ -12,12 +12,24 @@ from ray_mapreduce_spark.plans import all_queries
 from ray_mapreduce_spark.sources import load_table
 
 
-def test_cc_on_known_graph(spark):
-    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a: long, doc_b: long"
-    )
-    comps = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+import pytest
+
+
+@pytest.mark.parametrize("pairs_unique", [False, True])
+def test_cc_on_known_graph(spark, pairs_unique):
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in edges.
+    # pairs_unique=True gets DELIBERATELY duplicated edges: the
+    # fast path's correctness claim is that min-label propagation is
+    # duplicate-TOLERANT (every aggregation is a min), not that inputs
+    # happen to be unique — pin it (ADVICE r15).
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    if pairs_unique:
+        edges = edges + edges + [(2, 3)]
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    comps = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, pairs_unique=pairs_unique).collect()
+    }
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
@@ -95,10 +107,14 @@ def test_cc_raises_on_nonconvergence(spark):
     assert {r["comp"] for r in comps} == {0}
 
 
-def test_cc_matches_union_find_on_random_graphs(spark):
+@pytest.mark.parametrize("pairs_unique", [False, True])
+def test_cc_matches_union_find_on_random_graphs(spark, pairs_unique):
     """connected_components vs a pure-Python union-find on seeded
     random graphs: same partition of nodes into components (component
-    LABELS are min-node by construction — compare those too)."""
+    LABELS are min-node by construction — compare those too). The
+    pairs_unique=True arm feeds a deliberately DUPLICATED edge list
+    (the random draw already repeats edges, plus the list is doubled)
+    to pin the fast path's duplicate-tolerance claim (ADVICE r15)."""
     import random
 
     from ray_mapreduce_spark.operators.clustering import connected_components
@@ -132,8 +148,12 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             comp_min[r] = min(comp_min.get(r, x), x)
         expected = {x: comp_min[find(x)] for x in touched}
 
-        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+        fed = edges + edges if pairs_unique else edges
+        pairs = spark.createDataFrame(fed, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs, pairs_unique=pairs_unique).collect()
+        }
         assert got == expected, f"seed {seed}: component mismatch"
 
 

@@ -335,3 +335,28 @@ def test_bulk_range_input_matches_list(spark):
     assert sorted(out_range) == sorted(out_list)
     comb_range = MapReduceBulk(r, map_fcn, reduce_max, 3, 4, spark=spark, combiner=max)
     assert sorted(comb_range) == sorted(out_list)
+
+
+def test_bulk_generator_input_matches_list(spark):
+    """r16 optimization: lazy/unsized iterables stream driver-side in
+    chunks (one parallelize slice per chunk, union'd in order) instead
+    of materializing one full list — the driver holds O(chunk) not
+    O(n). Results must match the list path exactly, with and without
+    dataset_size, for both reduce paths, and for an empty generator."""
+    vals = list(range(5, 997, 2))
+    out_list = MapReduceBulk(vals, map_fcn, reduce_max, 3, 4, max_chunk_size=50, spark=spark)
+    out_gen = MapReduceBulk(
+        (v for v in vals), map_fcn, reduce_max, 3, 4, max_chunk_size=50, spark=spark
+    )
+    assert sorted(out_gen) == sorted(out_list)
+    out_gen_sized = MapReduceBulk(
+        (v for v in vals), map_fcn, reduce_max, 3, 4, max_chunk_size=50,
+        dataset_size=len(vals), spark=spark,
+    )
+    assert sorted(out_gen_sized) == sorted(out_list)
+    comb_gen = MapReduceBulk(
+        (v for v in vals), map_fcn, reduce_max, 3, 4, max_chunk_size=50,
+        spark=spark, combiner=max,
+    )
+    assert sorted(comb_gen) == sorted(out_list)
+    assert MapReduceBulk(iter(()), map_fcn, reduce_max, 3, 4, spark=spark) == []
