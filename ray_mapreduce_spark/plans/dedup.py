@@ -731,11 +731,19 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = d.withColumn("quality", F.round(quality, 4)).filter(F.col("quality") >= 0.5)
 
-    # 2. exact dedup (keep min doc_id per sha256)
-    w_exact = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    exact = scored.withColumn("_rn", F.row_number().over(w_exact)).filter(
-        F.col("_rn") == 1
-    ).drop("_rn")
+    # 2. exact dedup (keep min doc_id per sha256) as an argmin
+    # AGGREGATE instead of a row_number window (r16 — the same swap
+    # r15 made for the survivor stage, guide §2.3): min(struct(doc_id,
+    # …)) partial-aggregates map-side, so the sha2 exchange carries one
+    # row per (digest, input partition) and the window's per-partition
+    # sort is gone from the pipeline's heaviest job (the CC edge
+    # checkpoint executes this lineage). doc_id is unique, so the
+    # selected row is identical to the old window's rn=1 row.
+    exact = (
+        scored.groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(F.min(F.struct("doc_id", "lang", "text", "quality")).alias("_first"))
+        .select("_first.doc_id", "_first.lang", "_first.text", "_first.quality")
+    )
     # The survivor set feeds TWO consumers (the LSH stage below and the
     # final cluster join) — dependency-ordered (the cluster join
     # consumes comps <- pairs <- the LSH stage), so a lazy persist
