@@ -162,15 +162,18 @@ def MapReduceBulk(
         )
         rdd = spark.sparkContext.parallelize(data, num_parts)
     else:
-        # Lazy/unsized iterables: STREAM driver-side in chunks instead
-        # of materializing one full list (r16, guide §4/§5 — the
-        # driver should hold O(chunk), not O(n)). Each chunk becomes
-        # one parallelize slice; union preserves chunk order, so
-        # element order matches the list path exactly (equivalence
-        # test: test_bulk_generator_input_matches_list). Chunk size
-        # reuses the reference's partitioning arithmetic when
-        # dataset_size is given; otherwise max_chunk_size bounds
-        # driver memory. The shuffle/reduce stages are unchanged.
+        # Lazy/unsized iterables: STREAM driver-side in bounded buffers
+        # instead of materializing one full list (r16, guide §4/§5 —
+        # the driver should hold O(buffer), not O(n)). Each buffer
+        # becomes one parallelize call sliced into
+        # ceil(len/chunk_size) partitions, so the total partition
+        # count matches the list path's arithmetic; union preserves
+        # buffer order, so element order matches the list path exactly
+        # (equivalence test: test_bulk_generator_input_matches_list).
+        # The buffer is >= chunk_size so a small reference-default
+        # max_chunk_size (1000) cannot degenerate into thousands of
+        # per-chunk py4j parallelize calls. The shuffle/reduce stages
+        # are unchanged.
         import itertools
 
         if dataset_size is not None:
@@ -179,14 +182,17 @@ def MapReduceBulk(
             )
         else:
             chunk_size = max(int(max_chunk_size), 1)
+        buf_rows = max(chunk_size, 100_000)
         sc = spark.sparkContext
         it = iter(data_list)
         rdds = []
         while True:
-            chunk = list(itertools.islice(it, chunk_size))
+            chunk = list(itertools.islice(it, buf_rows))
             if not chunk:
                 break
-            rdds.append(sc.parallelize(chunk, 1))
+            rdds.append(
+                sc.parallelize(chunk, max(1, math.ceil(len(chunk) / chunk_size)))
+            )
         if not rdds:
             rdd = sc.parallelize([], max(int(num_mappers), 1))
         elif len(rdds) == 1:
